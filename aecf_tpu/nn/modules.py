@@ -1,0 +1,358 @@
+"""Module-level API mirroring the reference's public surface.
+
+``CurriculumMasking`` and ``MultimodalAttentionPool`` here are thin stateful
+wrappers over the pure functions in :mod:`aecf_tpu.core` — they hold parameter
+pytrees and train/eval mode, nothing else.  The hot path stays pure, so the
+same objects work inside ``jit`` / ``shard_map`` (pass ``rng`` explicitly) and
+their ``params`` attribute slots straight into optax.
+
+Reference API being mirrored: aecf/AECFLayer.py classes ``CurriculumMasking``
+(:33-319) and ``MultimodalAttentionPool`` (:322-552), including constructor
+validation, train/eval behavior, info-dict key sets, and the reference quirks
+documented in SURVEY.md §2.5 (Q1: masked weights are *not* applied to the
+output by default; Q2: info entropy is detached in training).  Idiomatic
+opt-in extensions are clearly flagged.
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import Any, Dict, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+from ..core.attention import (
+    AttentionPoolConfig,
+    AttentionPoolParams,
+    attention_pool_core,
+)
+from ..core.init import init_attention_pool_params
+from ..core.masking import curriculum_mask, entropy_loss
+
+__all__ = ["CurriculumMasking", "MultimodalAttentionPool"]
+
+# Deterministic per-process default seeds for modules constructed without an
+# explicit key (drop-in ergonomics; serious use passes `key=`).
+_DEFAULT_SEEDS = itertools.count()
+
+
+def _next_default_key() -> jax.Array:
+    return jax.random.key(next(_DEFAULT_SEEDS))
+
+
+class CurriculumMasking:
+    """Entropy-driven curriculum masking (reference AECFLayer.py:33-319).
+
+    Stateless apart from train/eval mode and the ``_last_seq_len`` cache the
+    reference keeps for ``entropy_loss`` (AECFLayer.py:99, :187).  The cache
+    updates at trace time (sequence length is static under jit), which matches
+    the reference behavior for any fixed-shape program.
+
+    ``base_mask_prob`` / ``entropy_target`` are read at call time and may be
+    reassigned with traced scalars — the reference's subclass-scheduling
+    pattern (README.md:341-351) works without recompilation if you store a
+    jnp scalar.
+    """
+
+    def __init__(
+        self,
+        base_mask_prob: float = 0.15,
+        entropy_target: float = 0.7,
+        min_active: int = 1,
+    ):
+        if not 0.0 < base_mask_prob <= 1.0:
+            raise ValueError(
+                f"base_mask_prob must be in (0, 1], got {base_mask_prob}"
+            )
+        if not 0.0 < entropy_target <= 1.0:
+            raise ValueError(
+                f"entropy_target must be in (0, 1], got {entropy_target}"
+            )
+        if min_active < 1:
+            raise ValueError(f"min_active must be >= 1, got {min_active}")
+
+        self.base_mask_prob = base_mask_prob
+        self.entropy_target = entropy_target
+        self.min_active = min_active
+        self.training = True
+        self._last_seq_len = 2  # reference default (AECFLayer.py:99)
+
+    # -- torch-style mode switches -------------------------------------------
+    def train(self, mode: bool = True) -> "CurriculumMasking":
+        self.training = mode
+        return self
+
+    def eval(self) -> "CurriculumMasking":
+        return self.train(False)
+
+    # -- forward --------------------------------------------------------------
+    def __call__(
+        self,
+        weights: jax.Array,
+        *,
+        rng: Optional[jax.Array] = None,
+        mask_override: Optional[jax.Array] = None,
+    ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+        if self.training and weights.shape[-1] > 1:
+            self._last_seq_len = int(weights.shape[-1])
+        return curriculum_mask(
+            weights,
+            key=rng,
+            training=self.training,
+            base_mask_prob=self.base_mask_prob,
+            entropy_target=self.entropy_target,
+            min_active=self.min_active,
+            mask_override=mask_override,
+        )
+
+    def compute_entropy(self, weights: jax.Array) -> jax.Array:
+        from ..core.masking import compute_entropy
+
+        return compute_entropy(weights)
+
+    # Alias kept for reference API parity (AECFLayer.py:113).
+    compute_entropy_fused = compute_entropy
+
+    def entropy_loss(self, entropy: jax.Array) -> jax.Array:
+        return entropy_loss(
+            entropy,
+            seq_len=self._last_seq_len,
+            entropy_target=self.entropy_target,
+        )
+
+    def extra_repr(self) -> str:
+        return (
+            f"base_mask_prob={self.base_mask_prob}, "
+            f"entropy_target={self.entropy_target}, "
+            f"min_active={self.min_active}"
+        )
+
+    def __repr__(self) -> str:
+        return f"{type(self).__name__}({self.extra_repr()})"
+
+
+class MultimodalAttentionPool:
+    """Cross-attention pooling with optional curriculum masking.
+
+    Mirrors reference ``MultimodalAttentionPool`` (AECFLayer.py:322-552).
+    Differences forced by JAX:
+
+    * parameters are an explicit pytree at ``self.params`` (optax-ready);
+    * training-mode calls that need randomness (curriculum Bernoulli draw,
+      dropout) take an explicit ``rng=`` key;
+    * ``use_checkpoint`` maps to ``jax.checkpoint`` (rematerialization) around
+      the attention computation, the TPU equivalent of
+      ``torch.utils.checkpoint`` (reference AECFLayer.py:500-512).
+
+    ``implementation`` selects the compute path: ``"xla"`` (fused-by-XLA
+    einsums, the oracle), ``"pallas"`` (single fused TPU kernel), or
+    ``"auto"`` (pallas on TPU when the config is supported).
+    """
+
+    def __init__(
+        self,
+        embed_dim: int,
+        num_heads: int = 1,
+        dropout: float = 0.0,
+        bias: bool = True,
+        curriculum_masking: Optional[CurriculumMasking] = None,
+        batch_first: bool = True,
+        dtype: jnp.dtype = jnp.float32,
+        *,
+        key: Optional[jax.Array] = None,
+        params: Optional[AttentionPoolParams] = None,
+        implementation: str = "auto",
+    ):
+        self.config = AttentionPoolConfig(
+            embed_dim=embed_dim,
+            num_heads=num_heads,
+            dropout=dropout,
+            bias=bias,
+            batch_first=batch_first,
+        )
+        self.embed_dim = embed_dim
+        self.num_heads = num_heads
+        self.batch_first = batch_first
+        self.curriculum_masking = curriculum_masking
+        self.training = True
+        if implementation not in ("auto", "xla", "pallas"):
+            raise ValueError(f"unknown implementation {implementation!r}")
+        self.implementation = implementation
+
+        if params is None:
+            params = init_attention_pool_params(
+                key if key is not None else _next_default_key(),
+                embed_dim,
+                bias=bias,
+                dtype=dtype,
+            )
+        self.params = params
+
+    # -- torch-style mode switches -------------------------------------------
+    def train(self, mode: bool = True) -> "MultimodalAttentionPool":
+        self.training = mode
+        if self.curriculum_masking is not None:
+            self.curriculum_masking.train(mode)
+        return self
+
+    def eval(self) -> "MultimodalAttentionPool":
+        return self.train(False)
+
+    # -- validation (reference AECFLayer.py:449-498) --------------------------
+    def _validate(self, query, key, value):
+        for name, t in (("query", query), ("key", key), ("value", value)):
+            if not isinstance(t, (jax.Array, jnp.ndarray)) and not hasattr(
+                t, "shape"
+            ):
+                raise TypeError(f"Expected {name} to be an array, got {type(t)}")
+            if t.ndim != 3:
+                raise ValueError(
+                    f"Expected 3D {name} tensor with "
+                    f"batch_first={self.batch_first}, got {t.ndim}D"
+                )
+        if self.batch_first:
+            batch_size, _, embed_dim = query.shape
+            src_len = key.shape[1]
+            if src_len == 0:
+                raise ValueError("Key sequence length cannot be zero")
+            if key.shape[0] != batch_size or key.shape[2] != embed_dim:
+                raise ValueError(
+                    f"Key shape {key.shape} incompatible with query shape "
+                    f"{query.shape}"
+                )
+            if (
+                value.shape[0] != batch_size
+                or value.shape[1] != key.shape[1]
+                or value.shape[2] != embed_dim
+            ):
+                raise ValueError(
+                    f"Value shape {value.shape} incompatible with key shape "
+                    f"{key.shape}"
+                )
+        else:
+            _, batch_size, embed_dim = query.shape
+            src_len = key.shape[0]
+            if src_len == 0:
+                raise ValueError("Key sequence length cannot be zero")
+            if key.shape[1] != batch_size or key.shape[2] != embed_dim:
+                raise ValueError(
+                    f"Shape mismatch: query {query.shape}, key {key.shape}"
+                )
+            if (
+                value.shape[0] != src_len
+                or value.shape[1] != batch_size
+                or value.shape[2] != embed_dim
+            ):
+                raise ValueError(
+                    f"Value shape {value.shape} incompatible with key shape "
+                    f"{key.shape}"
+                )
+
+    # -- forward --------------------------------------------------------------
+    def __call__(
+        self,
+        query: jax.Array,
+        key: jax.Array,
+        value: Optional[jax.Array] = None,
+        key_padding_mask: Optional[jax.Array] = None,
+        attn_mask: Optional[jax.Array] = None,
+        return_info: bool = False,
+        use_checkpoint: bool = False,
+        *,
+        rng: Optional[jax.Array] = None,
+        mask_override: Optional[jax.Array] = None,
+        params: Optional[AttentionPoolParams] = None,
+    ) -> Union[jax.Array, Tuple[jax.Array, Dict[str, Any]]]:
+        # Functional override: inside jit/grad, pass `params=` instead of
+        # assigning `self.params` (attribute mutation under trace leaks
+        # tracers into the module and poisons later calls).
+        if params is None:
+            params = self.params
+        if value is None:
+            value = key
+        self._validate(query, key, value)
+
+        if not self.batch_first:
+            query = jnp.swapaxes(query, 0, 1)
+            key = jnp.swapaxes(key, 0, 1)
+            value = jnp.swapaxes(value, 0, 1)
+
+        need_weights = self.curriculum_masking is not None or return_info
+
+        mask_rng = dropout_rng = None
+        if rng is not None:
+            mask_rng, dropout_rng = jax.random.split(rng)
+        dropout_active = self.training and self.config.dropout > 0.0
+        if dropout_active and dropout_rng is None:
+            raise ValueError(
+                "Training-mode dropout needs an explicit `rng=` key."
+            )
+
+        def attend(q, k, v):
+            return attention_pool_core(
+                params,
+                q,
+                k,
+                v,
+                num_heads=self.num_heads,
+                key_padding_mask=key_padding_mask,
+                attn_mask=attn_mask,
+                dropout_rate=self.config.dropout if dropout_active else 0.0,
+                dropout_key=dropout_rng if dropout_active else None,
+                need_weights=need_weights,
+            )
+
+        if use_checkpoint and self.training:
+            # TPU-native gradient checkpointing: rematerialize the attention
+            # computation in the backward pass instead of saving activations
+            # (replaces torch.utils.checkpoint, reference AECFLayer.py:500-512).
+            attend = jax.checkpoint(attend)
+
+        attn_output, attn_weights = attend(query, key, value)
+
+        info: Dict[str, Any] = {}
+        if self.curriculum_masking is not None and attn_weights is not None:
+            pooled_weights = attn_weights  # already head-averaged (B, T, S)
+            if (
+                self.curriculum_masking.training
+                and pooled_weights.shape[-1] > 1
+                and mask_rng is None
+                and mask_override is None
+            ):
+                raise ValueError(
+                    "Training-mode curriculum masking needs an explicit "
+                    "`rng=` key (or a `mask_override`)."
+                )
+            masked_weights, mask_info = self.curriculum_masking(
+                pooled_weights, rng=mask_rng, mask_override=mask_override
+            )
+            info.update(mask_info)
+            # Grad-carrying raw weights (reference AECFLayer.py:538).
+            info["attention_weights"] = pooled_weights
+            if return_info:
+                # Reference quirk Q1: masked weights are observability only —
+                # they are detached and NOT applied to the output
+                # (AECFLayer.py:526-541).
+                info["masked_attention_weights"] = jax.lax.stop_gradient(
+                    masked_weights
+                )
+        elif return_info and attn_weights is not None:
+            info["attention_weights"] = attn_weights
+
+        if not self.batch_first:
+            attn_output = jnp.swapaxes(attn_output, 0, 1)
+
+        if return_info:
+            return attn_output, info
+        return attn_output
+
+    def extra_repr(self) -> str:
+        return (
+            f"embed_dim={self.embed_dim}, num_heads={self.num_heads}, "
+            f"batch_first={self.batch_first}, "
+            f"curriculum_masking={self.curriculum_masking is not None}"
+        )
+
+    def __repr__(self) -> str:
+        return f"{type(self).__name__}({self.extra_repr()})"

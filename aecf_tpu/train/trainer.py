@@ -1,0 +1,337 @@
+"""Training harness: optax AdamW + BCE, curriculum activation scheduling,
+masked-modality eval sweeps.
+
+TPU-native re-implementation of the reference experiment harness
+(xrays/train_xrays_example.py:239-427): same protocol — AdamW(lr=1e-4,
+wd=0.01), BCEWithLogits, curriculum + missing-modality simulation activating
+at a configured epoch, per-epoch eval under ``none/images/texts`` masking —
+but the step is a single jitted pure function and the curriculum toggle swaps
+between two pre-jitted step functions instead of hot-swapping module state
+(the reference's ``toggle_curriculum``, :179-187), so there is exactly one
+retrace per phase, not per epoch.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable, Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..core.masking import entropy_loss
+from .metrics import calculate_metrics
+
+__all__ = [
+    "TrainState",
+    "bce_with_logits_loss",
+    "make_train_step",
+    "mask_modality",
+    "evaluate_model",
+    "ExperimentConfig",
+    "train_parallel_experiment",
+]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jax.Array
+
+
+def bce_with_logits_loss(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    """Mean binary cross-entropy on logits (torch BCEWithLogitsLoss default)."""
+    return optax.sigmoid_binary_cross_entropy(logits, labels).mean()
+
+
+def make_train_step(
+    apply_fn: Callable[..., Any],
+    optimizer: optax.GradientTransformation,
+    *,
+    entropy_coeff: float = 0.0,
+    entropy_seq_len: int = 2,
+    donate: bool = True,
+) -> Callable:
+    """Build a jitted ``(state, images, texts, labels, rng) -> (state, loss,
+    info)`` step.
+
+    ``apply_fn(params, images, texts, rng) -> (logits, info)`` must be pure.
+    ``entropy_coeff > 0`` adds ``coeff * entropy_loss(info['entropy'])``
+    (README.md:206-208 pattern).  Note the reference detaches entropy in
+    training (quirk Q2) so this term is monitoring-only by default — we keep
+    that contract because ``info['entropy']`` comes out of
+    ``curriculum_mask`` already stop-gradiented.
+    """
+
+    def step(state: TrainState, images, texts, labels, rng):
+        def loss_fn(params):
+            logits, info = apply_fn(params, images, texts, rng)
+            loss = bce_with_logits_loss(logits, labels)
+            if entropy_coeff and "entropy" in info:
+                loss = loss + entropy_coeff * entropy_loss(
+                    info["entropy"], seq_len=entropy_seq_len
+                )
+            return loss, info
+
+        (loss, info), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, opt_state = optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            params=params, opt_state=opt_state, step=state.step + 1
+        )
+        return new_state, loss, info
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def mask_modality(
+    images: np.ndarray, texts: np.ndarray, mask_type: str = "none"
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Zero one modality for eval sweeps (reference :252-258)."""
+    if mask_type == "images":
+        return np.zeros_like(images), texts
+    if mask_type == "texts":
+        return images, np.zeros_like(texts)
+    return images, texts
+
+
+def _iter_batches(n: int, batch_size: int, *, shuffle: bool, seed: int):
+    idx = np.arange(n)
+    if shuffle:
+        np.random.default_rng(seed).shuffle(idx)
+    for start in range(0, n, batch_size):
+        yield idx[start : start + batch_size]
+
+
+def evaluate_model(
+    predict_fn: Callable[[Any, jax.Array, jax.Array], jax.Array],
+    params: Any,
+    images: np.ndarray,
+    texts: np.ndarray,
+    labels: np.ndarray,
+    mask_type: str = "none",
+    batch_size: int = 64,
+) -> Tuple[float, float, np.ndarray]:
+    """Masked eval sweep → (mAP, macro F1, per-label F1) (reference :297-310).
+
+    ``predict_fn`` should be pre-jitted; ragged final batches are padded to
+    ``batch_size`` to keep a single compiled shape.
+    """
+    images, texts = mask_modality(images, texts, mask_type)
+    n = images.shape[0]
+    preds = []
+    for sel in _iter_batches(n, batch_size, shuffle=False, seed=0):
+        bi, bt = images[sel], texts[sel]
+        pad = batch_size - len(sel)
+        if pad:
+            bi = np.concatenate([bi, np.zeros_like(bi[:pad])])
+            bt = np.concatenate([bt, np.zeros_like(bt[:pad])])
+        logits = np.asarray(predict_fn(params, jnp.asarray(bi), jnp.asarray(bt)))
+        preds.append(logits[: len(sel)])
+    return calculate_metrics(np.concatenate(preds), labels)
+
+
+@dataclasses.dataclass(frozen=True)
+class ExperimentConfig:
+    """Hyperparameters of the parallel baseline-vs-AECF experiment
+    (reference defaults: epochs=60 :755, batch=64 :247, lr=1e-4 :312,
+    weight_decay=0.01 :324-325, curriculum activation at epoch 40 :344-349).
+    """
+
+    epochs: int = 60
+    batch_size: int = 64
+    lr: float = 1e-4
+    weight_decay: float = 0.01
+    curriculum_epoch: int = 40
+    seed: int = 0
+    eval_batch_size: int = 64
+
+
+def train_parallel_experiment(
+    baseline_model,
+    aecf_model,
+    train_data: Dict[str, np.ndarray],
+    val_data: Dict[str, np.ndarray],
+    config: ExperimentConfig = ExperimentConfig(),
+    *,
+    verbose: bool = True,
+) -> Dict[str, Dict[str, list]]:
+    """Train baseline and AECF models in lockstep with curriculum activation.
+
+    Mirrors reference ``train_both_models`` (train_xrays_example.py:312-427):
+    identical optimizer/criterion/schedule, identical results-dict schema
+    (so the analysis/plotting layer is drop-in).
+    """
+    key = jax.random.key(config.seed)
+    k_base, k_aecf, k_train = jax.random.split(key, 3)
+
+    optimizer = optax.adamw(
+        config.lr, weight_decay=config.weight_decay
+    )
+
+    base_params = baseline_model.init(k_base)
+    aecf_params = aecf_model.init(k_aecf)
+    base_state = TrainState(
+        base_params, optimizer.init(base_params), jnp.zeros((), jnp.int32)
+    )
+    aecf_state = TrainState(
+        aecf_params, optimizer.init(aecf_params), jnp.zeros((), jnp.int32)
+    )
+
+    def base_apply(params, images, texts, rng):
+        logits = baseline_model.apply(
+            params, images, texts, training=True, rng=rng
+        )
+        return logits, {}
+
+    def make_aecf_apply(curriculum: bool):
+        def apply(params, images, texts, rng):
+            return aecf_model.apply(
+                params,
+                images,
+                texts,
+                training=True,
+                rng=rng,
+                curriculum_enabled=curriculum,
+                missing_modality_training=curriculum,
+                return_info=True,
+            )
+
+        return apply
+
+    base_step = make_train_step(base_apply, optimizer)
+    aecf_step_pre = make_train_step(make_aecf_apply(False), optimizer)
+    aecf_step_post = make_train_step(make_aecf_apply(True), optimizer)
+
+    base_predict = jax.jit(
+        lambda p, i, t: baseline_model.apply(p, i, t, training=False)
+    )
+    aecf_predict = jax.jit(
+        lambda p, i, t: aecf_model.apply(p, i, t, training=False)
+    )
+
+    def empty_track():
+        return {
+            "train_loss": [],
+            "val_full_map": [],
+            "val_full_f1": [],
+            "val_full_f1_per_label": [],
+            "val_no_images_map": [],
+            "val_no_images_f1": [],
+            "val_no_images_f1_per_label": [],
+            "val_no_texts_map": [],
+            "val_no_texts_f1": [],
+            "val_no_texts_f1_per_label": [],
+        }
+
+    results: Dict[str, Dict[str, list]] = {
+        "baseline": empty_track(),
+        "aecf": {**empty_track(), "gate_entropy": [], "mask_rate": []},
+    }
+
+    tr_img, tr_txt, tr_lab = (
+        train_data["image"],
+        train_data["text"],
+        train_data["label"],
+    )
+    n_train = tr_img.shape[0]
+
+    for epoch in range(config.epochs):
+        curriculum_on = epoch >= config.curriculum_epoch
+        if epoch == config.curriculum_epoch and verbose:
+            print(f"EPOCH {epoch + 1}: activating curriculum masking")
+        aecf_step = aecf_step_post if curriculum_on else aecf_step_pre
+
+        base_losses, aecf_losses = [], []
+        epoch_entropies, epoch_mask_rates = [], []
+        epoch_key = jax.random.fold_in(k_train, epoch)
+
+        for bi, sel in enumerate(
+            _iter_batches(
+                n_train,
+                config.batch_size,
+                shuffle=True,
+                seed=config.seed + epoch,
+            )
+        ):
+            if len(sel) < config.batch_size:
+                continue  # drop ragged tail batch (keeps one compiled shape)
+            images = jnp.asarray(tr_img[sel])
+            texts = jnp.asarray(tr_txt[sel])
+            labels = jnp.asarray(tr_lab[sel])
+            bkey = jax.random.fold_in(epoch_key, bi)
+            kb, ka = jax.random.split(bkey)
+
+            base_state, base_loss, _ = base_step(
+                base_state, images, texts, labels, kb
+            )
+            aecf_state, aecf_loss, info = aecf_step(
+                aecf_state, images, texts, labels, ka
+            )
+            base_losses.append(float(base_loss))
+            aecf_losses.append(float(aecf_loss))
+            if "entropy" in info:
+                epoch_entropies.append(float(info["entropy"].mean()))
+            if "mask_rate" in info:
+                epoch_mask_rates.append(float(info["mask_rate"].mean()))
+
+        # Per-epoch masked eval sweeps (reference :386-392).
+        epoch_evals = {}
+        for name, predict, params in (
+            ("baseline", base_predict, base_state.params),
+            ("aecf", aecf_predict, aecf_state.params),
+        ):
+            for mask_type, tag in (
+                ("none", "full"),
+                ("images", "no_images"),
+                ("texts", "no_texts"),
+            ):
+                m, f1, per_label = evaluate_model(
+                    predict,
+                    params,
+                    val_data["image"],
+                    val_data["text"],
+                    val_data["label"],
+                    mask_type,
+                    config.eval_batch_size,
+                )
+                results[name][f"val_{tag}_map"].append(m)
+                results[name][f"val_{tag}_f1"].append(f1)
+                results[name][f"val_{tag}_f1_per_label"].append(per_label)
+                epoch_evals[(name, tag)] = (m, f1)
+
+        results["baseline"]["train_loss"].append(
+            float(np.mean(base_losses)) if base_losses else 0.0
+        )
+        results["aecf"]["train_loss"].append(
+            float(np.mean(aecf_losses)) if aecf_losses else 0.0
+        )
+        results["aecf"]["gate_entropy"].append(
+            float(np.mean(epoch_entropies)) if epoch_entropies else 0.0
+        )
+        results["aecf"]["mask_rate"].append(
+            float(np.mean(epoch_mask_rates)) if epoch_mask_rates else 0.0
+        )
+
+        if verbose:
+            bm, bf = epoch_evals[("baseline", "full")]
+            am, af = epoch_evals[("aecf", "full")]
+            print(
+                f"Epoch {epoch + 1:2d}: "
+                f"Baseline mAP={bm:.4f}, F1={bf:.4f} | "
+                f"AECF mAP={am:.4f}, F1={af:.4f}, "
+                f"Entropy={results['aecf']['gate_entropy'][-1]:.4f}"
+            )
+
+    # Final states returned alongside metrics for persistence.
+    results["_states"] = {"baseline": base_state, "aecf": aecf_state}
+    return results

@@ -1,0 +1,40 @@
+"""Test harness configuration.
+
+Forces an 8-virtual-device CPU backend (the standard JAX fake-backend trick)
+so sharding/multi-chip tests run anywhere, per SURVEY.md §4(c).  Set
+``AECF_TEST_REAL_DEVICES=1`` to run the suite against whatever backend is
+live (e.g. a real TPU) instead.
+
+Must run before anything imports jax, hence the env mutation at module top.
+"""
+
+import os
+
+_FORCE_CPU = not os.environ.get("AECF_TEST_REAL_DEVICES")
+if _FORCE_CPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+
+import jax
+import numpy as np
+import pytest
+
+if _FORCE_CPU:
+    # The axon TPU plugin in this image ignores the JAX_PLATFORMS env var;
+    # the config knob is honored.
+    jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: this box has 1 vCPU and XLA compiles dominate
+# test wall-clock; cache compiled executables across pytest runs.
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

@@ -1,0 +1,128 @@
+"""Generate golden parity files from the reference implementation.
+
+Dev-time tool — runs the ORIGINAL reference library (expected at
+/root/reference, or set AECF_REFERENCE_PATH) and records input/output pairs
+for CurriculumMasking under an injected Bernoulli mask (monkeypatching
+torch.bernoulli), because PyTorch and JAX PRNG streams cannot match natively.
+"Bit-for-bit under a fixed PRNG" is therefore defined as fixed-mask injection
+parity (SURVEY.md §4 test plan, item b).
+
+The resulting .npz files are committed; tests/test_golden_parity.py consumes
+them without needing torch or the reference present.
+
+Usage:  python tests/golden/generate.py
+"""
+
+import os
+import sys
+
+import numpy as np
+import torch
+
+REFERENCE = os.environ.get("AECF_REFERENCE_PATH", "/root/reference")
+sys.path.insert(0, REFERENCE)
+
+from aecf import CurriculumMasking  # noqa: E402  (the reference package)
+
+OUT = os.path.join(os.path.dirname(__file__), "curriculum_golden.npz")
+
+
+def run_case(weights, mask, base_mask_prob, entropy_target, min_active, training):
+    m = CurriculumMasking(
+        base_mask_prob=base_mask_prob,
+        entropy_target=entropy_target,
+        min_active=min_active,
+    )
+    m.train(training)
+    w = torch.tensor(weights)
+    orig_bernoulli = torch.bernoulli
+    try:
+        if mask is not None:
+            torch.bernoulli = lambda p: torch.tensor(mask, dtype=p.dtype)
+        out, info = m(w)
+    finally:
+        torch.bernoulli = orig_bernoulli
+    rec = {"out": out.detach().numpy()}
+    for k, v in info.items():
+        rec[f"info_{k}"] = v.detach().numpy()
+    # entropy_loss on the produced entropy (exercises _last_seq_len cache).
+    rec["entropy_loss"] = m.entropy_loss(info["entropy"]).item()
+    rec["last_seq_len"] = np.array(m._last_seq_len)
+    return rec
+
+
+def main():
+    rng = np.random.default_rng(1234)
+    cases = {}
+
+    def softmax(x):
+        e = np.exp(x - x.max(-1, keepdims=True))
+        return (e / e.sum(-1, keepdims=True)).astype(np.float32)
+
+    # Case 1: generic batch, partial mask, min_active=1.
+    w1 = softmax(rng.normal(size=(16, 4)))
+    m1 = (rng.random((16, 4)) > 0.4).astype(np.float32)
+    cases["c1"] = (w1, m1, 0.3, 0.7, 1, True)
+
+    # Case 2: all-dropped rows trigger min_active=2 top-k replacement.
+    w2 = softmax(rng.normal(size=(8, 5)))
+    m2 = np.zeros((8, 5), dtype=np.float32)
+    cases["c2"] = (w2, m2, 0.9, 0.5, 2, True)
+
+    # Case 3: degenerate rows — zeros, NaN, Inf, unnormalized.
+    w3 = np.stack(
+        [
+            np.array([0.0, 0.0, 0.0], dtype=np.float32),
+            np.array([np.nan, 0.5, 0.5], dtype=np.float32),
+            np.array([np.inf, 0.25, 0.25], dtype=np.float32),
+            np.array([2.0, 6.0, 2.0], dtype=np.float32),
+        ]
+    )
+    m3 = np.ones((4, 3), dtype=np.float32)
+    cases["c3"] = (w3, m3, 0.15, 0.7, 1, True)
+
+    # Case 4: eval path (no mask injection needed).
+    w4 = softmax(rng.normal(size=(6, 3)))
+    cases["c4"] = (w4, None, 0.15, 0.7, 1, False)
+
+    # Case 5: 3-D weights (B, T, S) as produced by the attention pool.
+    w5 = softmax(rng.normal(size=(4, 2, 3)))
+    m5 = (rng.random((4, 2, 3)) > 0.5).astype(np.float32)
+    cases["c5"] = (w5, m5, 0.5, 0.9, 1, True)
+
+    # Case 6: near-ties in top-k (distinct values — torch.topk tie order on
+    # exact ties is implementation-defined and differs CPU vs CUDA, so exact
+    # ties are excluded from the golden contract; see
+    # tests/test_masking.py::test_min_active_tie_break_first_occurrence for
+    # our deterministic lowest-index behavior).
+    w6 = np.array(
+        [
+            [0.2500001, 0.25, 0.2499999, 0.25],
+            [0.1, 0.5, 0.15, 0.25],
+            [0.4, 0.1, 0.4000001, 0.0999999],
+        ],
+        dtype=np.float32,
+    )
+    w6 = w6 / w6.sum(-1, keepdims=True)
+    m6 = np.zeros((3, 4), dtype=np.float32)
+    cases["c6"] = (w6, m6, 1.0, 0.7, 2, True)
+
+    blob = {}
+    for name, (w, mask, bmp, et, ma, training) in cases.items():
+        rec = run_case(w, mask, bmp, et, ma, training)
+        blob[f"{name}_weights"] = w
+        if mask is not None:
+            blob[f"{name}_mask"] = mask
+        blob[f"{name}_base_mask_prob"] = np.array(bmp)
+        blob[f"{name}_entropy_target"] = np.array(et)
+        blob[f"{name}_min_active"] = np.array(ma)
+        blob[f"{name}_training"] = np.array(training)
+        for k, v in rec.items():
+            blob[f"{name}_{k}"] = v
+
+    np.savez(OUT, **blob)
+    print(f"wrote {OUT} with {len(cases)} cases")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,76 @@
+"""Golden parity vs the reference CurriculumMasking under mask injection.
+
+Golden files are produced by tests/golden/generate.py (which runs the actual
+reference implementation with torch.bernoulli monkeypatched to a fixed mask).
+This test needs neither torch nor the reference — it checks our pure-JAX core
+reproduces the recorded outputs to 1e-5 (the BASELINE.json numerics gate).
+"""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aecf_tpu.core.masking import curriculum_mask, entropy_loss
+
+GOLDEN = os.path.join(
+    os.path.dirname(__file__), "golden", "curriculum_golden.npz"
+)
+
+ATOL = 1e-5
+
+
+@pytest.fixture(scope="module")
+def golden():
+    if not os.path.exists(GOLDEN):
+        pytest.skip("golden file missing — run tests/golden/generate.py")
+    return np.load(GOLDEN)
+
+
+CASES = ["c1", "c2", "c3", "c4", "c5", "c6"]
+
+
+@pytest.mark.parametrize("case", CASES)
+def test_curriculum_golden(golden, case):
+    weights = jnp.asarray(golden[f"{case}_weights"])
+    training = bool(golden[f"{case}_training"])
+    mask = (
+        jnp.asarray(golden[f"{case}_mask"])
+        if f"{case}_mask" in golden
+        else None
+    )
+    out, info = curriculum_mask(
+        weights,
+        training=training,
+        base_mask_prob=float(golden[f"{case}_base_mask_prob"]),
+        entropy_target=float(golden[f"{case}_entropy_target"]),
+        min_active=int(golden[f"{case}_min_active"]),
+        mask_override=mask,
+    )
+    np.testing.assert_allclose(
+        out, golden[f"{case}_out"], atol=ATOL, err_msg=f"{case}: masked weights"
+    )
+    expected_info = {
+        k[len(f"{case}_info_") :]
+        for k in golden.files
+        if k.startswith(f"{case}_info_")
+    }
+    assert set(info) == expected_info, f"{case}: info key-set mismatch"
+    for k in expected_info:
+        np.testing.assert_allclose(
+            info[k],
+            golden[f"{case}_info_{k}"],
+            atol=ATOL,
+            err_msg=f"{case}: info[{k}]",
+        )
+    # entropy_loss parity, including the _last_seq_len semantics.
+    got_loss = entropy_loss(
+        info["entropy"],
+        seq_len=int(golden[f"{case}_last_seq_len"]),
+        entropy_target=float(golden[f"{case}_entropy_target"]),
+    )
+    np.testing.assert_allclose(
+        got_loss, golden[f"{case}_entropy_loss"], atol=ATOL,
+        err_msg=f"{case}: entropy_loss",
+    )
