@@ -1,0 +1,532 @@
+"""Fused Pallas TPU kernel for the whole AECF fusion path.
+
+One kernel pass per batch tile computes what the reference spreads over
+~10 chained torch ops + an ATen attention call (aecf/AECFLayer.py:515-521
+followed by :158-283):
+
+    Q/K/V projections → scores → softmax → head-average →
+    entropy → adaptive keep-prob → in-kernel Bernoulli draw (TPU PRNG) →
+    min_active top-k replacement → renormalize → weighted sum (unmasked
+    attention, quirk Q1) → output projection
+
+emitting ``(output, attention_weights, masked_weights, entropy, mask_rate)``
+in a single HBM round-trip.  The GEMMs ride the MXU; everything between them
+stays in VMEM registers instead of bouncing through HBM.
+
+Scope (v1):
+  * query length T == 1 (the pooling use case — query is the fusion token);
+  * no dropout, no key_padding/attn masks (those configs dispatch to the
+    XLA path, which is the numerics oracle);
+  * fp32 compute (bit-compatible with the oracle to ~1e-6; a bf16 fast path
+    is a planned extension).
+
+Backward: custom_vjp with an XLA einsum backward (matmuls are already
+speed-of-light under XLA; the win of the fused kernel is the forward's
+elementwise/RNG chain and HBM traffic).  Per the reference's gradient
+structure (SURVEY.md §3.2), the masking outputs carry no gradients —
+cotangents flow only through ``output`` and ``attention_weights``.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.attention import AttentionPoolParams
+from ..core.masking import EPS
+
+__all__ = ["fused_fusion_pool", "supports_fused"]
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def supports_fused(
+    *,
+    tgt_len: int,
+    num_heads: int,
+    embed_dim: int,
+    dropout: float = 0.0,
+    has_masks: bool = False,
+) -> bool:
+    """Config gate for the fused kernel; unsupported shapes use the XLA path."""
+    return (
+        tgt_len == 1
+        and dropout == 0.0
+        and not has_masks
+        and embed_dim % num_heads == 0
+        and embed_dim <= 1024
+    )
+
+
+# ---------------------------------------------------------------------------
+# Forward kernel
+# ---------------------------------------------------------------------------
+
+
+def _fusion_kernel(
+    # scalar-prefetch operands (SMEM)
+    seed_ref,  # (1,) int32
+    mask_prob_ref,  # (1,) float32
+    # tensor operands (VMEM)
+    q_ref,  # (TB, E)
+    kv_ref,  # (TB, M, E)
+    wq_ref,  # (E, E)
+    wk_ref,  # (E, E)
+    wv_ref,  # (E, E)
+    wo_ref,  # (E, E)
+    bqkv_ref,  # (3, E)   q/k/v biases (zeros when bias=False)
+    bo_ref,  # (1, E)
+    # outputs (VMEM)
+    out_ref,  # (TB, E)
+    w_ref,  # (TB, M)   head-averaged attention weights
+    mw_ref,  # (TB, M)   masked+renormalized weights
+    ent_ref,  # (TB, 1)
+    rate_ref,  # (TB, 1)
+    *,
+    num_heads: int,
+    min_active: int,
+    training: bool,
+    seq_len: int,
+):
+    TB, E = q_ref.shape
+    M = kv_ref.shape[1]
+    H = num_heads
+    Dh = E // H
+    f32 = jnp.float32
+
+    # ---- projections (MXU) --------------------------------------------------
+    q = q_ref[:]
+    kv = kv_ref[:].reshape(TB * M, E)
+    qp = (
+        jnp.dot(q, wq_ref[:].T, preferred_element_type=f32,
+                 precision=lax.Precision.HIGHEST)
+        + bqkv_ref[0, :]
+    )
+    kp = (
+        jnp.dot(kv, wk_ref[:].T, preferred_element_type=f32,
+                 precision=lax.Precision.HIGHEST)
+        + bqkv_ref[1, :]
+    ).reshape(TB, M, E)
+    vp = (
+        jnp.dot(kv, wv_ref[:].T, preferred_element_type=f32,
+                 precision=lax.Precision.HIGHEST)
+        + bqkv_ref[2, :]
+    ).reshape(TB, M, E)
+
+    # ---- per-head scores + softmax + context (VPU; M tiny, H static) -------
+    # Head loop is unrolled at trace time; lane-slicing per head avoids
+    # lane-dim reshapes that Mosaic relayouts poorly.
+    scale = Dh ** -0.5
+    w_acc = jnp.zeros((TB, M), f32)
+    attn_heads = []
+    ctx_parts = []
+    for h in range(H):
+        qh = qp[:, h * Dh : (h + 1) * Dh]  # (TB, Dh)
+        kh = kp[:, :, h * Dh : (h + 1) * Dh]  # (TB, M, Dh)
+        vh = vp[:, :, h * Dh : (h + 1) * Dh]  # (TB, M, Dh)
+        s = (qh[:, None, :] * kh).sum(axis=-1) * scale  # (TB, M)
+        smax = s.max(axis=-1, keepdims=True)
+        e = jnp.exp(s - smax)
+        a = e / e.sum(axis=-1, keepdims=True)  # softmax over M
+        attn_heads.append(a)
+        w_acc = w_acc + a
+        ctx_parts.append((a[:, :, None] * vh).sum(axis=1))  # (TB, Dh)
+
+    # head-averaged weights — what curriculum masking sees (AECFLayer.py:521)
+    w = w_acc * (1.0 / H)
+    w_ref[:] = w
+
+    # ---- entropy (xlogy semantics, clamped to [0, log M]) -------------------
+    max_entropy = math.log(seq_len)
+    plogp = jnp.where(w > 0, w * jnp.log(jnp.maximum(w, 1e-38)), 0.0)
+    entropy = jnp.clip(-plogp.sum(axis=-1, keepdims=True), 0.0, max_entropy)
+    ent_ref[:] = entropy
+
+    if not training or seq_len <= 1:
+        # Eval path: weights pass through, no masking.
+        mw_ref[:] = w
+        rate_ref[:] = jnp.zeros((TB, 1), f32)
+    else:
+        # ---- adaptive Bernoulli keep mask (in-kernel TPU PRNG) --------------
+        norm_entropy = jnp.clip(entropy / max_entropy, 0.0, 1.0)
+        keep_prob = jnp.clip(
+            1.0 - mask_prob_ref[0] * norm_entropy, 0.0, 1.0
+        )  # (TB, 1)
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        bits = pltpu.bitcast(
+            pltpu.prng_random_bits((TB, M)), jnp.uint32
+        )
+        # 24-bit mantissa uniform in [0, 1).  Mosaic has no uint32→f32 cast;
+        # after the shift the value fits in 24 bits, so bitcast to int32
+        # first (value-preserving) and convert from there.
+        bits24 = pltpu.bitcast(bits >> 8, jnp.int32)
+        uniform = bits24.astype(f32) * (1.0 / (1 << 24))
+        mask = (uniform < keep_prob).astype(f32)  # (TB, M)
+
+        # ---- min_active: whole-row replacement by top-k indicator -----------
+        eff = min(min_active, seq_len)
+        needs_more = mask.sum(axis=-1, keepdims=True) < eff
+        col = lax.broadcasted_iota(jnp.int32, (TB, M), 1)
+        work = w
+        indicator = jnp.zeros((TB, M), f32)
+        for _ in range(eff):
+            mx = work.max(axis=-1, keepdims=True)
+            is_max = work == mx
+            # first occurrence among ties (torch.topk-compatible order)
+            first_idx = jnp.where(is_max, col, M).min(axis=-1, keepdims=True)
+            first = (col == first_idx).astype(f32)
+            indicator = jnp.maximum(indicator, first)
+            work = jnp.where(first > 0, -jnp.inf, work)
+        mask = jnp.where(needs_more, indicator, mask)
+
+        # ---- mask, renormalize, fallback ------------------------------------
+        masked = w * mask
+        msum = masked.sum(axis=-1, keepdims=True)
+        valid = msum > EPS
+        mw_ref[:] = jnp.where(
+            valid, masked / jnp.where(valid, msum, 1.0), w
+        )
+        rate_ref[:] = 1.0 - mask.mean(axis=-1, keepdims=True)
+
+    # ---- context with UNMASKED per-head attention (quirk Q1) + out-proj ----
+    ctx = (
+        ctx_parts[0]
+        if H == 1
+        else jnp.concatenate(ctx_parts, axis=-1)
+    )  # (TB, E)
+    out_ref[:] = (
+        jnp.dot(ctx, wo_ref[:].T, preferred_element_type=f32,
+                 precision=lax.Precision.HIGHEST) + bo_ref[0, :]
+    )
+
+
+def _forward_pallas(
+    params: AttentionPoolParams,
+    query2d: jax.Array,  # (B, E)
+    kv: jax.Array,  # (B, M, E)
+    seed: jax.Array,  # () int32
+    mask_prob: jax.Array,  # () float32
+    *,
+    num_heads: int,
+    min_active: int,
+    training: bool,
+    interpret: bool = False,
+):
+    B, E = query2d.shape
+    M = kv.shape[1]
+
+    # Batch tiling: weights stay resident (constant index maps); activations
+    # stream.  TB sized to keep the tile working set within VMEM.
+    TB = 256 if E <= 512 else 128
+    TB = min(TB, _round_up(B, 8))
+    B_pad = _round_up(B, TB)
+    if B_pad != B:
+        pad = B_pad - B
+        query2d = jnp.pad(query2d, ((0, pad), (0, 0)))
+        kv = jnp.pad(kv, ((0, pad), (0, 0), (0, 0)))
+
+    wq, wk, wv = jnp.split(params.in_proj_weight, 3, axis=0)
+    if params.in_proj_bias is not None:
+        bqkv = params.in_proj_bias.reshape(3, E)
+    else:
+        bqkv = jnp.zeros((3, E), jnp.float32)
+    bo = (
+        params.out_proj_bias.reshape(1, E)
+        if params.out_proj_bias is not None
+        else jnp.zeros((1, E), jnp.float32)
+    )
+
+    grid = (B_pad // TB,)
+    kernel = functools.partial(
+        _fusion_kernel,
+        num_heads=num_heads,
+        min_active=min_active,
+        training=training,
+        seq_len=M,
+    )
+
+    flops = 2 * B_pad * E * E * (2 * M + 2) + 3 * B_pad * M * E
+    out_shapes = (
+        jax.ShapeDtypeStruct((B_pad, E), jnp.float32),  # out
+        jax.ShapeDtypeStruct((B_pad, M), jnp.float32),  # weights
+        jax.ShapeDtypeStruct((B_pad, M), jnp.float32),  # masked
+        jax.ShapeDtypeStruct((B_pad, 1), jnp.float32),  # entropy
+        jax.ShapeDtypeStruct((B_pad, 1), jnp.float32),  # mask_rate
+    )
+
+    # Index maps receive (grid_idx, *scalar_prefetch_refs).
+    tile = lambda i, *_: (i, 0)  # noqa: E731
+    whole = lambda i, *_: (0, 0)  # noqa: E731
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TB, E), tile, memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (TB, M, E), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((E, E), whole, memory_space=pltpu.VMEM),
+            pl.BlockSpec((E, E), whole, memory_space=pltpu.VMEM),
+            pl.BlockSpec((E, E), whole, memory_space=pltpu.VMEM),
+            pl.BlockSpec((E, E), whole, memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, E), whole, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, E), whole, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((TB, E), tile, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, M), tile, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, M), tile, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, 1), tile, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, 1), tile, memory_space=pltpu.VMEM),
+        ],
+    )
+
+    out, w, mw, ent, rate = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=4 * (B_pad * E * (M + 2) + 4 * E * E),
+            transcendentals=B_pad * M * 2,
+        ),
+        interpret=interpret,
+    )(
+        seed.reshape(1).astype(jnp.int32),
+        mask_prob.reshape(1).astype(jnp.float32),
+        query2d,
+        kv,
+        wq,
+        wk,
+        wv,
+        params.out_proj_weight,
+        bqkv,
+        bo,
+    )
+    return (
+        out[:B],
+        w[:B],
+        mw[:B],
+        ent[:B, 0],
+        rate[:B, 0],
+    )
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp wrapper: forward = Pallas kernel, backward = XLA einsums
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8)
+)
+def _fused_core(
+    params, query2d, kv, seed, mask_prob, num_heads, min_active, training,
+    interpret,
+):
+    return _forward_pallas(
+        params,
+        query2d,
+        kv,
+        seed,
+        mask_prob,
+        num_heads=num_heads,
+        min_active=min_active,
+        training=training,
+        interpret=interpret,
+    )
+
+
+def _fused_fwd(
+    params, query2d, kv, seed, mask_prob, num_heads, min_active, training,
+    interpret,
+):
+    outs = _forward_pallas(
+        params,
+        query2d,
+        kv,
+        seed,
+        mask_prob,
+        num_heads=num_heads,
+        min_active=min_active,
+        training=training,
+        interpret=interpret,
+    )
+    return outs, (params, query2d, kv)
+
+
+def _fused_bwd(num_heads, min_active, training, interpret, residuals, cots):
+    # f32 MXU passes throughout: the fused forward runs at HIGHEST precision,
+    # and mixed-precision fwd/bwd would silently degrade gradient parity
+    # with the fp32 oracle to ~1e-3.
+    with jax.default_matmul_precision("highest"):
+        return _fused_bwd_impl(num_heads, residuals, cots)
+
+
+def _fused_bwd_impl(num_heads, residuals, cots):
+    params, q, kv = residuals
+    d_out, d_w, _d_mw, _d_ent, _d_rate = cots
+    B, E = q.shape
+    M = kv.shape[1]
+    H = num_heads
+    Dh = E // H
+
+    wq, wk, wv = jnp.split(params.in_proj_weight, 3, axis=0)
+    if params.in_proj_bias is not None:
+        bq, bk, bv = jnp.split(params.in_proj_bias, 3)
+    else:
+        bq = bk = bv = 0.0
+
+    # Recompute the forward attention (rematerialization — cheaper than
+    # saving the big projected tensors).
+    qp = q @ wq.T + bq  # (B, E)
+    kp = (kv.reshape(B * M, E) @ wk.T + bk).reshape(B, M, E)
+    vp = (kv.reshape(B * M, E) @ wv.T + bv).reshape(B, M, E)
+    scale = Dh ** -0.5
+    qh = qp.reshape(B, H, Dh)
+    kh = kp.reshape(B, M, H, Dh)
+    vh = vp.reshape(B, M, H, Dh)
+    scores = jnp.einsum("bhd,bmhd->bhm", qh, kh) * scale
+    attn = jax.nn.softmax(scores, axis=-1)  # (B, H, M)
+
+    ctx = jnp.einsum("bhm,bmhd->bhd", attn, vh).reshape(B, E)
+
+    # out = ctx @ Wo.T + bo
+    d_ctx = d_out @ params.out_proj_weight  # (B, E)
+    dWo = d_out.T @ ctx
+    dbo = d_out.sum(0) if params.out_proj_bias is not None else None
+
+    d_ctx_h = d_ctx.reshape(B, H, Dh)
+    d_attn = jnp.einsum("bhd,bmhd->bhm", d_ctx_h, vh)
+    d_vh = jnp.einsum("bhm,bhd->bmhd", attn, d_ctx_h)
+
+    # cotangent into the head-averaged weights output
+    if d_w is not None:
+        d_attn = d_attn + d_w[:, None, :] / H
+
+    # softmax backward
+    d_scores = attn * (
+        d_attn - (attn * d_attn).sum(axis=-1, keepdims=True)
+    )
+    d_qh = jnp.einsum("bhm,bmhd->bhd", d_scores, kh) * scale
+    d_kh = jnp.einsum("bhm,bhd->bmhd", d_scores, qh) * scale
+
+    d_qp = d_qh.reshape(B, E)
+    d_kp = d_kh.reshape(B, M, E)
+    d_vp = d_vh.reshape(B, M, E)
+
+    kv2 = kv.reshape(B * M, E)
+    d_q = d_qp @ wq
+    dWq = d_qp.T @ q
+    d_kv = (d_kp.reshape(B * M, E) @ wk + d_vp.reshape(B * M, E) @ wv).reshape(
+        B, M, E
+    )
+    dWk = d_kp.reshape(B * M, E).T @ kv2
+    dWv = d_vp.reshape(B * M, E).T @ kv2
+
+    d_in_proj_weight = jnp.concatenate([dWq, dWk, dWv], axis=0)
+    if params.in_proj_bias is not None:
+        d_in_proj_bias = jnp.concatenate(
+            [d_qp.sum(0), d_kp.sum((0, 1)), d_vp.sum((0, 1))]
+        )
+    else:
+        d_in_proj_bias = None
+
+    d_params = AttentionPoolParams(
+        in_proj_weight=d_in_proj_weight,
+        out_proj_weight=dWo,
+        in_proj_bias=d_in_proj_bias,
+        out_proj_bias=dbo,
+    )
+    return d_params, d_q, d_kv, None, None
+
+
+_fused_core.defvjp(_fused_fwd, _fused_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
+
+
+def fused_fusion_pool(
+    params: AttentionPoolParams,
+    query: jax.Array,  # (B, 1, E)
+    kv: jax.Array,  # (B, M, E)
+    *,
+    num_heads: int = 1,
+    rng: Optional[jax.Array] = None,
+    training: bool = False,
+    base_mask_prob: jax.typing.ArrayLike = 0.15,
+    entropy_target: jax.typing.ArrayLike = 0.7,
+    min_active: int = 1,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array, Dict[str, jax.Array]]:
+    """Fused forward of the full fusion path.
+
+    Returns ``(output (B,1,E), attention_weights (B,1,M),
+    masked_weights (B,1,M), info)`` with the same info key-set contract as
+    :func:`aecf_tpu.core.masking.curriculum_mask`.  ``output`` and
+    ``attention_weights`` are differentiable; masking outputs are detached
+    (the reference's gradient structure, SURVEY.md §3.2).
+    """
+    B, T, E = query.shape
+    M = kv.shape[1]
+    if T != 1:
+        raise ValueError(f"fused kernel requires tgt_len == 1, got {T}")
+
+    if training and rng is None:
+        raise ValueError(
+            "fused_fusion_pool(training=True) needs an `rng=` key"
+        )
+    if rng is not None:
+        seed = jax.random.randint(
+            rng, (), minval=0, maxval=2**31 - 1, dtype=jnp.int32
+        )
+    else:
+        seed = jnp.zeros((), jnp.int32)
+
+    out, w, mw, ent, rate = _fused_core(
+        params,
+        query[:, 0, :],
+        kv,
+        seed,
+        jnp.asarray(base_mask_prob, jnp.float32),
+        num_heads,
+        min_active,
+        training,
+        interpret,
+    )
+
+    weights = w[:, None, :]
+    masked = lax.stop_gradient(mw[:, None, :])
+    entropy = lax.stop_gradient(ent[:, None])
+    mask_rate = lax.stop_gradient(rate[:, None])
+    if training and M > 1:
+        info = {
+            "entropy": entropy,
+            "mask_rate": mask_rate,
+            "target_entropy": jnp.full_like(
+                entropy,
+                math.log(M) * jnp.asarray(entropy_target, jnp.float32),
+            ),
+        }
+    elif training:
+        zeros = jnp.zeros_like(entropy)
+        info = {
+            "entropy": zeros,
+            "mask_rate": zeros,
+            "target_entropy": zeros,
+        }
+    else:
+        info = {"entropy": ent[:, None], "mask_rate": mask_rate}
+    return out[:, None, :], weights, masked, info

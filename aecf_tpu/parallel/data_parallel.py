@@ -1,0 +1,111 @@
+"""Data-parallel training over a device mesh (shard_map + psum-mean).
+
+BASELINE.json config #5 path: global batch sharded over the ``('data',)``
+axis, per-device grads reduced with an ICI all-reduce (``jax.lax.pmean``),
+replicated optimizer update.  The reference has NO distributed code
+(SURVEY.md §2.4) — this layer is new TPU-native capability, not a port.
+
+Design notes:
+* params/opt state are replicated (``P()``); batch arrays are sharded on
+  axis 0 (``P('data')``).
+* under shard_map's varying-manual-axes semantics (jax>=0.9,
+  ``check_vma=True``), the backward pass of a *replicated* input is
+  automatically psum'd across the mesh to keep its cotangent replicated —
+  so the grad of a per-shard loss arrives already summed over shards.
+  Scaling the local loss by ``1/num_shards`` therefore yields exactly the
+  global-batch-mean gradient with a single compiler-inserted ICI
+  all-reduce; adding an explicit ``pmean`` would be a silent no-op on an
+  already-invariant value (and an 8x-too-large gradient without the
+  scaling — covered by tests/test_parallel.py's single-device parity
+  check).
+* each shard folds the data-axis index into its PRNG key, so dropout /
+  missing-modality draws are i.i.d. across shards while the update stays
+  identical on every device.
+* works on any mesh: real TPU slice, multi-host, or the 8-virtual-CPU test
+  mesh.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..train.trainer import TrainState, bce_with_logits_loss
+
+__all__ = ["make_dp_train_step", "shard_batch", "replicate"]
+
+
+def shard_batch(mesh: Mesh, batch: Any) -> Any:
+    """Device-put a pytree of host arrays with batch-axis sharding."""
+    sharding = NamedSharding(mesh, P("data"))
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def replicate(mesh: Mesh, tree: Any) -> Any:
+    """Device-put a pytree fully replicated over the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def make_dp_train_step(
+    apply_fn: Callable[..., Any],
+    optimizer: optax.GradientTransformation,
+    mesh: Mesh,
+    *,
+    axis_name: str = "data",
+) -> Callable:
+    """Build a jitted data-parallel ``(state, images, texts, labels, rng) ->
+    (state, loss, info)`` step.
+
+    ``apply_fn(params, images, texts, rng) -> (logits, info)`` sees only the
+    local batch shard.  Returned loss/info scalars are global (pmean'd).
+    """
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(axis_name), P(axis_name), P(axis_name), P()),
+        out_specs=(P(), P(), P()),
+    )
+    def sharded_step(state, images, texts, labels, rng):
+        # Decorrelate per-shard randomness; keep the update deterministic.
+        axis_size = jax.lax.axis_size(axis_name)
+        shard_rng = jax.random.fold_in(
+            rng, jax.lax.axis_index(axis_name)
+        )
+
+        def loss_fn(params):
+            logits, info = apply_fn(params, images, texts, shard_rng)
+            # local_mean / num_shards: the auto-inserted psum on the
+            # replicated-params cotangent then reconstructs the exact
+            # global-batch-mean gradient.
+            local = bce_with_logits_loss(logits, labels) / axis_size
+            return local, info
+
+        (scaled_loss, info), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        # grads are already globally reduced (see module docstring).
+        loss = jax.lax.psum(scaled_loss, axis_name)  # global mean loss
+        info = jax.tree.map(
+            lambda x: jax.lax.pmean(jnp.mean(x), axis_name), info
+        )
+
+        updates, opt_state = optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(
+                params=params, opt_state=opt_state, step=state.step + 1
+            ),
+            loss,
+            info,
+        )
+
+    return jax.jit(sharded_step, donate_argnums=(0,))

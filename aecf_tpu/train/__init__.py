@@ -1,0 +1,29 @@
+"""Training harness: optax steps, metrics, experiment orchestration."""
+
+from .checkpointing import CheckpointManager, load_params, save_params
+from .metrics import average_precision, calculate_metrics, macro_map
+from .trainer import (
+    ExperimentConfig,
+    TrainState,
+    bce_with_logits_loss,
+    evaluate_model,
+    make_train_step,
+    mask_modality,
+    train_parallel_experiment,
+)
+
+__all__ = [
+    "CheckpointManager",
+    "load_params",
+    "save_params",
+    "average_precision",
+    "calculate_metrics",
+    "macro_map",
+    "ExperimentConfig",
+    "TrainState",
+    "bce_with_logits_loss",
+    "evaluate_model",
+    "make_train_step",
+    "mask_modality",
+    "train_parallel_experiment",
+]

@@ -1,0 +1,242 @@
+#!/usr/bin/env python3
+"""Parallel training experiment: concat baseline vs AECF with late curriculum
+activation — the reference's L4 experiment (xrays/train_xrays_example.py)
+rebuilt on the TPU-native stack.
+
+Protocol parity: both models train in lockstep with AdamW(1e-4, wd=0.01) and
+BCE; curriculum masking + missing-modality simulation activate at epoch 40;
+every epoch evaluates mAP / macro-F1 / per-label F1 under full, no-images and
+no-texts sweeps.  Expected signature: gate entropy ≈ 0 before activation,
+jumping afterward (checked programmatically, reference :719-734).
+
+Data: real CLIP feature files if present (``--train-feats/--val-feats``
+pointing to .npz with image/text/label arrays), else synthetic features with
+genuine cross-modal label structure (aecf_tpu.data.synthetic).
+
+Run:  python examples/train_xrays.py [--epochs 60] [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from aecf_tpu.data import XRAY_PATHOLOGY_NAMES, make_synthetic_clip_features
+from aecf_tpu.models import XrayAECFModel, XrayBaselineModel
+from aecf_tpu.train import ExperimentConfig, save_params, train_parallel_experiment
+
+try:
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    MATPLOTLIB_AVAILABLE = True
+except ImportError:
+    MATPLOTLIB_AVAILABLE = False
+
+
+def analyze_pathology_improvements(results, num_classes, pre, post):
+    """Per-pathology F1 deltas, pre- vs post-curriculum windows
+    (reference :429-490)."""
+    names = (
+        XRAY_PATHOLOGY_NAMES[:num_classes]
+        if num_classes <= len(XRAY_PATHOLOGY_NAMES)
+        else [f"Pathology_{i}" for i in range(num_classes)]
+    )
+    out = {}
+    for tag in ("no_texts", "no_images"):
+        per_label = results["aecf"][f"val_{tag}_f1_per_label"]
+        pre_f1 = np.mean([per_label[i] for i in pre], axis=0)
+        post_f1 = np.mean([per_label[i] for i in post], axis=0)
+        deltas = post_f1 - pre_f1
+        top = np.argsort(deltas)[-4:][::-1]
+        out[tag] = [
+            {
+                "pathology": names[i] if i < len(names) else f"Pathology_{i}",
+                "pre_f1": float(pre_f1[i]),
+                "post_f1": float(post_f1[i]),
+                "improvement": float(deltas[i]),
+            }
+            for i in top
+        ]
+        print(f"\nTop improved pathologies ({tag}):")
+        for j, rec in enumerate(out[tag]):
+            print(
+                f"  {j + 1}. {rec['pathology']:20s}: "
+                f"{rec['pre_f1']:.4f} → {rec['post_f1']:.4f} "
+                f"(+{rec['improvement']:.4f})"
+            )
+    return out
+
+
+def print_curriculum_effect(results, pre, post):
+    """Entropy-jump + robustness-delta report (reference :682-734)."""
+    ge = results["aecf"]["gate_entropy"]
+    nt = results["aecf"]["val_no_texts_f1"]
+    entropy_change = np.mean([ge[i] for i in post]) - np.mean(
+        [ge[i] for i in pre]
+    )
+    robustness_change = np.mean([nt[i] for i in post]) - np.mean(
+        [nt[i] for i in pre]
+    )
+    print(f"\nEntropy change: {entropy_change:+.4f} (should be positive)")
+    print(f"Robustness change (no-texts F1): {robustness_change:+.4f}")
+    ok = entropy_change > 0.1
+    print(
+        "curriculum activation "
+        + ("confirmed" if ok else "NOT confirmed — check configuration")
+    )
+    return {
+        "entropy_change": float(entropy_change),
+        "robustness_change": float(robustness_change),
+        "activated": bool(ok),
+    }
+
+
+def plot_results(results, curriculum_epoch, path):
+    """2×3 training dashboard incl. the gate-entropy panel
+    (reference :610-680)."""
+    if not MATPLOTLIB_AVAILABLE:
+        print("matplotlib not available; skipping plots")
+        return
+    fig, axes = plt.subplots(2, 3, figsize=(18, 10))
+    epochs = range(1, len(results["baseline"]["train_loss"]) + 1)
+    panels = [
+        ("train_loss", "Training loss", 0, 0, True),
+        ("val_full_f1", "Validation F1 (full data)", 0, 1, True),
+        ("gate_entropy", "AECF gate entropy", 0, 2, False),
+        ("val_no_texts_f1", "Validation F1 (no texts)", 1, 0, True),
+        ("val_no_images_f1", "Validation F1 (no images)", 1, 1, True),
+        ("mask_rate", "AECF mask rate", 1, 2, False),
+    ]
+    for key, title, r, c, both in panels:
+        ax = axes[r, c]
+        if both:
+            ax.plot(epochs, results["baseline"][key], "b-o", label="Baseline",
+                    markersize=3)
+            ax.plot(epochs, results["aecf"][key], "r-s", label="AECF",
+                    markersize=3)
+        else:
+            ax.plot(epochs, results["aecf"][key], "purple", linewidth=2,
+                    label=key)
+        ax.axvline(x=curriculum_epoch, color="green", linestyle="--",
+                   alpha=0.7, label="Curriculum ON")
+        ax.set_title(title)
+        ax.set_xlabel("Epoch")
+        ax.legend(fontsize=8)
+        ax.grid(alpha=0.3)
+    plt.tight_layout()
+    plt.savefig(path, dpi=120)
+    print(f"saved dashboard → {path}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=60)
+    ap.add_argument("--curriculum-epoch", type=int, default=40)
+    ap.add_argument("--batch-size", type=int, default=64)
+    ap.add_argument("--quick", action="store_true",
+                    help="tiny 6-epoch run with activation at epoch 3")
+    ap.add_argument("--train-feats", help=".npz with image/text/label")
+    ap.add_argument("--val-feats", help=".npz with image/text/label")
+    ap.add_argument("--out-dir", default="xray_results")
+    ap.add_argument(
+        "--platform",
+        choices=["cpu", "tpu"],
+        help="force a JAX backend (tiny-batch quick runs are faster on cpu: "
+        "the per-dispatch latency of a remote TPU dominates at batch 64)",
+    )
+    args = ap.parse_args()
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    if args.quick:
+        args.epochs, args.curriculum_epoch = 6, 3
+
+    if args.train_feats and args.val_feats:
+        train = dict(np.load(args.train_feats))
+        val = dict(np.load(args.val_feats))
+        print(f"loaded real features: {train['image'].shape[0]} train rows")
+    else:
+        train, val = make_synthetic_clip_features(
+            n_train=2048, n_val=512, num_classes=15
+        )
+        print("using synthetic CLIP-like features (15 pathologies)")
+
+    image_dim = train["image"].shape[1]
+    text_dim = train["text"].shape[1]
+    num_classes = train["label"].shape[1]
+    print(
+        f"data: {image_dim}D images, {text_dim}D text, {num_classes} classes"
+    )
+
+    baseline = XrayBaselineModel(
+        image_dim=image_dim, text_dim=text_dim, num_classes=num_classes
+    )
+    aecf = XrayAECFModel(
+        image_dim=image_dim, text_dim=text_dim, num_classes=num_classes
+    )
+
+    cfg = ExperimentConfig(
+        epochs=args.epochs,
+        batch_size=args.batch_size,
+        curriculum_epoch=args.curriculum_epoch,
+    )
+    results = train_parallel_experiment(baseline, aecf, train, val, cfg)
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    states = results.pop("_states")
+
+    # Analysis windows: last 5 pre-activation / last 5 epochs (reference
+    # uses 35-40 vs 55-60 with the 60/40 schedule).
+    pre = range(
+        max(0, args.curriculum_epoch - 5), args.curriculum_epoch
+    )
+    post = range(max(0, args.epochs - 5), args.epochs)
+    effect = print_curriculum_effect(results, pre, post)
+    improvements = analyze_pathology_improvements(
+        results, num_classes, pre, post
+    )
+
+    plot_results(
+        results,
+        args.curriculum_epoch,
+        os.path.join(args.out_dir, "training_dashboard.png"),
+    )
+
+    save_params(os.path.join(args.out_dir, "baseline_params"),
+                states["baseline"].params)
+    save_params(os.path.join(args.out_dir, "aecf_params"),
+                states["aecf"].params)
+    serializable = {
+        k: {
+            kk: [np.asarray(v).tolist() for v in vv]
+            for kk, vv in track.items()
+        }
+        for k, track in results.items()
+    }
+    with open(os.path.join(args.out_dir, "results.json"), "w") as f:
+        json.dump(
+            {
+                "results": serializable,
+                "curriculum_effect": effect,
+                "pathology_improvements": improvements,
+            },
+            f,
+            indent=2,
+        )
+    print(f"saved params + results → {args.out_dir}/")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,144 @@
+"""Multi-device tests on the 8-virtual-CPU mesh (SURVEY.md §4c).
+
+Checks the DP step's collectives produce exactly the single-device result,
+and that sharded training runs end-to-end.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from aecf_tpu.models import XrayAECFModel
+from aecf_tpu.parallel import (
+    data_mesh,
+    data_model_mesh,
+    make_dp_train_step,
+    replicate,
+    shard_batch,
+)
+from aecf_tpu.train import TrainState, make_train_step
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+
+
+def _setup(batch=32):
+    model = XrayAECFModel(
+        image_dim=32, text_dim=32, hidden_dim=16, num_classes=5
+    )
+    params = model.init(jax.random.key(0))
+    opt = optax.adamw(1e-3)
+    state = TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+    img = jax.random.normal(jax.random.key(1), (batch, 32))
+    txt = jax.random.normal(jax.random.key(2), (batch, 32))
+    lab = (
+        jax.random.uniform(jax.random.key(3), (batch, 5)) < 0.3
+    ).astype(jnp.float32)
+    return model, opt, state, img, txt, lab
+
+
+def test_mesh_construction():
+    mesh = data_mesh(8)
+    assert mesh.axis_names == ("data",)
+    mesh2 = data_model_mesh(8, model_parallelism=2)
+    assert mesh2.devices.shape == (4, 2)
+
+
+def test_dp_step_matches_single_device():
+    """pmean-of-shard-grads == full-batch grads ⇒ identical update.
+
+    Deterministic apply (no dropout/masking randomness) so the only
+    difference is the collective path.  SGD, not AdamW: Adam's step-1 update
+    is ~sign(g), which amplifies float-reordering noise on near-zero grads
+    into O(lr) param flips and makes exact comparison meaningless.
+    """
+    model, _, _, img, txt, lab = _setup()
+    opt = optax.sgd(0.1)
+    params = model.init(jax.random.key(0))
+    state = TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+    mesh = data_mesh(8)
+
+    def apply_fn(params, images, texts, rng):
+        logits = model.apply(params, images, texts, training=False)
+        return logits, {}
+
+    dp_step = make_dp_train_step(apply_fn, opt, mesh)
+    single_step = make_train_step(apply_fn, opt)
+
+    rng = jax.random.key(9)
+    # Single-device step first: the DP step donates its state and
+    # replicate() may alias buffers on the virtual-CPU mesh.
+    new_single, loss_single, _ = single_step(state, img, txt, lab, rng)
+    params2 = model.init(jax.random.key(0))
+    state2 = TrainState(params2, opt.init(params2), jnp.zeros((), jnp.int32))
+    state_dp = replicate(mesh, state2)
+    batch = shard_batch(mesh, (img, txt, lab))
+    new_dp, loss_dp, _ = dp_step(state_dp, *batch, rng)
+
+    np.testing.assert_allclose(
+        float(loss_dp), float(loss_single), rtol=1e-6
+    )
+    # With SGD the param delta is linear in the grads, so only float
+    # summation-order noise remains.
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, atol=1e-5),
+        new_dp.params,
+        new_single.params,
+    )
+
+
+def test_dp_training_descends():
+    model, opt, state, img, txt, lab = _setup(batch=64)
+    mesh = data_mesh(8)
+
+    def apply_fn(params, images, texts, rng):
+        return (
+            model.apply(
+                params,
+                images,
+                texts,
+                training=True,
+                rng=rng,
+                curriculum_enabled=True,
+                missing_modality_training=True,
+                return_info=True,
+            )
+        )
+
+    dp_step = make_dp_train_step(apply_fn, opt, mesh)
+    state = replicate(mesh, state)
+    batch = shard_batch(mesh, (img, txt, lab))
+
+    losses = []
+    for i in range(10):
+        state, loss, info = dp_step(state, *batch, jax.random.key(i))
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+    assert np.isfinite(losses).all()
+    assert "entropy" in info
+
+
+def test_dp_info_is_global_mean():
+    model, opt, state, img, txt, lab = _setup()
+    mesh = data_mesh(8)
+
+    def apply_fn(params, images, texts, rng):
+        return model.apply(
+            params,
+            images,
+            texts,
+            training=True,
+            rng=rng,
+            curriculum_enabled=True,
+            return_info=True,
+        )
+
+    dp_step = make_dp_train_step(apply_fn, opt, mesh)
+    state = replicate(mesh, state)
+    batch = shard_batch(mesh, (img, txt, lab))
+    _, _, info = dp_step(state, *batch, jax.random.key(0))
+    assert info["entropy"].shape == ()
+    assert jnp.isfinite(info["entropy"])

@@ -1,0 +1,102 @@
+"""Trainer-harness tests: train step descends, eval sweeps, tiny experiment."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from aecf_tpu.data import make_synthetic_clip_features
+from aecf_tpu.models import XrayAECFModel, XrayBaselineModel
+from aecf_tpu.train import (
+    ExperimentConfig,
+    TrainState,
+    bce_with_logits_loss,
+    evaluate_model,
+    make_train_step,
+    mask_modality,
+    train_parallel_experiment,
+)
+
+
+def test_bce_matches_torch_formula():
+    logits = jnp.array([[0.5, -1.0], [2.0, 0.0]])
+    labels = jnp.array([[1.0, 0.0], [0.0, 1.0]])
+    # BCEWithLogits: max(x,0) - x*z + log(1+exp(-|x|)), mean.
+    x, z = np.asarray(logits), np.asarray(labels)
+    want = np.mean(np.maximum(x, 0) - x * z + np.log1p(np.exp(-np.abs(x))))
+    np.testing.assert_allclose(bce_with_logits_loss(logits, labels), want, rtol=1e-6)
+
+
+def test_mask_modality():
+    img, txt = np.ones((2, 4)), np.ones((2, 4))
+    mi, mt = mask_modality(img, txt, "images")
+    assert (mi == 0).all() and (mt == 1).all()
+    mi, mt = mask_modality(img, txt, "texts")
+    assert (mi == 1).all() and (mt == 0).all()
+    mi, mt = mask_modality(img, txt, "none")
+    assert (mi == 1).all() and (mt == 1).all()
+
+
+def test_train_step_descends():
+    model = XrayAECFModel(image_dim=32, text_dim=32, hidden_dim=16, num_classes=5)
+    params = model.init(jax.random.key(0))
+    opt = optax.adamw(1e-3)
+    state = TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+
+    def apply_fn(params, images, texts, rng):
+        return model.apply(
+            params, images, texts, training=True, rng=rng,
+            curriculum_enabled=True, return_info=True,
+        )
+
+    step = make_train_step(apply_fn, opt)
+    img = jax.random.normal(jax.random.key(1), (16, 32))
+    txt = jax.random.normal(jax.random.key(2), (16, 32))
+    lab = (jax.random.uniform(jax.random.key(3), (16, 5)) < 0.3).astype(
+        jnp.float32
+    )
+    losses = []
+    for i in range(15):
+        state, loss, info = step(state, img, txt, lab, jax.random.key(i))
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+    assert int(state.step) == 15
+
+
+def test_evaluate_model_handles_ragged_batches():
+    model = XrayBaselineModel(image_dim=8, text_dim=8, hidden_dim=4, num_classes=3)
+    params = model.init(jax.random.key(0))
+    predict = jax.jit(lambda p, i, t: model.apply(p, i, t, training=False))
+    n = 10  # not a multiple of batch_size=4
+    img = np.random.default_rng(0).normal(size=(n, 8)).astype(np.float32)
+    txt = np.random.default_rng(1).normal(size=(n, 8)).astype(np.float32)
+    lab = (np.random.default_rng(2).random((n, 3)) < 0.5).astype(np.float32)
+    m, f1, per = evaluate_model(predict, params, img, txt, lab, "none", batch_size=4)
+    assert 0.0 <= m <= 1.0
+    assert per.shape == (3,)
+
+
+def test_tiny_parallel_experiment_runs():
+    """2-epoch end-to-end experiment on synthetic data with curriculum
+    activation at epoch 1 — the integration smoke of the reference's
+    train_both_models protocol."""
+    train, val = make_synthetic_clip_features(
+        n_train=96, n_val=48, image_dim=16, text_dim=16, num_classes=5
+    )
+    baseline = XrayBaselineModel(image_dim=16, text_dim=16, hidden_dim=8, num_classes=5)
+    aecf = XrayAECFModel(image_dim=16, text_dim=16, hidden_dim=8, num_classes=5)
+    cfg = ExperimentConfig(
+        epochs=2, batch_size=32, curriculum_epoch=1, eval_batch_size=48
+    )
+    results = train_parallel_experiment(
+        baseline, aecf, train, val, cfg, verbose=False
+    )
+    for track in ("baseline", "aecf"):
+        assert len(results[track]["train_loss"]) == 2
+        assert len(results[track]["val_full_map"]) == 2
+        assert len(results[track]["val_no_images_f1_per_label"]) == 2
+    # Epoch 0: curriculum off → gate entropy 0; epoch 1: on → entropy > 0.
+    assert results["aecf"]["gate_entropy"][0] == 0.0
+    assert results["aecf"]["gate_entropy"][1] > 0.0
+    assert results["aecf"]["mask_rate"][1] >= 0.0
+    assert "_states" in results
