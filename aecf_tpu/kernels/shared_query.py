@@ -1,0 +1,533 @@
+"""Shared-query fused fusion kernel — the speed-of-light path.
+
+Every reference flow expands one learnable ``(1, 1, E)`` fusion query across
+the batch (README.md:180-208, create_fusion_pool contract, AECFLayer.py
+examples).  That structure lets the whole attention pool be algebraically
+restructured — a rewrite XLA cannot do because it spans a softmax:
+
+  *  scores:   s_h[b,m] = scale · (qp_h · (kv[b,m] Wk_hᵀ + bk_h))
+                        = kv[b,m] · u_h + c_h
+     with u_h = scale·(qp_h @ Wk_h) and c_h = scale·(qp_h · bk_h) computed
+     ONCE per step — the per-sample K and Q projection GEMMs (the bulk of
+     the FLOPs, 2·B·M·E² of the naive path) disappear entirely.
+  *  value path: because softmax weights sum to 1,
+         ctx_h = Σ_m a_h[b,m]·(kv[b,m] Wv_hᵀ + bv_h)
+               = (Σ_m a_h[b,m]·kv[b,m]) Wv_hᵀ + bv_h = mix_h Wv_hᵀ + bv_h
+     so the V projection runs on the M-times-smaller *mixed* tensor.
+     For H == 1 the V and output projections additionally fuse into a
+     single precomputed ``W_vo = Wo @ Wv`` GEMM.
+
+Per-step GEMM cost drops from ``(2M+2)·B·E²`` to ``B·E²`` (H=1) or
+``2·B·E²`` (H>1); the scores/softmax/entropy/Bernoulli chain is pure VPU
+arithmetic on f32 — attention weights and entropy keep full fp32 parity
+regardless of the MXU precision chosen for the context GEMM.
+
+Numerical note: reassociating ``(kv·Wkᵀ)·qp → kv·(Wkᵀ·qp)`` changes the f32
+summation order, so weights match the naive oracle to ~1e-6, not bitwise.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.attention import AttentionPoolParams
+from ..core.masking import EPS
+
+__all__ = ["fused_fusion_pool_shared"]
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _mask_and_renorm(
+    w, entropy, max_entropy, mask_prob, seed, *, min_active, seq_len
+):
+    """Shared in-kernel masking chain: Bernoulli → min_active → renorm.
+
+    Returns (masked_weights, mask_rate).  ``w`` is (TB, M) f32.
+    """
+    TB, M = w.shape
+    f32 = jnp.float32
+    norm_entropy = jnp.clip(entropy / max_entropy, 0.0, 1.0)
+    keep_prob = jnp.clip(1.0 - mask_prob * norm_entropy, 0.0, 1.0)
+    pltpu.prng_seed(seed + pl.program_id(0))
+    bits = pltpu.bitcast(pltpu.prng_random_bits((TB, M)), jnp.uint32)
+    bits24 = pltpu.bitcast(bits >> 8, jnp.int32)
+    uniform = bits24.astype(f32) * (1.0 / (1 << 24))
+    mask = (uniform < keep_prob).astype(f32)
+
+    eff = min(min_active, seq_len)
+    needs_more = mask.sum(axis=-1, keepdims=True) < eff
+    col = lax.broadcasted_iota(jnp.int32, (TB, M), 1)
+    work = w
+    indicator = jnp.zeros((TB, M), f32)
+    for _ in range(eff):
+        mx = work.max(axis=-1, keepdims=True)
+        is_max = work == mx
+        first_idx = jnp.where(is_max, col, M).min(axis=-1, keepdims=True)
+        first = (col == first_idx).astype(f32)
+        indicator = jnp.maximum(indicator, first)
+        work = jnp.where(first > 0, -jnp.inf, work)
+    mask = jnp.where(needs_more, indicator, mask)
+
+    masked = w * mask
+    msum = masked.sum(axis=-1, keepdims=True)
+    valid = msum > EPS
+    mw = jnp.where(valid, masked / jnp.where(valid, msum, 1.0), w)
+    rate = 1.0 - mask.mean(axis=-1, keepdims=True)
+    return mw, rate
+
+
+def _shared_kernel(
+    seed_ref,  # (1,) int32      [scalar prefetch]
+    mask_prob_ref,  # (1,) f32   [scalar prefetch]
+    kv_ref,  # (TB, M, E)
+    u_ref,  # (H, E)    score vectors (scale folded in)
+    c_ref,  # (1, H)    score offsets (scale folded in)
+    wctx_ref,  # (E, E)  H==1: W_vo = Wo @ Wv ; H>1: Wv
+    wo_ref,  # (E, E)   H>1 only (unused for H==1)
+    bctx_ref,  # (1, E)  H==1: Wo@bv + bo ; H>1: bv
+    bo_ref,  # (1, E)   H>1 only
+    out_ref,  # (TB, E)
+    w_ref,  # (TB, M)
+    mw_ref,  # (TB, M)
+    ent_ref,  # (TB, 1)
+    rate_ref,  # (TB, 1)
+    *,
+    num_heads: int,
+    min_active: int,
+    training: bool,
+    seq_len: int,
+    mxu_precision,
+):
+    TB, M, E = kv_ref.shape
+    H = num_heads
+    Dh = E // H
+    f32 = jnp.float32
+
+    # M is tiny (2-4 modalities): unroll it so every op is a clean 2-D
+    # (TB, E) or (TB, M) array with native (8, 128) tiling — 3-D
+    # broadcast-reduce chains cost Mosaic relayouts.
+    kv_slices = [kv_ref[:, m, :] for m in range(M)]  # each (TB, E)
+
+    # ---- per-head scores via the precomputed u/c vectors (pure VPU) ---------
+    w_acc = jnp.zeros((TB, M), f32)
+    heads = []
+    for h in range(H):
+        u_h = u_ref[h, :]  # (E,)
+        s = jnp.concatenate(
+            [
+                (kv_m * u_h).sum(axis=-1, keepdims=True)
+                for kv_m in kv_slices
+            ],
+            axis=-1,
+        ) + c_ref[0, h]  # (TB, M)
+        smax = s.max(axis=-1, keepdims=True)
+        e = jnp.exp(s - smax)
+        a = e / e.sum(axis=-1, keepdims=True)  # (TB, M)
+        heads.append(a)
+        w_acc = w_acc + a
+    w = w_acc * (1.0 / H)
+    w_ref[:] = w
+
+    # ---- entropy -------------------------------------------------------------
+    max_entropy = math.log(seq_len) if seq_len > 1 else 0.0
+    plogp = jnp.where(w > 0, w * jnp.log(jnp.maximum(w, 1e-38)), 0.0)
+    entropy = jnp.clip(
+        -plogp.sum(axis=-1, keepdims=True), 0.0, max_entropy
+    )
+    ent_ref[:] = entropy
+
+    if not training or seq_len <= 1:
+        mw_ref[:] = w
+        rate_ref[:] = jnp.zeros((TB, 1), f32)
+    else:
+        mw, rate = _mask_and_renorm(
+            w,
+            entropy,
+            max_entropy,
+            mask_prob_ref[0],
+            seed_ref[0],
+            min_active=min_active,
+            seq_len=seq_len,
+        )
+        mw_ref[:] = mw
+        rate_ref[:] = rate
+
+    # ---- mix → context GEMM(s) (quirk Q1: unmasked per-head attention) ------
+    def mixed(a):
+        # Σ_m a[:, m]·kv[:, m, :] as M unrolled (TB, E) fmas.
+        acc = a[:, 0:1] * kv_slices[0]
+        for m in range(1, M):
+            acc = acc + a[:, m : m + 1] * kv_slices[m]
+        return acc
+
+    if H == 1:
+        out_ref[:] = (
+            jnp.dot(
+                mixed(heads[0]),
+                wctx_ref[:].T,
+                preferred_element_type=f32,
+                precision=mxu_precision,
+            )
+            + bctx_ref[0, :]
+        )
+    else:
+        ctx_parts = []
+        for h in range(H):
+            wv_h = wctx_ref[h * Dh : (h + 1) * Dh, :]  # (Dh, E)
+            ctx_parts.append(
+                jnp.dot(
+                    mixed(heads[h]),
+                    wv_h.T,
+                    preferred_element_type=f32,
+                    precision=mxu_precision,
+                )
+            )
+        ctx = jnp.concatenate(ctx_parts, axis=-1) + bctx_ref[0, :]
+        out_ref[:] = (
+            jnp.dot(
+                ctx,
+                wo_ref[:].T,
+                preferred_element_type=f32,
+                precision=mxu_precision,
+            )
+            + bo_ref[0, :]
+        )
+
+
+def _prep(
+    params: AttentionPoolParams,
+    qrow: jax.Array,
+    num_heads: int,
+    precision: str = "highest",
+):
+    """Per-step precompute (tiny XLA GEMVs): qp, score vectors, fused ctx
+    weights."""
+    E = qrow.shape[-1]
+    H = num_heads
+    Dh = E // H
+    wq, wk, wv = jnp.split(params.in_proj_weight, 3, axis=0)
+    if params.in_proj_bias is not None:
+        bq, bk, bv = jnp.split(params.in_proj_bias, 3)
+    else:
+        bq = bk = bv = jnp.zeros((E,), jnp.float32)
+    bo = (
+        params.out_proj_bias
+        if params.out_proj_bias is not None
+        else jnp.zeros((E,), jnp.float32)
+    )
+    scale = Dh ** -0.5
+
+    qp = qrow @ wq.T + bq  # (E,)
+    qph = qp.reshape(H, Dh)
+    wkh = wk.reshape(H, Dh, E)
+    u = scale * jnp.einsum("hd,hde->he", qph, wkh)  # (H, E)
+    c = scale * (qph * bk.reshape(H, Dh)).sum(-1)  # (H,)
+
+    if H == 1:
+        # The weight-fusion GEMM must run at the requested precision — a
+        # bf16 W_vo would poison the f32 context GEMM's output parity.
+        prec = (
+            lax.Precision.HIGHEST if precision == "highest" else None
+        )
+        wctx = jnp.matmul(
+            params.out_proj_weight, wv, precision=prec
+        )  # W_vo (E, E)
+        bctx = params.out_proj_weight @ bv + bo
+        wo = jnp.zeros((E, E), jnp.float32)
+        bo_k = jnp.zeros((1, E), jnp.float32)
+    else:
+        wctx = wv
+        bctx = bv
+        wo = params.out_proj_weight
+        bo_k = bo.reshape(1, E)
+    return u, c.reshape(1, H), wctx, wo, bctx.reshape(1, E), bo_k
+
+
+def _forward(
+    params,
+    qrow,  # (E,)
+    kv,  # (B, M, E)
+    seed,
+    mask_prob,
+    *,
+    num_heads,
+    min_active,
+    training,
+    precision,
+    interpret=False,
+):
+    B, M, E = kv.shape
+    u, c, wctx, wo, bctx, bo_k = _prep(params, qrow, num_heads, precision)
+
+    # Tile sized for VMEM: M-unrolled compute keeps only the kv tile + a
+    # couple of (TB, E) temporaries live; bigger tiles amortize per-grid-step
+    # overhead.
+    # TB=512 at E=512 overflows the 16MB scoped-vmem budget by ~0.1MB once
+    # double-buffering is counted; 384 leaves headroom.
+    TB = 384 if E <= 512 else 192
+    TB = min(TB, _round_up(B, 8))
+    B_pad = _round_up(B, TB)
+    if B_pad != B:
+        kv = jnp.pad(kv, ((0, B_pad - B), (0, 0), (0, 0)))
+
+    mxu_precision = (
+        lax.Precision.HIGHEST if precision == "highest" else None
+    )
+    kernel = functools.partial(
+        _shared_kernel,
+        num_heads=num_heads,
+        min_active=min_active,
+        training=training,
+        seq_len=M,
+        mxu_precision=mxu_precision,
+    )
+    tile = lambda i, *_: (i, 0)  # noqa: E731
+    whole = lambda i, *_: (0, 0)  # noqa: E731
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B_pad // TB,),
+        in_specs=[
+            pl.BlockSpec(
+                (TB, M, E), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((num_heads, E), whole, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, num_heads), whole, memory_space=pltpu.VMEM),
+            pl.BlockSpec((E, E), whole, memory_space=pltpu.VMEM),
+            pl.BlockSpec((E, E), whole, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, E), whole, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, E), whole, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((TB, E), tile, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, M), tile, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, M), tile, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, 1), tile, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, 1), tile, memory_space=pltpu.VMEM),
+        ],
+    )
+    gemm_flops = 2 * B_pad * E * E * (1 if num_heads == 1 else 2)
+    out, w, mw, ent, rate = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((B_pad, E), jnp.float32),
+            jax.ShapeDtypeStruct((B_pad, M), jnp.float32),
+            jax.ShapeDtypeStruct((B_pad, M), jnp.float32),
+            jax.ShapeDtypeStruct((B_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B_pad, 1), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=gemm_flops + 6 * B_pad * M * E,
+            bytes_accessed=4 * (B_pad * E * (M + 1) + 2 * E * E),
+            transcendentals=B_pad * M * 2,
+        ),
+        interpret=interpret,
+    )(
+        seed.reshape(1).astype(jnp.int32),
+        mask_prob.reshape(1).astype(jnp.float32),
+        kv,
+        u,
+        c,
+        wctx,
+        wo,
+        bctx,
+        bo_k,
+    )
+    return out[:B], w[:B], mw[:B], ent[:B, 0], rate[:B, 0]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def _shared_core(
+    params, qrow, kv, seed, mask_prob,
+    num_heads, min_active, training, precision, interpret,
+):
+    return _forward(
+        params, qrow, kv, seed, mask_prob,
+        num_heads=num_heads, min_active=min_active, training=training,
+        precision=precision, interpret=interpret,
+    )
+
+
+def _shared_fwd(
+    params, qrow, kv, seed, mask_prob,
+    num_heads, min_active, training, precision, interpret,
+):
+    outs = _forward(
+        params, qrow, kv, seed, mask_prob,
+        num_heads=num_heads, min_active=min_active, training=training,
+        precision=precision, interpret=interpret,
+    )
+    return outs, (params, qrow, kv)
+
+
+def _shared_bwd(
+    num_heads, min_active, training, precision, interpret, residuals, cots
+):
+    ctx_prec = "highest" if precision == "highest" else "default"
+    with jax.default_matmul_precision(ctx_prec):
+        return _shared_bwd_impl(num_heads, residuals, cots)
+
+
+def _shared_bwd_impl(num_heads, residuals, cots):
+    params, qrow, kv = residuals
+    d_out, d_w, _d_mw, _d_ent, _d_rate = cots
+    B, M, E = kv.shape
+    H = num_heads
+    Dh = E // H
+
+    wq, wk, wv = jnp.split(params.in_proj_weight, 3, axis=0)
+    has_bias = params.in_proj_bias is not None
+    if has_bias:
+        bq, bk, bv = jnp.split(params.in_proj_bias, 3)
+    else:
+        bq = bk = bv = jnp.zeros((E,), jnp.float32)
+    wo = params.out_proj_weight
+    scale = Dh ** -0.5
+
+    # ---- recompute forward (remat) -----------------------------------------
+    qp = qrow @ wq.T + bq  # (E,)
+    qph = qp.reshape(H, Dh)
+    wkh = wk.reshape(H, Dh, E)
+    u = scale * jnp.einsum("hd,hde->he", qph, wkh)  # (H, E)
+    c = scale * (qph * bk.reshape(H, Dh)).sum(-1)  # (H,)
+
+    s = jnp.einsum("bme,he->bhm", kv, u) + c[None, :, None]  # (B, H, M)
+    a = jax.nn.softmax(s, axis=-1)  # (B, H, M)
+    mix = jnp.einsum("bhm,bme->bhe", a, kv)  # (B, H, E)
+    wvh = wv.reshape(H, Dh, E)
+    ctx = jnp.einsum("bhe,hde->bhd", mix, wvh).reshape(B, E) + bv
+
+    # ---- out = ctx @ Wo.T + bo ---------------------------------------------
+    d_ctx = d_out @ wo  # (B, E)
+    dWo = d_out.T @ ctx
+    dbo = d_out.sum(0) if params.out_proj_bias is not None else None
+
+    d_ctx_h = d_ctx.reshape(B, H, Dh)
+    d_mix = jnp.einsum("bhd,hde->bhe", d_ctx_h, wvh)  # (B, H, E)
+    dWv = jnp.einsum("bhd,bhe->hde", d_ctx_h, mix).reshape(E, E)
+    d_bv = d_ctx.sum(0)
+
+    d_a = jnp.einsum("bhe,bme->bhm", d_mix, kv)
+    if d_w is not None:
+        d_a = d_a + d_w[:, None, :] / H
+    d_s = a * (d_a - (a * d_a).sum(axis=-1, keepdims=True))  # (B, H, M)
+
+    d_kv = jnp.einsum("bhm,bhe->bme", a, d_mix) + jnp.einsum(
+        "bhm,he->bme", d_s, u
+    )
+    d_u = jnp.einsum("bhm,bme->he", d_s, kv)  # (H, E)
+    d_c = d_s.sum((0, 2))  # (H,)
+
+    # u = scale·(qph @ wkh);  c = scale·(qph · bkh)
+    d_qph = scale * (
+        jnp.einsum("he,hde->hd", d_u, wkh)
+        + d_c[:, None] * bk.reshape(H, Dh)
+    )
+    dWk = (scale * jnp.einsum("hd,he->hde", qph, d_u)).reshape(E, E)
+    d_bk = (scale * d_c[:, None] * qph).reshape(E) if has_bias else None
+
+    d_qp = d_qph.reshape(E)
+    dWq = jnp.outer(d_qp, qrow)
+    d_qrow = d_qp @ wq
+
+    d_in_proj_weight = jnp.concatenate([dWq, dWk, dWv], axis=0)
+    d_in_proj_bias = (
+        jnp.concatenate([d_qp, d_bk, d_bv]) if has_bias else None
+    )
+    d_params = AttentionPoolParams(
+        in_proj_weight=d_in_proj_weight,
+        out_proj_weight=dWo,
+        in_proj_bias=d_in_proj_bias,
+        out_proj_bias=dbo,
+    )
+    return d_params, d_qrow, d_kv, None, None
+
+
+_shared_core.defvjp(_shared_fwd, _shared_bwd)
+
+
+def fused_fusion_pool_shared(
+    params: AttentionPoolParams,
+    query: jax.Array,  # (1, 1, E) — the unexpanded fusion query
+    kv: jax.Array,  # (B, M, E)
+    *,
+    num_heads: int = 1,
+    rng: Optional[jax.Array] = None,
+    training: bool = False,
+    base_mask_prob: jax.typing.ArrayLike = 0.15,
+    entropy_target: jax.typing.ArrayLike = 0.7,
+    min_active: int = 1,
+    precision: str = "default",
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array, Dict[str, jax.Array]]:
+    """Fused fusion pool for a batch-shared query.
+
+    Same return contract as :func:`fused_fusion_pool` — ``(out (B,1,E),
+    weights (B,1,M), masked (B,1,M), info)``.  ``query`` must be the
+    *unexpanded* ``(1, 1, E)`` fusion-query parameter; its gradient comes
+    back in that shape (sum over the batch), exactly what broadcasting
+    would produce.
+
+    ``precision``: "default" (bf16 MXU passes on the context GEMM — fastest;
+    weights/entropy are f32-exact either way) or "highest" (full f32 MXU,
+    output parity ~1e-6 with the fp32 oracle).
+    """
+    if query.shape[:2] != (1, 1):
+        raise ValueError(
+            f"shared-query kernel expects query (1, 1, E), got {query.shape}"
+        )
+    M = kv.shape[1]
+    if training and rng is None:
+        raise ValueError(
+            "fused_fusion_pool_shared(training=True) needs an `rng=` key"
+        )
+    if rng is not None:
+        seed = jax.random.randint(
+            rng, (), minval=0, maxval=2**31 - 1, dtype=jnp.int32
+        )
+    else:
+        seed = jnp.zeros((), jnp.int32)
+
+    out, w, mw, ent, rate = _shared_core(
+        params,
+        query[0, 0, :],
+        kv,
+        seed,
+        jnp.asarray(base_mask_prob, jnp.float32),
+        num_heads,
+        min_active,
+        training,
+        precision,
+        interpret,
+    )
+
+    weights = w[:, None, :]
+    masked = lax.stop_gradient(mw[:, None, :])
+    entropy = lax.stop_gradient(ent[:, None])
+    mask_rate = lax.stop_gradient(rate[:, None])
+    if training and M > 1:
+        info = {
+            "entropy": entropy,
+            "mask_rate": mask_rate,
+            "target_entropy": jnp.full_like(
+                entropy,
+                math.log(M) * jnp.asarray(entropy_target, jnp.float32),
+            ),
+        }
+    elif training:
+        zeros = jnp.zeros_like(entropy)
+        info = {"entropy": zeros, "mask_rate": zeros, "target_entropy": zeros}
+    else:
+        info = {"entropy": ent[:, None], "mask_rate": mask_rate}
+    return out[:, None, :], weights, masked, info

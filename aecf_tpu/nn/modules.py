@@ -216,13 +216,18 @@ class MultimodalAttentionPool:
             src_len = key.shape[1]
             if src_len == 0:
                 raise ValueError("Key sequence length cannot be zero")
-            if key.shape[0] != batch_size or key.shape[2] != embed_dim:
+            # Extension over the reference: a batch-1 query broadcasts over
+            # the key batch (the shared-fusion-query pattern) — this is also
+            # the fast path for the shared-query Pallas kernel.
+            if (
+                key.shape[0] != batch_size and batch_size != 1
+            ) or key.shape[2] != embed_dim:
                 raise ValueError(
                     f"Key shape {key.shape} incompatible with query shape "
                     f"{query.shape}"
                 )
             if (
-                value.shape[0] != batch_size
+                value.shape[0] != key.shape[0]
                 or value.shape[1] != key.shape[1]
                 or value.shape[2] != embed_dim
             ):
@@ -289,6 +294,29 @@ class MultimodalAttentionPool:
                 "Training-mode dropout needs an explicit `rng=` key."
             )
 
+        # ---- fused Pallas dispatch ------------------------------------------
+        impl = self.implementation
+        if impl == "auto":
+            impl = (
+                "pallas" if jax.default_backend() == "tpu" else "xla"
+            )
+        if impl == "pallas" and self._pallas_supported(
+            query,
+            key,
+            value,
+            key_padding_mask,
+            attn_mask,
+            dropout_active,
+            mask_override,
+        ):
+            return self._pallas_forward(
+                params,
+                query,
+                key,
+                return_info=return_info,
+                mask_rng=mask_rng,
+            )
+
         def attend(q, k, v):
             return attention_pool_core(
                 params,
@@ -346,6 +374,78 @@ class MultimodalAttentionPool:
         if return_info:
             return attn_output, info
         return attn_output
+
+    # -- fused-kernel path -----------------------------------------------------
+    def _pallas_supported(
+        self,
+        query,
+        key,
+        value,
+        key_padding_mask,
+        attn_mask,
+        dropout_active,
+        mask_override,
+    ) -> bool:
+        """Config gate: unsupported shapes silently use the XLA oracle path."""
+        return (
+            query.shape[1] == 1
+            and key_padding_mask is None
+            and attn_mask is None
+            and not dropout_active
+            and mask_override is None
+            and value is key
+            and query.dtype == jnp.float32
+            and self.embed_dim <= 1024
+        )
+
+    def _pallas_forward(self, params, query, kv, *, return_info, mask_rng):
+        """Forward through the fused TPU kernel; same info contract as the
+        XLA path.  ``use_checkpoint`` is moot here — the kernel's custom_vjp
+        already rematerializes instead of saving activations."""
+        from ..kernels import fused_fusion_pool, fused_fusion_pool_shared
+
+        cm = self.curriculum_masking
+        masking_training = cm is not None and cm.training
+        M = kv.shape[1]
+        if masking_training and M > 1 and mask_rng is None:
+            raise ValueError(
+                "Training-mode curriculum masking needs an explicit "
+                "`rng=` key (or a `mask_override`)."
+            )
+        kwargs = dict(
+            num_heads=self.num_heads,
+            rng=mask_rng,
+            training=masking_training,
+            base_mask_prob=cm.base_mask_prob if cm else 0.15,
+            entropy_target=cm.entropy_target if cm else 0.7,
+            min_active=cm.min_active if cm else 1,
+        )
+        if query.shape[0] == 1 and kv.shape[0] >= 1:
+            out, weights, masked, mask_info = fused_fusion_pool_shared(
+                params, query, kv, precision="highest", **kwargs
+            )
+        else:
+            out, weights, masked, mask_info = fused_fusion_pool(
+                params, query, kv, **kwargs
+            )
+
+        if masking_training and M > 1:
+            cm._last_seq_len = int(M)
+
+        info: Dict[str, Any] = {}
+        if cm is not None:
+            info.update(mask_info)
+            info["attention_weights"] = weights
+            if return_info:
+                info["masked_attention_weights"] = masked
+        elif return_info:
+            info["attention_weights"] = weights
+
+        if not self.batch_first:
+            out = jnp.swapaxes(out, 0, 1)
+        if return_info:
+            return out, info
+        return out
 
     def extra_repr(self) -> str:
         return (

@@ -1,0 +1,189 @@
+#!/usr/bin/env python3
+"""AECF benchmark suite — throughput + parity across the BASELINE configs.
+
+Re-creates the capability of the reference's deleted
+``test_suite/aecf_benchmark_suite.py`` (README.md:281, PYPI_READY.md:50-59):
+one command that measures every BASELINE.json config and checks numerics
+against the oracle.
+
+Configs (BASELINE.json):
+  #1 README quick-start      — B=32,   M=2, E=512,  H=1
+  #2 functional + masking    — B=256,  M=3, E=512,  H=1 (mask_prob=0.15)
+  #3 X-ray experiment        — exercised by examples/train_xrays.py
+  #4 VisionLanguage pattern  — B=256, img2048+txt768 → 512
+  #5 large contrastive       — B=8192, M=4, E=1024, H=1 (single-chip slice;
+     the multi-chip version is exercised by __graft_entry__.dryrun_multichip)
+
+Usage: python benchmarks/suite.py [--quick] [--json out.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def throughput(batch, modalities, embed, heads, impl, quick):
+    from bench import build_chunk
+
+    K = 10 if quick else 25
+    rounds = 2 if quick else 4
+    chunk, params, opt_state = build_chunk(
+        batch, modalities, embed, heads, impl, K
+    )
+    params, opt_state, loss = chunk(params, opt_state, jnp.int32(0))
+    jax.block_until_ready(loss)
+    t0 = time.perf_counter()
+    for r in range(1, rounds + 1):
+        params, opt_state, loss = chunk(params, opt_state, jnp.int32(r * K))
+    jax.block_until_ready(loss)
+    return batch * rounds * K / (time.perf_counter() - t0)
+
+
+def parity_check():
+    """Numerics gate: fused kernel vs fp32 oracle at 1e-5 (BASELINE.json)."""
+    from aecf_tpu.core.attention import attention_pool_core
+    from aecf_tpu.core.init import (
+        init_attention_pool_params,
+        init_fusion_query,
+    )
+
+    E, M, B = 256, 3, 128
+    params = init_attention_pool_params(jax.random.key(0), E)
+    query = init_fusion_query(jax.random.key(1), E)
+    kv = jax.random.normal(jax.random.key(2), (B, M, E))
+    with jax.default_matmul_precision("highest"):
+        out_o, w_o = attention_pool_core(
+            params,
+            jnp.broadcast_to(query, (B, 1, E)),
+            kv,
+            kv,
+            num_heads=1,
+            need_weights=True,
+        )
+    if jax.default_backend() != "tpu":
+        return {"skipped": "no TPU"}
+    from aecf_tpu.kernels import fused_fusion_pool_shared
+
+    out_k, w_k, _, info = fused_fusion_pool_shared(
+        params, query, kv, training=False, precision="highest"
+    )
+    return {
+        "out_maxdiff": float(jnp.abs(out_k - out_o).max()),
+        "weights_maxdiff": float(jnp.abs(w_k - w_o).max()),
+        "pass_1e-5": bool(
+            jnp.abs(out_k - out_o).max() < 1e-5
+            and jnp.abs(w_k - w_o).max() < 1e-5
+        ),
+    }
+
+
+def vlm_throughput(quick):
+    """Config #4: full VisionLanguageModel train step."""
+    import optax
+
+    from aecf_tpu.models import VisionLanguageModel
+    from aecf_tpu.train import TrainState, bce_with_logits_loss
+
+    B = 256
+    model = VisionLanguageModel(num_classes=1000)
+    params = model.init(jax.random.key(0))
+    opt = optax.adamw(1e-4)
+    state = TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+    img = jax.random.normal(jax.random.key(1), (B, 2048))
+    txt = jax.random.normal(jax.random.key(2), (B, 768))
+    lab = (
+        jax.random.uniform(jax.random.key(3), (B, 1000)) < 0.01
+    ).astype(jnp.float32)
+
+    K = 10 if quick else 25
+
+    def one(carry, i):
+        state = carry
+        rng = jax.random.fold_in(jax.random.key(7), i)
+
+        def loss_fn(p):
+            logits, info = model.apply(
+                p, img, txt, training=True, rng=rng, return_info=True
+            )
+            return bce_with_logits_loss(logits, lab), info
+
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        upd, opt_state = opt.update(grads, state.opt_state, state.params)
+        import optax as _o
+
+        return (
+            TrainState(
+                _o.apply_updates(state.params, upd),
+                opt_state,
+                state.step + 1,
+            ),
+            loss,
+        )
+
+    @jax.jit
+    def chunk(state):
+        state, losses = jax.lax.scan(one, state, jnp.arange(K))
+        return state, losses[-1]
+
+    state, loss = chunk(state)
+    jax.block_until_ready(loss)
+    rounds = 2 if quick else 4
+    t0 = time.perf_counter()
+    for _ in range(rounds):
+        state, loss = chunk(state)
+    jax.block_until_ready(loss)
+    return B * rounds * K / (time.perf_counter() - t0)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--json", default=None)
+    ap.add_argument("--impl", default="auto",
+                    choices=["auto", "xla", "pallas"])
+    args = ap.parse_args()
+
+    impl = args.impl
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+
+    results = {"backend": jax.default_backend(), "impl": impl}
+
+    configs = [
+        ("quickstart_B32_M2_E512", 32, 2, 512, 1),
+        ("masking_B256_M3_E512", 256, 3, 512, 1),
+        ("north_star_B4096_M3_E512", 4096, 3, 512, 1),
+        ("heads8_B4096_M3_E512", 4096, 3, 512, 8),
+        ("large_B8192_M4_E1024", 8192, 4, 1024, 1),
+    ]
+    for name, B, M, E, H in configs:
+        sps = throughput(B, M, E, H, impl, args.quick)
+        results[name] = round(sps, 1)
+        print(f"{name}: {sps:,.0f} samples/s", flush=True)
+
+    results["vlm_B256"] = round(vlm_throughput(args.quick), 1)
+    print(f"vlm_B256: {results['vlm_B256']:,.0f} samples/s", flush=True)
+
+    results["parity"] = parity_check()
+    print(f"parity: {results['parity']}", flush=True)
+
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(results, f, indent=2)
+        print(f"wrote {args.json}")
+
+
+if __name__ == "__main__":
+    main()

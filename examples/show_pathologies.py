@@ -1,0 +1,108 @@
+#!/usr/bin/env python3
+"""Mine and display single-pathology X-ray cases from a report parquet.
+
+Re-implements the reference's visualization scripts
+(xrays/extract_xray_pathologies.py:87-201 and
+show_multiple_pathology_examples.py:87-174) on top of the shared miner in
+:mod:`aecf_tpu.data.pathology` (the reference duplicates the mining code in
+both scripts; here it lives once in the library).
+
+Two layouts:
+  * ``--layout row``  — one example per pathology in a 1×N strip;
+  * ``--layout grid`` — N×K grid with ``--examples-per`` cases each.
+
+The source parquet (columns: ``image`` JPEG bytes, ``findings``,
+``impression``) is not distributed with the reference snapshot
+(.MISSING_LARGE_BLOBS); point ``--parquet`` at your copy.
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import sys
+import os
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from aecf_tpu.data import find_single_pathology_cases, load_xray_parquet
+
+DEFAULT_PATHOLOGIES = ["Pneumothorax", "Effusion", "Atelectasis", "Edema"]
+
+
+def select_distinct(cases, pathologies, per_pathology):
+    """Pick up to ``per_pathology`` non-overlapping examples per pathology."""
+    used = set()
+    selected = {}
+    for p in pathologies:
+        picks = []
+        for case in cases[p]:
+            if case["index"] not in used:
+                picks.append(case)
+                used.add(case["index"])
+            if len(picks) >= per_pathology:
+                break
+        selected[p] = picks
+    return selected
+
+
+def render(selected, pathologies, per_pathology, out_path):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from PIL import Image
+
+    rows = len(pathologies)
+    cols = max(1, per_pathology)
+    fig, axes = plt.subplots(
+        rows, cols, figsize=(4 * cols, 4 * rows), squeeze=False
+    )
+    for r, p in enumerate(pathologies):
+        for c in range(cols):
+            ax = axes[r][c]
+            ax.axis("off")
+            picks = selected[p]
+            if c >= len(picks):
+                continue
+            case = picks[c]
+            if case["image_data"] is not None:
+                img = Image.open(io.BytesIO(case["image_data"]))
+                ax.imshow(img, cmap="gray")
+            snippet = (case["impression"] or "")[:60]
+            ax.set_title(f"{p} (#{case['index']})\n{snippet}", fontsize=8)
+    plt.tight_layout()
+    plt.savefig(out_path, dpi=120, bbox_inches="tight")
+    print(f"saved {out_path}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--parquet", default="xray.parquet")
+    ap.add_argument(
+        "--pathologies", nargs="+", default=DEFAULT_PATHOLOGIES
+    )
+    ap.add_argument("--layout", choices=["row", "grid"], default="row")
+    ap.add_argument("--examples-per", type=int, default=3)
+    ap.add_argument("--out", default="pathology_examples.png")
+    args = ap.parse_args()
+
+    df = load_xray_parquet(args.parquet)
+    print(f"loaded {len(df)} X-ray cases")
+    cases = find_single_pathology_cases(
+        df, args.pathologies, verbose=True
+    )
+    for p in args.pathologies:
+        n = len(cases[p])
+        print(f"{p}: {n} single-pathology cases")
+        if n:
+            ex = cases[p][0]
+            print(f"  example #{ex['index']}: {ex['impression'][:100]}")
+
+    per = 1 if args.layout == "row" else args.examples_per
+    selected = select_distinct(cases, args.pathologies, per)
+    render(selected, args.pathologies, per, args.out)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,153 @@
+"""Fused Pallas kernel tests.
+
+Correctness is gated on a real TPU backend (run with
+``AECF_TEST_REAL_DEVICES=1`` on TPU hardware); the driver's bench exercises
+the kernels every round.  On the CPU test mesh these skip.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aecf_tpu.core.attention import attention_pool_core
+from aecf_tpu.core.init import init_attention_pool_params, init_fusion_query
+from aecf_tpu.kernels import supports_fused
+
+pytestmark = pytest.mark.skipif(
+    jax.default_backend() != "tpu", reason="fused kernels need a TPU"
+)
+
+
+def _oracle(params, q_full, kv, num_heads):
+    with jax.default_matmul_precision("highest"):
+        return attention_pool_core(
+            params, q_full, kv, kv, num_heads=num_heads, need_weights=True
+        )
+
+
+@pytest.mark.parametrize("num_heads", [1, 4])
+def test_generic_kernel_matches_oracle(num_heads):
+    from aecf_tpu.kernels import fused_fusion_pool
+
+    E, M, B = 128, 3, 64
+    params = init_attention_pool_params(jax.random.key(0), E)
+    q = jax.random.normal(jax.random.key(1), (B, 1, E))
+    kv = jax.random.normal(jax.random.key(2), (B, M, E))
+    out_o, w_o = _oracle(params, q, kv, num_heads)
+    out_k, w_k, mw, info = fused_fusion_pool(
+        params, q, kv, num_heads=num_heads, training=False
+    )
+    np.testing.assert_allclose(out_k, out_o, atol=1e-5)
+    np.testing.assert_allclose(w_k, w_o, atol=1e-5)
+    assert set(info) == {"entropy", "mask_rate"}
+
+
+@pytest.mark.parametrize("num_heads", [1, 4])
+def test_shared_kernel_matches_oracle(num_heads):
+    from aecf_tpu.kernels import fused_fusion_pool_shared
+
+    E, M, B = 128, 3, 64
+    params = init_attention_pool_params(jax.random.key(0), E)
+    query = init_fusion_query(jax.random.key(1), E)
+    kv = jax.random.normal(jax.random.key(2), (B, M, E))
+    out_o, w_o = _oracle(
+        params, jnp.broadcast_to(query, (B, 1, E)), kv, num_heads
+    )
+    out_k, w_k, mw, info = fused_fusion_pool_shared(
+        params, query, kv, num_heads=num_heads, training=False,
+        precision="highest",
+    )
+    np.testing.assert_allclose(out_k, out_o, atol=1e-5)
+    np.testing.assert_allclose(w_k, w_o, atol=1e-5)
+
+
+def test_shared_kernel_training_semantics():
+    from aecf_tpu.kernels import fused_fusion_pool_shared
+
+    E, M, B = 128, 3, 256
+    params = init_attention_pool_params(jax.random.key(0), E)
+    query = init_fusion_query(jax.random.key(1), E)
+    kv = jax.random.normal(jax.random.key(2), (B, M, E))
+    out_e, w_e, _, _ = fused_fusion_pool_shared(
+        params, query, kv, training=False
+    )
+    out_t, w_t, mw, info = fused_fusion_pool_shared(
+        params, query, kv, training=True, rng=jax.random.key(3),
+        base_mask_prob=0.9,
+    )
+    # Q1: masking never changes the output.
+    np.testing.assert_allclose(out_t, out_e, atol=1e-6)
+    assert set(info) == {"entropy", "mask_rate", "target_entropy"}
+    # masked rows renormalize to 1
+    np.testing.assert_allclose(np.asarray(mw).sum(-1), 1.0, rtol=1e-5)
+    assert float(info["mask_rate"].mean()) > 0.1
+
+
+def test_shared_kernel_grads_match_oracle():
+    from aecf_tpu.kernels import fused_fusion_pool_shared
+
+    E, M, B = 128, 3, 64
+    params = init_attention_pool_params(jax.random.key(0), E)
+    query = init_fusion_query(jax.random.key(1), E)
+    kv = jax.random.normal(jax.random.key(2), (B, M, E))
+
+    def loss_k(p, qq, x):
+        o, w, _, _ = fused_fusion_pool_shared(
+            p, qq, x, training=True, rng=jax.random.key(5),
+            precision="highest",
+        )
+        return (o * o).mean() + (w * w).sum()
+
+    def loss_o(p, qq, x):
+        o, w = attention_pool_core(
+            p, jnp.broadcast_to(qq, (B, 1, E)), x, x, num_heads=1,
+            need_weights=True,
+        )
+        return (o * o).mean() + (w * w).sum()
+
+    gk = jax.grad(loss_k, argnums=(0, 1, 2))(params, query, kv)
+    with jax.default_matmul_precision("highest"):
+        go = jax.grad(loss_o, argnums=(0, 1, 2))(params, query, kv)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, atol=1e-5), gk, go
+    )
+
+
+def test_module_auto_dispatch_uses_kernel():
+    """implementation='auto' on TPU routes through the fused kernel and
+    matches the xla implementation."""
+    from aecf_tpu import CurriculumMasking, MultimodalAttentionPool
+
+    E, M, B = 128, 3, 32
+    masking = CurriculumMasking(base_mask_prob=0.5)
+    pool_auto = MultimodalAttentionPool(
+        E, curriculum_masking=masking, key=jax.random.key(0),
+        implementation="auto",
+    ).eval()
+    pool_xla = MultimodalAttentionPool(
+        E, curriculum_masking=CurriculumMasking(base_mask_prob=0.5),
+        key=jax.random.key(0), params=pool_auto.params,
+        implementation="xla",
+    ).eval()
+    q = jax.random.normal(jax.random.key(1), (B, 1, E))
+    kv = jax.random.normal(jax.random.key(2), (B, M, E))
+    out_a, info_a = pool_auto(q, kv, return_info=True)
+    out_x, info_x = pool_xla(q, kv, return_info=True)
+    np.testing.assert_allclose(out_a, out_x, atol=1e-4)
+    np.testing.assert_allclose(
+        info_a["attention_weights"], info_x["attention_weights"], atol=1e-5
+    )
+    assert set(info_a) == set(info_x)
+
+
+def test_supports_fused_gate():
+    assert supports_fused(tgt_len=1, num_heads=1, embed_dim=512)
+    assert not supports_fused(tgt_len=2, num_heads=1, embed_dim=512)
+    assert not supports_fused(
+        tgt_len=1, num_heads=1, embed_dim=512, dropout=0.1
+    )
+    assert not supports_fused(
+        tgt_len=1, num_heads=1, embed_dim=512, has_masks=True
+    )
+    assert not supports_fused(tgt_len=1, num_heads=1, embed_dim=2048)
