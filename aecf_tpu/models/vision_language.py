@@ -18,9 +18,9 @@ from typing import Any, Dict, Optional, Tuple, Union
 import jax
 import jax.numpy as jnp
 
-from ..core.attention import AttentionPoolParams, attention_pool_core
+from ..core.attention import AttentionPoolParams
 from ..core.init import init_attention_pool_params, init_fusion_query
-from ..core.masking import curriculum_mask
+from ..ops import fusion_pool
 from .layers import LinearParams, init_linear, linear
 
 __all__ = ["VisionLanguageModel", "VisionLanguageParams"]
@@ -73,43 +73,35 @@ class VisionLanguageModel:
         return_info: bool = False,
         use_checkpoint: bool = False,
     ) -> Union[jax.Array, Tuple[jax.Array, Dict[str, Any]]]:
-        B = image_feats.shape[0]
         img = linear(params.img_proj, image_feats)
         txt = linear(params.txt_proj, text_feats)
         modalities = jnp.stack([img, txt], axis=1)  # (B, 2, H)
-        query = jnp.broadcast_to(
-            params.fusion_query, (B, 1, self.hidden_dim)
-        )
 
-        def attend(q, kv):
-            return attention_pool_core(
-                params.pool,
-                q,
-                kv,
+        # The unexpanded (1,1,E) query routes through the shared-query
+        # fused kernel on TPU (aecf_tpu.ops.fusion_pool dispatch).
+        def fuse(pool_params, query, kv):
+            return fusion_pool(
+                pool_params,
+                query,
                 kv,
                 num_heads=self.num_heads,
-                need_weights=True,
+                rng=rng,
+                training=training,
+                base_mask_prob=self.mask_prob,
+                entropy_target=self.entropy_target,
+                min_active=self.min_active,
             )
 
         if use_checkpoint and training:
-            attend = jax.checkpoint(attend)
-        pooled, weights = attend(query, modalities)
-
-        masked_weights, mask_info = curriculum_mask(
-            weights,
-            key=rng,
-            training=training,
-            base_mask_prob=self.mask_prob,
-            entropy_target=self.entropy_target,
-            min_active=self.min_active,
+            fuse = jax.checkpoint(fuse)
+        pooled, weights, masked_weights, mask_info = fuse(
+            params.pool, params.fusion_query, modalities
         )
         logits = linear(params.classifier, pooled.squeeze(1))
 
         if return_info:
             info: Dict[str, Any] = dict(mask_info)
             info["attention_weights"] = weights
-            info["masked_attention_weights"] = jax.lax.stop_gradient(
-                masked_weights
-            )
+            info["masked_attention_weights"] = masked_weights
             return logits, info
         return logits

@@ -23,9 +23,9 @@ from typing import Any, Dict, Optional, Tuple, Union
 import jax
 import jax.numpy as jnp
 
-from ..core.attention import AttentionPoolParams, attention_pool_core
-from ..core.masking import curriculum_mask
+from ..core.attention import AttentionPoolParams
 from ..core.init import init_attention_pool_params
+from ..ops import fusion_pool
 from .layers import LinearParams, dropout, init_linear, linear, mlp_encoder
 
 __all__ = [
@@ -242,33 +242,28 @@ class XrayAECFModel:
         only_img = img_present & ~txt_present
         only_txt = ~img_present & txt_present
 
-        # Attention fusion path — computed densely for every row.
+        # Attention fusion path — computed densely for every row; the
+        # unexpanded query routes through the shared-query fused kernel on
+        # TPU.  Masking runs only when the curriculum is enabled (the
+        # reference's hot-swapped curriculum_masking module, :179-187).
         modalities = jnp.stack([img, txt], axis=1)  # (B, 2, H)
-        query = jnp.broadcast_to(params.fusion_query, (B, 1, h))
-        attn_out, weights = attention_pool_core(
+        attn_out, weights, masked_weights, mask_info = fusion_pool(
             params.pool,
-            query,
-            modalities,
+            params.fusion_query,
             modalities,
             num_heads=self.num_heads,
-            need_weights=True,
+            rng=k_mask,
+            training=training and curriculum_enabled,
+            base_mask_prob=self.base_mask_prob,
+            entropy_target=self.entropy_target,
+            min_active=self.min_active,
         )
 
         if curriculum_enabled:
-            masked_weights, mask_info = curriculum_mask(
-                weights,
-                key=k_mask,
-                training=training,
-                base_mask_prob=self.base_mask_prob,
-                entropy_target=self.entropy_target,
-                min_active=self.min_active,
-            )
             info.update(mask_info)
             info["attention_weights"] = weights
             if return_info:
-                info["masked_attention_weights"] = jax.lax.stop_gradient(
-                    masked_weights
-                )
+                info["masked_attention_weights"] = masked_weights
         elif return_info:
             info["attention_weights"] = weights
         if return_info:

@@ -1,0 +1,121 @@
+"""Op-level API: backend-dispatched building blocks.
+
+``fusion_pool`` is the one-call fusion op used by the model families — it
+picks the fused Pallas kernel on TPU when the config qualifies and falls
+back to the XLA oracle path otherwise, so model code stays
+backend-agnostic.  The lower layers remain directly importable:
+:mod:`aecf_tpu.core` (pure math) and :mod:`aecf_tpu.kernels` (Pallas).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.attention import (
+    AttentionPoolParams,
+    attention_pool_core,
+    scaled_dot_product_attention,
+)
+from ..core.masking import compute_entropy, curriculum_mask, entropy_loss
+from ..kernels import (
+    fused_fusion_pool,
+    fused_fusion_pool_shared,
+    supports_fused,
+)
+
+__all__ = [
+    "fusion_pool",
+    "attention_pool_core",
+    "scaled_dot_product_attention",
+    "curriculum_mask",
+    "compute_entropy",
+    "entropy_loss",
+    "fused_fusion_pool",
+    "fused_fusion_pool_shared",
+    "supports_fused",
+]
+
+
+def fusion_pool(
+    params: AttentionPoolParams,
+    query: jax.Array,  # (1, 1, E) shared or (B, 1, E) per-row
+    kv: jax.Array,  # (B, M, E)
+    *,
+    num_heads: int = 1,
+    rng: Optional[jax.Array] = None,
+    training: bool = False,
+    base_mask_prob: jax.typing.ArrayLike = 0.15,
+    entropy_target: jax.typing.ArrayLike = 0.7,
+    min_active: int = 1,
+    implementation: str = "auto",
+    precision: str = "highest",
+) -> Tuple[jax.Array, jax.Array, jax.Array, Dict[str, jax.Array]]:
+    """Fused attention-pool + curriculum masking with backend dispatch.
+
+    Returns ``(out (B,1,E), weights (B,1,M), masked (B,1,M), info)``.
+    ``implementation='auto'`` uses the Pallas kernels on TPU (shared-query
+    variant when ``query`` is the unexpanded ``(1,1,E)`` parameter);
+    ``'xla'`` forces the oracle path.
+    """
+    B = kv.shape[0]
+    E = query.shape[-1]
+    impl = implementation
+    if impl == "auto":
+        impl = (
+            "pallas"
+            if (
+                jax.default_backend() == "tpu"
+                and supports_fused(
+                    tgt_len=query.shape[1], num_heads=num_heads, embed_dim=E
+                )
+                and query.dtype == jnp.float32
+            )
+            else "xla"
+        )
+
+    if impl == "pallas":
+        if query.shape[0] == 1:
+            return fused_fusion_pool_shared(
+                params,
+                query,
+                kv,
+                num_heads=num_heads,
+                rng=rng,
+                training=training,
+                base_mask_prob=base_mask_prob,
+                entropy_target=entropy_target,
+                min_active=min_active,
+                precision=precision,
+            )
+        return fused_fusion_pool(
+            params,
+            query,
+            kv,
+            num_heads=num_heads,
+            rng=rng,
+            training=training,
+            base_mask_prob=base_mask_prob,
+            entropy_target=entropy_target,
+            min_active=min_active,
+        )
+
+    q_full = (
+        jnp.broadcast_to(query, (B, query.shape[1], E))
+        if query.shape[0] == 1
+        else query
+    )
+    out, weights = attention_pool_core(
+        params, q_full, kv, kv, num_heads=num_heads, need_weights=True
+    )
+    masked, info = curriculum_mask(
+        weights,
+        key=rng,
+        training=training,
+        base_mask_prob=base_mask_prob,
+        entropy_target=entropy_target,
+        min_active=min_active,
+    )
+    return out, weights, jax.lax.stop_gradient(masked), info

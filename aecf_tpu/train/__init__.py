@@ -2,6 +2,7 @@
 
 from .checkpointing import CheckpointManager, load_params, save_params
 from .metrics import average_precision, calculate_metrics, macro_map
+from .sweeps import missing_modality_sweep, modality_subsets
 from .trainer import (
     ExperimentConfig,
     TrainState,
@@ -19,6 +20,8 @@ __all__ = [
     "average_precision",
     "calculate_metrics",
     "macro_map",
+    "missing_modality_sweep",
+    "modality_subsets",
     "ExperimentConfig",
     "TrainState",
     "bce_with_logits_loss",
