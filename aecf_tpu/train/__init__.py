@@ -1,6 +1,7 @@
 """Training harness: optax steps, metrics, experiment orchestration."""
 
 from .checkpointing import CheckpointManager, load_params, save_params
+from .fit import fit
 from .metrics import average_precision, calculate_metrics, macro_map
 from .sweeps import missing_modality_sweep, modality_subsets
 from .trainer import (
@@ -14,6 +15,7 @@ from .trainer import (
 )
 
 __all__ = [
+    "fit",
     "CheckpointManager",
     "load_params",
     "save_params",

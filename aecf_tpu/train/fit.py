@@ -1,0 +1,91 @@
+"""Elastic training loop: periodic checkpoints + resume-from-latest.
+
+The reference has no failure handling (SURVEY.md §5); this is the TPU-native
+pattern for preemptible capacity: every ``save_every`` steps the full
+TrainState (params + optimizer + step counter) is checkpointed; a restarted
+process calls the same :func:`fit` and continues from the latest checkpoint,
+with the data stream and PRNG keys re-derived from the step counter so the
+resumed run reproduces the uninterrupted one.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .checkpointing import CheckpointManager
+from .trainer import TrainState, make_train_step
+
+__all__ = ["fit"]
+
+
+def fit(
+    apply_fn: Callable[..., Any],
+    optimizer: optax.GradientTransformation,
+    init_params: Any,
+    batch_fn: Callable[[int], Tuple[np.ndarray, np.ndarray, np.ndarray]],
+    *,
+    num_steps: int,
+    rng: jax.Array,
+    checkpoint_dir: Optional[str] = None,
+    save_every: int = 100,
+    log_every: int = 0,
+    step_fn: Optional[Callable] = None,
+) -> Tuple[TrainState, Dict[str, list]]:
+    """Train for ``num_steps`` with checkpoint/resume.
+
+    ``batch_fn(step) -> (images, texts, labels)`` must be a pure function of
+    the step index (so a resumed run replays the same stream).  Returns the
+    final state and a history dict.  If ``checkpoint_dir`` holds a previous
+    run's checkpoints, training resumes after its latest step.
+    """
+    state = TrainState(
+        init_params,
+        optimizer.init(init_params),
+        jnp.zeros((), jnp.int32),
+    )
+    manager = None
+    start_step = 0
+    if checkpoint_dir is not None:
+        manager = CheckpointManager(
+            checkpoint_dir, save_interval_steps=save_every
+        )
+        abstract = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state
+        )
+        restored = manager.restore(abstract)
+        if restored is not None:
+            state = restored
+            start_step = int(state.step)
+
+    if step_fn is None:
+        step_fn = make_train_step(apply_fn, optimizer, donate=False)
+
+    history: Dict[str, list] = {"loss": [], "step": []}
+    for step_idx in range(start_step, num_steps):
+        images, texts, labels = batch_fn(step_idx)
+        step_rng = jax.random.fold_in(rng, step_idx)
+        state, loss, info = step_fn(
+            state,
+            jnp.asarray(images),
+            jnp.asarray(texts),
+            jnp.asarray(labels),
+            step_rng,
+        )
+        if manager is not None:
+            manager.save(step_idx + 1, state)
+        if log_every and (step_idx % log_every == 0):
+            history["loss"].append(float(loss))
+            history["step"].append(step_idx)
+            print(f"step {step_idx}: loss={float(loss):.4f}", flush=True)
+
+    if manager is not None:
+        if manager.latest_step() != num_steps:
+            manager.save(num_steps, state, force=True)
+        manager.wait()
+        manager.close()
+    return state, history

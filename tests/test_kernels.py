@@ -133,7 +133,10 @@ def test_module_auto_dispatch_uses_kernel():
     q = jax.random.normal(jax.random.key(1), (B, 1, E))
     kv = jax.random.normal(jax.random.key(2), (B, M, E))
     out_a, info_a = pool_auto(q, kv, return_info=True)
-    out_x, info_x = pool_xla(q, kv, return_info=True)
+    # The kernel runs f32 MXU passes; hold the XLA oracle to the same
+    # precision (its default is bf16 multiplies → ~3e-3 drift).
+    with jax.default_matmul_precision("highest"):
+        out_x, info_x = pool_xla(q, kv, return_info=True)
     np.testing.assert_allclose(out_a, out_x, atol=1e-4)
     np.testing.assert_allclose(
         info_a["attention_weights"], info_x["attention_weights"], atol=1e-5
