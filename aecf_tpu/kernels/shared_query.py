@@ -117,20 +117,25 @@ def _shared_kernel(
     # M is tiny (2-4 modalities): unroll it so every op is a clean 2-D
     # (TB, E) or (TB, M) array with native (8, 128) tiling — 3-D
     # broadcast-reduce chains cost Mosaic relayouts.
-    kv_slices = [kv_ref[:, m, :] for m in range(M)]  # each (TB, E)
+    # bf16 feature storage halves HBM traffic; all math stays f32 in VMEM.
+    kv_slices = [
+        kv_ref[:, m, :].astype(f32) for m in range(M)
+    ]  # each (TB, E)
 
     # ---- per-head scores via the precomputed u/c vectors (pure VPU) ---------
+    # Build the (TB, M) score matrix by broadcast-select instead of
+    # concatenating (TB, 1) columns — Mosaic cannot concat vectors whose
+    # sublane offsets differ ("offset mismatch on non-concat dimension").
+    col = lax.broadcasted_iota(jnp.int32, (TB, M), 1)
     w_acc = jnp.zeros((TB, M), f32)
     heads = []
     for h in range(H):
         u_h = u_ref[h, :]  # (E,)
-        s = jnp.concatenate(
-            [
-                (kv_m * u_h).sum(axis=-1, keepdims=True)
-                for kv_m in kv_slices
-            ],
-            axis=-1,
-        ) + c_ref[0, h]  # (TB, M)
+        s = jnp.zeros((TB, M), f32)
+        for m, kv_m in enumerate(kv_slices):
+            s_m = (kv_m * u_h).sum(axis=-1, keepdims=True)  # (TB, 1)
+            s = s + jnp.where(col == m, s_m, 0.0)
+        s = s + c_ref[0, h]  # (TB, M)
         smax = s.max(axis=-1, keepdims=True)
         e = jnp.exp(s - smax)
         a = e / e.sum(axis=-1, keepdims=True)  # (TB, M)
@@ -396,6 +401,8 @@ def _shared_bwd_impl(num_heads, residuals, cots):
     scale = Dh ** -0.5
 
     # ---- recompute forward (remat) -----------------------------------------
+    kv_dtype = kv.dtype
+    kv = kv.astype(jnp.float32)
     qp = qrow @ wq.T + bq  # (E,)
     qph = qp.reshape(H, Dh)
     wkh = wk.reshape(H, Dh, E)
@@ -451,7 +458,7 @@ def _shared_bwd_impl(num_heads, residuals, cots):
         in_proj_bias=d_in_proj_bias,
         out_proj_bias=dbo,
     )
-    return d_params, d_qrow, d_kv, None, None
+    return d_params, d_qrow, d_kv.astype(kv_dtype), None, None
 
 
 _shared_core.defvjp(_shared_fwd, _shared_bwd)

@@ -1,0 +1,142 @@
+"""Batched inference serving for fusion models.
+
+Production-serving conveniences the reference leaves to the caller: a
+predictor that jit-compiles per padded batch bucket (static shapes for XLA),
+pads ragged request batches, zeroes absent modalities (the framework's
+missing-modality convention), and optionally returns calibrated
+probabilities.
+
+Usage::
+
+    predictor = FusionPredictor(model.apply, params, buckets=(32, 256))
+    probs = predictor(image=imgs, text=txts)           # any batch size
+    probs = predictor(image=imgs)                      # text missing → zeros
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["FusionPredictor", "pad_to_bucket"]
+
+
+def pad_to_bucket(
+    n: int, buckets: Sequence[int]
+) -> int:
+    """Smallest bucket ≥ n (last bucket used for chunking larger batches)."""
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+class FusionPredictor:
+    """Jit-cached batched predictor over a model apply function.
+
+    Args:
+      apply_fn: ``apply_fn(params, **modalities) -> logits`` (eval mode —
+        wrap your model's apply with ``training=False`` baked in).
+      params: parameter pytree (e.g. restored via
+        :func:`aecf_tpu.train.load_params`).
+      buckets: padded batch sizes to compile for; requests larger than the
+        biggest bucket are chunked.
+      modality_names: keyword order for ``apply_fn``.
+      apply_sigmoid: return probabilities instead of logits.
+    """
+
+    def __init__(
+        self,
+        apply_fn: Callable[..., jax.Array],
+        params: Any,
+        *,
+        modality_names: Sequence[str],
+        buckets: Sequence[int] = (32, 256, 1024),
+        apply_sigmoid: bool = True,
+    ):
+        self.params = params
+        self.modality_names = tuple(modality_names)
+        self.buckets = tuple(sorted(buckets))
+        self.apply_sigmoid = apply_sigmoid
+
+        def _run(params, *mods):
+            logits = apply_fn(
+                params, **dict(zip(self.modality_names, mods))
+            )
+            return jax.nn.sigmoid(logits) if apply_sigmoid else logits
+
+        self._jitted = jax.jit(_run)
+
+    def _feature_dims(self, kwargs: Dict[str, np.ndarray]) -> Dict[str, int]:
+        dims = {}
+        for name, x in kwargs.items():
+            dims[name] = x.shape[1]
+        return dims
+
+    def __call__(self, **modalities: np.ndarray) -> np.ndarray:
+        """Predict for any subset of modalities; absent ones are zeroed.
+
+        All provided arrays must share batch dimension; at least one
+        modality is required (the reference's contract,
+        README.md:252-254).
+        """
+        provided = {
+            k: np.asarray(v, dtype=np.float32)
+            for k, v in modalities.items()
+            if v is not None
+        }
+        if not provided:
+            raise ValueError("At least one modality must be provided")
+        unknown = set(provided) - set(self.modality_names)
+        if unknown:
+            raise ValueError(
+                f"unknown modalities {sorted(unknown)}; expected "
+                f"{self.modality_names}"
+            )
+        n = next(iter(provided.values())).shape[0]
+        for k, v in provided.items():
+            if v.shape[0] != n:
+                raise ValueError(
+                    f"batch mismatch: {k} has {v.shape[0]} rows, expected {n}"
+                )
+
+        self._dims = getattr(self, "_dims", {})
+        for k, v in provided.items():
+            self._dims[k] = v.shape[1]
+        missing = [
+            k for k in self.modality_names
+            if k not in provided
+        ]
+        for k in missing:
+            if k not in self._dims:
+                raise ValueError(
+                    f"cannot infer feature dim for absent modality {k!r}; "
+                    "call once with it present, or pass an explicit zeros "
+                    "array"
+                )
+
+        outs = []
+        max_bucket = self.buckets[-1]
+        start = 0
+        while start < n:
+            chunk_n = min(n - start, max_bucket)
+            bucket = pad_to_bucket(chunk_n, self.buckets)
+            mods = []
+            for k in self.modality_names:
+                if k in provided:
+                    x = provided[k][start : start + chunk_n]
+                else:
+                    x = np.zeros((chunk_n, self._dims[k]), np.float32)
+                if chunk_n < bucket:
+                    x = np.concatenate(
+                        [x, np.zeros((bucket - chunk_n, x.shape[1]),
+                                     np.float32)]
+                    )
+                mods.append(jnp.asarray(x))
+            out = np.asarray(self._jitted(self.params, *mods))
+            outs.append(out[:chunk_n])
+            start += chunk_n
+        return np.concatenate(outs)

@@ -144,6 +144,40 @@ def test_module_auto_dispatch_uses_kernel():
     assert set(info_a) == set(info_x)
 
 
+def test_shared_kernel_bf16_features():
+    """bf16 feature storage: math stays f32, parity holds on the
+    dequantized input, kv cotangent returns in bf16."""
+    from aecf_tpu.kernels import fused_fusion_pool_shared
+
+    E, M, B = 128, 3, 64
+    params = init_attention_pool_params(jax.random.key(0), E)
+    query = init_fusion_query(jax.random.key(1), E)
+    kv16 = jax.random.normal(jax.random.key(2), (B, M, E)).astype(
+        jnp.bfloat16
+    )
+    out_o, w_o = _oracle(
+        params,
+        jnp.broadcast_to(query, (B, 1, E)),
+        kv16.astype(jnp.float32),
+        1,
+    )
+    out_k, w_k, _, _ = fused_fusion_pool_shared(
+        params, query, kv16, training=False, precision="highest"
+    )
+    np.testing.assert_allclose(out_k, out_o, atol=1e-5)
+    np.testing.assert_allclose(w_k, w_o, atol=1e-5)
+
+    def loss(x):
+        o, _, _, _ = fused_fusion_pool_shared(
+            params, query, x, training=True, rng=jax.random.key(3)
+        )
+        return (o * o).mean()
+
+    g = jax.grad(loss)(kv16)
+    assert g.dtype == jnp.bfloat16
+    assert bool(jnp.isfinite(g.astype(jnp.float32)).all())
+
+
 def test_supports_fused_gate():
     assert supports_fused(tgt_len=1, num_heads=1, embed_dim=512)
     assert not supports_fused(tgt_len=2, num_heads=1, embed_dim=512)
