@@ -51,6 +51,76 @@ def run_case(weights, mask, base_mask_prob, entropy_target, min_active, training
     return rec
 
 
+def generate_composed_pool_golden():
+    """End-to-end MultimodalAttentionPool + CurriculumMasking golden:
+    our init params copied into the reference module, fixed Bernoulli mask
+    injected, full (output, info) recorded."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from aecf import MultimodalAttentionPool as RefPool
+    from aecf_tpu.core.init import init_attention_pool_params
+
+    out_path = os.path.join(
+        os.path.dirname(__file__), "pool_golden.npz"
+    )
+    E, M, B, H = 32, 3, 6, 4
+    params = init_attention_pool_params(jax.random.key(0), E)
+    rng = np.random.default_rng(7)
+    q = rng.normal(size=(B, 1, E)).astype(np.float32)
+    kv = rng.normal(size=(B, M, E)).astype(np.float32)
+    mask = (rng.random((B, 1, M)) > 0.5).astype(np.float32)
+
+    from aecf import CurriculumMasking as RefMasking
+
+    pool = RefPool(
+        embed_dim=E,
+        num_heads=H,
+        curriculum_masking=RefMasking(
+            base_mask_prob=0.4, entropy_target=0.6, min_active=2
+        ),
+        batch_first=True,
+    )
+    with torch.no_grad():
+        pool.attention.in_proj_weight.copy_(
+            torch.tensor(np.asarray(params.in_proj_weight))
+        )
+        pool.attention.in_proj_bias.copy_(
+            torch.tensor(np.asarray(params.in_proj_bias))
+        )
+        pool.attention.out_proj.weight.copy_(
+            torch.tensor(np.asarray(params.out_proj_weight))
+        )
+        pool.attention.out_proj.bias.copy_(
+            torch.tensor(np.asarray(params.out_proj_bias))
+        )
+    pool.train()
+    orig = torch.bernoulli
+    try:
+        torch.bernoulli = lambda p: torch.tensor(mask, dtype=p.dtype)
+        with torch.no_grad():
+            out, info = pool(
+                torch.tensor(q), torch.tensor(kv), return_info=True
+            )
+    finally:
+        torch.bernoulli = orig
+
+    blob = {
+        "q": q,
+        "kv": kv,
+        "mask": mask,
+        "in_proj_weight": np.asarray(params.in_proj_weight),
+        "in_proj_bias": np.asarray(params.in_proj_bias),
+        "out_proj_weight": np.asarray(params.out_proj_weight),
+        "out_proj_bias": np.asarray(params.out_proj_bias),
+        "out": out.numpy(),
+    }
+    for k, v in info.items():
+        blob[f"info_{k}"] = v.detach().numpy()
+    np.savez(out_path, **blob)
+    print(f"wrote {out_path} (info keys: {sorted(info)})")
+
+
 def main():
     rng = np.random.default_rng(1234)
     cases = {}
@@ -126,3 +196,4 @@ def main():
 
 if __name__ == "__main__":
     main()
+    generate_composed_pool_golden()

@@ -74,3 +74,51 @@ def test_curriculum_golden(golden, case):
         got_loss, golden[f"{case}_entropy_loss"], atol=ATOL,
         err_msg=f"{case}: entropy_loss",
     )
+
+
+POOL_GOLDEN = os.path.join(
+    os.path.dirname(__file__), "golden", "pool_golden.npz"
+)
+
+
+def test_composed_pool_golden():
+    """End-to-end pool+masking parity vs the live reference: identical
+    params, identical inputs, injected Bernoulli mask → identical output
+    and full info dict to 1e-5."""
+    if not os.path.exists(POOL_GOLDEN):
+        pytest.skip("pool golden missing — run tests/golden/generate.py")
+    g = np.load(POOL_GOLDEN)
+
+    from aecf_tpu import CurriculumMasking, MultimodalAttentionPool
+    from aecf_tpu.core.attention import AttentionPoolParams
+
+    params = AttentionPoolParams(
+        in_proj_weight=jnp.asarray(g["in_proj_weight"]),
+        out_proj_weight=jnp.asarray(g["out_proj_weight"]),
+        in_proj_bias=jnp.asarray(g["in_proj_bias"]),
+        out_proj_bias=jnp.asarray(g["out_proj_bias"]),
+    )
+    pool = MultimodalAttentionPool(
+        embed_dim=g["in_proj_weight"].shape[1],
+        num_heads=4,
+        curriculum_masking=CurriculumMasking(
+            base_mask_prob=0.4, entropy_target=0.6, min_active=2
+        ),
+        params=params,
+        implementation="xla",
+    ).train()
+    out, info = pool(
+        jnp.asarray(g["q"]),
+        jnp.asarray(g["kv"]),
+        return_info=True,
+        mask_override=jnp.asarray(g["mask"]),
+    )
+    np.testing.assert_allclose(out, g["out"], atol=ATOL)
+    golden_info = {
+        k[len("info_") :] for k in g.files if k.startswith("info_")
+    }
+    assert set(info) == golden_info
+    for k in golden_info:
+        np.testing.assert_allclose(
+            info[k], g[f"info_{k}"], atol=ATOL, err_msg=f"info[{k}]"
+        )
