@@ -17,11 +17,10 @@ Example::
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict
 
 import flax.linen as nn
 import jax
-import jax.numpy as jnp
 
 from ..core.attention import AttentionPoolParams
 from ..core.init import init_attention_pool_params, init_fusion_query

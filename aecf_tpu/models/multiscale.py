@@ -8,7 +8,7 @@ its own query, applied to 2-modality stacks at that scale.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

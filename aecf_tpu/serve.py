@@ -15,7 +15,7 @@ Usage::
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+from typing import Any, Callable, Dict, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -12,8 +12,6 @@ from __future__ import annotations
 import os
 from typing import Any, Optional
 
-import jax
-
 __all__ = ["CheckpointManager", "save_params", "load_params"]
 
 
