@@ -25,6 +25,7 @@ __all__ = [
     "AttentionPoolParams",
     "AttentionPoolConfig",
     "attention_pool_core",
+    "apply_pooled_weights",
     "scaled_dot_product_attention",
 ]
 
@@ -166,6 +167,37 @@ def attention_pool_core(
         avg_weights = jnp.mean(attn, axis=1)  # (B, T, S)
         return out, avg_weights
     return out, None
+
+
+def apply_pooled_weights(
+    params: AttentionPoolParams,
+    weights: jax.Array,  # (B, T, S) — e.g. masked head-averaged weights
+    value: jax.Array,  # (B, S, E)
+    *,
+    num_heads: int,
+) -> jax.Array:
+    """Compute the pool output from externally supplied attention weights.
+
+    Used by the opt-in ``apply_masking_to_output`` extension (SURVEY.md §2.5
+    build decision): the reference never applies masked weights to its
+    output (quirk Q1); this helper computes
+    ``(weights · V_proj) @ out_proj`` with the given head-shared weights —
+    exact for single-head pools, and for multi-head pools applies the
+    head-averaged weights uniformly across heads (documented semantic).
+    """
+    B, T, E = weights.shape[0], weights.shape[1], value.shape[2]
+    H = num_heads
+    Dh = E // H
+    _, _, w_v = jnp.split(params.in_proj_weight, 3, axis=0)
+    v = jnp.einsum("bse,fe->bsf", value, w_v)
+    if params.in_proj_bias is not None:
+        v = v + params.in_proj_bias[2 * E :]
+    v = v.reshape(B, -1, H, Dh)
+    context = jnp.einsum("bts,bshd->bthd", weights, v).reshape(B, T, E)
+    out = jnp.einsum("bte,fe->btf", context, params.out_proj_weight)
+    if params.out_proj_bias is not None:
+        out = out + params.out_proj_bias
+    return out
 
 
 def scaled_dot_product_attention(

@@ -113,6 +113,7 @@ def curriculum_mask(
     entropy_target: jax.typing.ArrayLike = 0.7,
     min_active: int = 1,
     mask_override: Optional[jax.Array] = None,
+    detach_info: bool = True,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Apply entropy-driven curriculum masking to attention weights.
 
@@ -132,6 +133,11 @@ def curriculum_mask(
         replaces the Bernoulli draw.  This is the cross-framework parity hook:
         PyTorch MT19937/Philox and JAX threefry cannot produce identical
         streams, so bit-for-bit tests inject the mask.
+      detach_info: reference default True — info entropy/mask_rate are
+        stop-gradiented (quirk Q2: the documented ``0.01·entropy_loss``
+        regularizer is monitoring-only).  ``False`` is the opt-in idiomatic
+        extension that lets the entropy regularizer actually backpropagate
+        into the attention weights.
 
     Returns:
       ``(masked_weights, info)`` where info follows the reference key-set
@@ -203,9 +209,10 @@ def curriculum_mask(
 
     # -- Steps 9-10: info assembly. -------------------------------------------
     mask_rate = 1.0 - jnp.mean(mask, axis=-1)
+    detach = lax.stop_gradient if detach_info else (lambda x: x)
     info = {
-        "entropy": lax.stop_gradient(entropy),
-        "mask_rate": lax.stop_gradient(mask_rate),
+        "entropy": detach(entropy),
+        "mask_rate": lax.stop_gradient(mask_rate),  # not differentiable
         "target_entropy": jnp.full_like(
             entropy, max_entropy * jnp.asarray(entropy_target, dtype)
         ),

@@ -60,6 +60,8 @@ class CurriculumMasking:
         base_mask_prob: float = 0.15,
         entropy_target: float = 0.7,
         min_active: int = 1,
+        *,
+        detach_info: bool = True,
     ):
         if not 0.0 < base_mask_prob <= 1.0:
             raise ValueError(
@@ -75,6 +77,10 @@ class CurriculumMasking:
         self.base_mask_prob = base_mask_prob
         self.entropy_target = entropy_target
         self.min_active = min_active
+        # Extension (SURVEY.md §2.5 build decision): detach_info=False makes
+        # info['entropy'] differentiable so the documented entropy
+        # regularizer actually trains; the reference default detaches (Q2).
+        self.detach_info = detach_info
         self.training = True
         self._last_seq_len = 2  # reference default (AECFLayer.py:99)
 
@@ -104,6 +110,7 @@ class CurriculumMasking:
             entropy_target=self.entropy_target,
             min_active=self.min_active,
             mask_override=mask_override,
+            detach_info=self.detach_info,
         )
 
     def compute_entropy(self, weights: jax.Array) -> jax.Array:
@@ -163,6 +170,7 @@ class MultimodalAttentionPool:
         key: Optional[jax.Array] = None,
         params: Optional[AttentionPoolParams] = None,
         implementation: str = "auto",
+        apply_masking_to_output: bool = False,
     ):
         self.config = AttentionPoolConfig(
             embed_dim=embed_dim,
@@ -175,6 +183,10 @@ class MultimodalAttentionPool:
         self.num_heads = num_heads
         self.batch_first = batch_first
         self.curriculum_masking = curriculum_masking
+        # Extension (SURVEY.md §2.5 build decision): when True, the output
+        # is recomputed from the masked weights. The reference NEVER does
+        # this (quirk Q1) — default False preserves parity.
+        self.apply_masking_to_output = apply_masking_to_output
         self.training = True
         if implementation not in ("auto", "xla", "pallas"):
             raise ValueError(f"unknown implementation {implementation!r}")
@@ -355,6 +367,15 @@ class MultimodalAttentionPool:
             masked_weights, mask_info = self.curriculum_masking(
                 pooled_weights, rng=mask_rng, mask_override=mask_override
             )
+            if self.apply_masking_to_output:
+                from ..core.attention import apply_pooled_weights
+
+                attn_output = apply_pooled_weights(
+                    params,
+                    masked_weights,
+                    value,
+                    num_heads=self.num_heads,
+                )
             info.update(mask_info)
             # Grad-carrying raw weights (reference AECFLayer.py:538).
             info["attention_weights"] = pooled_weights
@@ -396,6 +417,7 @@ class MultimodalAttentionPool:
             and value is key
             and query.dtype == jnp.float32
             and self.embed_dim <= 1024
+            and not self.apply_masking_to_output
         )
 
     def _pallas_forward(self, params, query, kv, *, return_info, mask_rng):
