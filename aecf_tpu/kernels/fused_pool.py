@@ -225,8 +225,11 @@ def _forward_pallas(
     M = kv.shape[1]
 
     # Batch tiling: weights stay resident (constant index maps); activations
-    # stream.  TB sized to keep the tile working set within VMEM.
+    # stream.  TB sized to keep the tile working set within VMEM; the
+    # unrolled head loop adds ~H/2 extra (TB, E) temporaries.
     TB = 256 if E <= 512 else 128
+    if num_heads > 2:
+        TB = max(64, TB // (num_heads // 2))
     TB = min(TB, _round_up(B, 8))
     B_pad = _round_up(B, TB)
     if B_pad != B:

@@ -278,9 +278,13 @@ def _forward(
     # Tile sized for VMEM: M-unrolled compute keeps only the kv tile + a
     # couple of (TB, E) temporaries live; bigger tiles amortize per-grid-step
     # overhead.
-    # TB=512 at E=512 overflows the 16MB scoped-vmem budget by ~0.1MB once
-    # double-buffering is counted; 384 leaves headroom.
+    # Tile size vs the 16MB scoped-vmem budget.  The live set scales with
+    # the kv tile (TB·M·E·4, double-buffered) plus per-head temporaries from
+    # the unrolled head loop (~H/2 extra (TB, E) buffers): TB=512 at
+    # E=512/H=1 overflows by ~0.1MB, TB=384 at H=8 by ~12MB (measured).
     TB = 384 if E <= 512 else 192
+    if num_heads > 2:
+        TB = max(64, TB // (num_heads // 2))
     TB = min(TB, _round_up(B, 8))
     B_pad = _round_up(B, TB)
     if B_pad != B:

@@ -58,12 +58,17 @@ def make_dp_train_step(
     mesh: Mesh,
     *,
     axis_name: str = "data",
+    loss_fn: Callable[
+        [jax.Array, jax.Array], jax.Array
+    ] = bce_with_logits_loss,
 ) -> Callable:
     """Build a jitted data-parallel ``(state, images, texts, labels, rng) ->
     (state, loss, info)`` step.
 
     ``apply_fn(params, images, texts, rng) -> (logits, info)`` sees only the
-    local batch shard.  Returned loss/info scalars are global (pmean'd).
+    local batch shard; ``loss_fn(logits, labels)`` must be a mean over the
+    local shard (default: BCE-with-logits).  Returned loss/info scalars are
+    global (pmean'd).
     """
 
     @partial(
@@ -79,16 +84,16 @@ def make_dp_train_step(
             rng, jax.lax.axis_index(axis_name)
         )
 
-        def loss_fn(params):
+        def local_loss(params):
             logits, info = apply_fn(params, images, texts, shard_rng)
             # local_mean / num_shards: the auto-inserted psum on the
             # replicated-params cotangent then reconstructs the exact
             # global-batch-mean gradient.
-            local = bce_with_logits_loss(logits, labels) / axis_size
+            local = loss_fn(logits, labels) / axis_size
             return local, info
 
         (scaled_loss, info), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
+            local_loss, has_aux=True
         )(state.params)
         # grads are already globally reduced (see module docstring).
         loss = jax.lax.psum(scaled_loss, axis_name)  # global mean loss
