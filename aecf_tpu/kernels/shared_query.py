@@ -93,6 +93,7 @@ def _shared_kernel(
     kv_ref,  # (TB, M, E)
     u_ref,  # (H, E)    score vectors (scale folded in)
     c_ref,  # (1, H)    score offsets (scale folded in)
+    pad_ref,  # (TB, M)  additive score bias (0 or -1e30 for padded slots)
     wctx_ref,  # (E, E)  H==1: W_vo = Wo @ Wv ; H>1: Wv
     wo_ref,  # (E, E)   H>1 only (unused for H==1)
     bctx_ref,  # (1, E)  H==1: Wo@bv + bo ; H>1: bv
@@ -135,7 +136,7 @@ def _shared_kernel(
         for m, kv_m in enumerate(kv_slices):
             s_m = (kv_m * u_h).sum(axis=-1, keepdims=True)  # (TB, 1)
             s = s + jnp.where(col == m, s_m, 0.0)
-        s = s + c_ref[0, h]  # (TB, M)
+        s = s + c_ref[0, h] + pad_ref[:]  # (TB, M)
         smax = s.max(axis=-1, keepdims=True)
         e = jnp.exp(s - smax)
         a = e / e.sum(axis=-1, keepdims=True)  # (TB, M)
@@ -265,6 +266,7 @@ def _forward(
     kv,  # (B, M, E)
     seed,
     mask_prob,
+    key_padding_mask=None,  # (B, M) bool, True = padded slot
     *,
     num_heads,
     min_active,
@@ -274,6 +276,13 @@ def _forward(
 ):
     B, M, E = kv.shape
     u, c, wctx, wo, bctx, bo_k = _prep(params, qrow, num_heads, precision)
+
+    if key_padding_mask is None:
+        pad_bias = jnp.zeros((B, M), jnp.float32)
+    else:
+        pad_bias = jnp.where(
+            key_padding_mask, jnp.float32(-1e30), jnp.float32(0.0)
+        )
 
     # Tile sized for VMEM: M-unrolled compute keeps only the kv tile + a
     # couple of (TB, E) temporaries live; bigger tiles amortize per-grid-step
@@ -289,6 +298,7 @@ def _forward(
     B_pad = _round_up(B, TB)
     if B_pad != B:
         kv = jnp.pad(kv, ((0, B_pad - B), (0, 0), (0, 0)))
+        pad_bias = jnp.pad(pad_bias, ((0, B_pad - B), (0, 0)))
 
     mxu_precision = (
         lax.Precision.HIGHEST if precision == "highest" else None
@@ -312,6 +322,7 @@ def _forward(
             ),
             pl.BlockSpec((num_heads, E), whole, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, num_heads), whole, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, M), tile, memory_space=pltpu.VMEM),
             pl.BlockSpec((E, E), whole, memory_space=pltpu.VMEM),
             pl.BlockSpec((E, E), whole, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, E), whole, memory_space=pltpu.VMEM),
@@ -348,6 +359,7 @@ def _forward(
         kv,
         u,
         c,
+        pad_bias,
         wctx,
         wo,
         bctx,
@@ -356,28 +368,28 @@ def _forward(
     return out[:B], w[:B], mw[:B], ent[:B, 0], rate[:B, 0]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
 def _shared_core(
-    params, qrow, kv, seed, mask_prob,
+    params, qrow, kv, seed, mask_prob, key_padding_mask,
     num_heads, min_active, training, precision, interpret,
 ):
     return _forward(
-        params, qrow, kv, seed, mask_prob,
+        params, qrow, kv, seed, mask_prob, key_padding_mask,
         num_heads=num_heads, min_active=min_active, training=training,
         precision=precision, interpret=interpret,
     )
 
 
 def _shared_fwd(
-    params, qrow, kv, seed, mask_prob,
+    params, qrow, kv, seed, mask_prob, key_padding_mask,
     num_heads, min_active, training, precision, interpret,
 ):
     outs = _forward(
-        params, qrow, kv, seed, mask_prob,
+        params, qrow, kv, seed, mask_prob, key_padding_mask,
         num_heads=num_heads, min_active=min_active, training=training,
         precision=precision, interpret=interpret,
     )
-    return outs, (params, qrow, kv)
+    return outs, (params, qrow, kv, key_padding_mask)
 
 
 def _shared_bwd(
@@ -389,7 +401,7 @@ def _shared_bwd(
 
 
 def _shared_bwd_impl(num_heads, residuals, cots):
-    params, qrow, kv = residuals
+    params, qrow, kv, key_padding_mask = residuals
     d_out, d_w, _d_mw, _d_ent, _d_rate = cots
     B, M, E = kv.shape
     H = num_heads
@@ -414,6 +426,8 @@ def _shared_bwd_impl(num_heads, residuals, cots):
     c = scale * (qph * bk.reshape(H, Dh)).sum(-1)  # (H,)
 
     s = jnp.einsum("bme,he->bhm", kv, u) + c[None, :, None]  # (B, H, M)
+    if key_padding_mask is not None:
+        s = jnp.where(key_padding_mask[:, None, :], -1e30, s)
     a = jax.nn.softmax(s, axis=-1)  # (B, H, M)
     mix = jnp.einsum("bhm,bme->bhe", a, kv)  # (B, H, E)
     wvh = wv.reshape(H, Dh, E)
@@ -462,7 +476,7 @@ def _shared_bwd_impl(num_heads, residuals, cots):
         in_proj_bias=d_in_proj_bias,
         out_proj_bias=dbo,
     )
-    return d_params, d_qrow, d_kv.astype(kv_dtype), None, None
+    return d_params, d_qrow, d_kv.astype(kv_dtype), None, None, None
 
 
 _shared_core.defvjp(_shared_fwd, _shared_bwd)
@@ -479,6 +493,7 @@ def fused_fusion_pool_shared(
     base_mask_prob: jax.typing.ArrayLike = 0.15,
     entropy_target: jax.typing.ArrayLike = 0.7,
     min_active: int = 1,
+    key_padding_mask: Optional[jax.Array] = None,
     precision: str = "default",
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, Dict[str, jax.Array]]:
@@ -516,6 +531,7 @@ def fused_fusion_pool_shared(
         kv,
         seed,
         jnp.asarray(base_mask_prob, jnp.float32),
+        key_padding_mask,
         num_heads,
         min_active,
         training,

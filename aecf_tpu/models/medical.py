@@ -17,9 +17,9 @@ from typing import Any, Dict, Optional, Tuple, Union
 import jax
 import jax.numpy as jnp
 
-from ..core.attention import AttentionPoolParams, attention_pool_core
+from ..core.attention import AttentionPoolParams
 from ..core.init import init_attention_pool_params, init_fusion_query
-from ..core.masking import curriculum_mask
+from ..ops import fusion_pool
 from .layers import LinearParams, init_linear, mlp_encoder
 
 __all__ = ["MedicalDiagnosisModel", "MedicalDiagnosisParams"]
@@ -105,15 +105,18 @@ class MedicalDiagnosisModel:
         modalities = jnp.stack(slots, axis=1)  # (B, 3, H)
         key_padding_mask = jnp.stack(padding, axis=1)  # (B, 3)
 
-        query = jnp.broadcast_to(params.fusion_query, (B, 1, h))
-        pooled, weights = attention_pool_core(
+        # Shared-query fused kernel on TPU (padding-aware); XLA elsewhere.
+        pooled, weights, masked_weights, mask_info = fusion_pool(
             params.pool,
-            query,
-            modalities,
+            params.fusion_query,
             modalities,
             num_heads=self.num_heads,
+            rng=k_mask,
+            training=training and return_info,
+            base_mask_prob=self.mask_prob,
+            entropy_target=self.entropy_target,
+            min_active=self.min_active,
             key_padding_mask=key_padding_mask,
-            need_weights=True,
         )
 
         logits = pooled.squeeze(1) @ params.classifier.weight.T
@@ -121,18 +124,8 @@ class MedicalDiagnosisModel:
             logits = logits + params.classifier.bias
 
         if return_info:
-            masked_weights, mask_info = curriculum_mask(
-                weights,
-                key=k_mask,
-                training=training,
-                base_mask_prob=self.mask_prob,
-                entropy_target=self.entropy_target,
-                min_active=self.min_active,
-            )
             info: Dict[str, Any] = dict(mask_info)
             info["attention_weights"] = weights
-            info["masked_attention_weights"] = jax.lax.stop_gradient(
-                masked_weights
-            )
+            info["masked_attention_weights"] = masked_weights
             return logits, info
         return logits

@@ -50,6 +50,7 @@ def fusion_pool(
     base_mask_prob: jax.typing.ArrayLike = 0.15,
     entropy_target: jax.typing.ArrayLike = 0.7,
     min_active: int = 1,
+    key_padding_mask: Optional[jax.Array] = None,
     implementation: str = "auto",
     precision: str = "highest",
 ) -> Tuple[jax.Array, jax.Array, jax.Array, Dict[str, jax.Array]]:
@@ -58,7 +59,8 @@ def fusion_pool(
     Returns ``(out (B,1,E), weights (B,1,M), masked (B,1,M), info)``.
     ``implementation='auto'`` uses the Pallas kernels on TPU (shared-query
     variant when ``query`` is the unexpanded ``(1,1,E)`` parameter);
-    ``'xla'`` forces the oracle path.
+    ``'xla'`` forces the oracle path.  ``key_padding_mask (B, M)`` (True =
+    padded slot) is supported by the shared kernel and the XLA path.
     """
     B = kv.shape[0]
     E = query.shape[-1]
@@ -72,6 +74,8 @@ def fusion_pool(
                     tgt_len=query.shape[1], num_heads=num_heads, embed_dim=E
                 )
                 and query.dtype == jnp.float32
+                # generic kernel has no padding support
+                and (key_padding_mask is None or query.shape[0] == 1)
             )
             else "xla"
         )
@@ -88,7 +92,13 @@ def fusion_pool(
                 base_mask_prob=base_mask_prob,
                 entropy_target=entropy_target,
                 min_active=min_active,
+                key_padding_mask=key_padding_mask,
                 precision=precision,
+            )
+        if key_padding_mask is not None:
+            raise ValueError(
+                "key_padding_mask with a per-row query requires "
+                "implementation='xla'"
             )
         return fused_fusion_pool(
             params,
@@ -108,7 +118,13 @@ def fusion_pool(
         else query
     )
     out, weights = attention_pool_core(
-        params, q_full, kv, kv, num_heads=num_heads, need_weights=True
+        params,
+        q_full,
+        kv,
+        kv,
+        num_heads=num_heads,
+        key_padding_mask=key_padding_mask,
+        need_weights=True,
     )
     masked, info = curriculum_mask(
         weights,

@@ -144,6 +144,44 @@ def test_module_auto_dispatch_uses_kernel():
     assert set(info_a) == set(info_x)
 
 
+def test_shared_kernel_key_padding_mask():
+    """Padded modality slots get exactly zero weight; output and grads
+    match the padded oracle."""
+    from aecf_tpu.kernels import fused_fusion_pool_shared
+
+    E, M, B, H = 128, 3, 64, 4
+    params = init_attention_pool_params(jax.random.key(0), E)
+    query = init_fusion_query(jax.random.key(1), E)
+    kv = jax.random.normal(jax.random.key(2), (B, M, E))
+    kpm = jnp.stack(
+        [
+            jnp.zeros(B, bool),
+            jax.random.bernoulli(jax.random.key(3), 0.5, (B,)),
+            jnp.zeros(B, bool),
+        ],
+        axis=1,
+    )
+    with jax.default_matmul_precision("highest"):
+        out_o, w_o = attention_pool_core(
+            params,
+            jnp.broadcast_to(query, (B, 1, E)),
+            kv,
+            kv,
+            num_heads=H,
+            key_padding_mask=kpm,
+            need_weights=True,
+        )
+    out_k, w_k, _, _ = fused_fusion_pool_shared(
+        params, query, kv, num_heads=H, training=False,
+        key_padding_mask=kpm, precision="highest",
+    )
+    np.testing.assert_allclose(out_k, out_o, atol=1e-5)
+    np.testing.assert_allclose(w_k, w_o, atol=1e-5)
+    np.testing.assert_array_equal(
+        np.asarray(jnp.where(kpm[:, None, :], w_k, 0.0)), 0.0
+    )
+
+
 def test_shared_kernel_bf16_features():
     """bf16 feature storage: math stays f32, parity holds on the
     dequantized input, kv cotangent returns in bf16."""
