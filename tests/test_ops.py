@@ -1,0 +1,88 @@
+"""ops.fusion_pool dispatch semantics (CPU: xla fallback paths)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aecf_tpu.core.attention import attention_pool_core
+from aecf_tpu.core.init import init_attention_pool_params, init_fusion_query
+from aecf_tpu.core.masking import curriculum_mask
+from aecf_tpu.ops import fusion_pool
+
+KEY = jax.random.key(0)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    E, M, B = 16, 3, 8
+    params = init_attention_pool_params(KEY, E)
+    query = init_fusion_query(jax.random.key(1), E)
+    kv = jax.random.normal(jax.random.key(2), (B, M, E))
+    return params, query, kv, E, M, B
+
+
+def test_auto_on_cpu_is_xla_and_matches_core(setup):
+    params, query, kv, E, M, B = setup
+    out, w, mw, info = fusion_pool(
+        params, query, kv, rng=jax.random.key(3), training=True
+    )
+    q_full = jnp.broadcast_to(query, (B, 1, E))
+    out_ref, w_ref = attention_pool_core(
+        params, q_full, kv, kv, num_heads=1, need_weights=True
+    )
+    np.testing.assert_allclose(out, out_ref, atol=1e-6)
+    np.testing.assert_allclose(w, w_ref, atol=1e-6)
+    assert set(info) == {"entropy", "mask_rate", "target_entropy"}
+    # masked weights are detached
+    assert mw.shape == (B, 1, M)
+
+
+def test_padding_mask_xla_path(setup):
+    params, query, kv, E, M, B = setup
+    kpm = jnp.zeros((B, M), bool).at[:, 1].set(True)
+    out, w, _, _ = fusion_pool(
+        params, query, kv, training=False, key_padding_mask=kpm
+    )
+    np.testing.assert_allclose(np.asarray(w[:, :, 1]), 0.0, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(w.sum(-1)), 1.0, rtol=1e-5)
+
+
+def test_per_row_query_supported(setup):
+    params, _, kv, E, M, B = setup
+    q = jax.random.normal(jax.random.key(5), (B, 1, E))
+    out, w, _, _ = fusion_pool(params, q, kv, training=False)
+    out_ref, w_ref = attention_pool_core(
+        params, q, kv, kv, num_heads=1, need_weights=True
+    )
+    np.testing.assert_allclose(out, out_ref, atol=1e-6)
+
+
+def test_explicit_pallas_per_row_with_padding_rejected(setup):
+    params, _, kv, E, M, B = setup
+    q = jax.random.normal(jax.random.key(5), (B, 1, E))
+    kpm = jnp.zeros((B, M), bool)
+    with pytest.raises(ValueError, match="key_padding_mask"):
+        fusion_pool(
+            params,
+            q,
+            kv,
+            training=False,
+            key_padding_mask=kpm,
+            implementation="pallas",
+        )
+
+
+def test_masked_weights_match_core_masking(setup):
+    params, query, kv, E, M, B = setup
+    rng = jax.random.key(9)
+    out, w, mw, info = fusion_pool(
+        params, query, kv, rng=rng, training=True, base_mask_prob=0.9
+    )
+    # The xla path must implement masking exactly as curriculum_mask: the
+    # rng is consumed identically.
+    mw_ref, info_ref = curriculum_mask(
+        w, key=rng, training=True, base_mask_prob=0.9
+    )
+    np.testing.assert_allclose(mw, mw_ref, atol=1e-7)
+    np.testing.assert_allclose(info["entropy"], info_ref["entropy"], atol=1e-7)
