@@ -284,9 +284,6 @@ def _forward(
             key_padding_mask, jnp.float32(-1e30), jnp.float32(0.0)
         )
 
-    # Tile sized for VMEM: M-unrolled compute keeps only the kv tile + a
-    # couple of (TB, E) temporaries live; bigger tiles amortize per-grid-step
-    # overhead.
     # Tile size vs the 16MB scoped-vmem budget.  The live set scales with
     # the kv tile (TB·M·E·4, double-buffered) plus per-head temporaries from
     # the unrolled head loop (~H/2 extra (TB, E) buffers): TB=512 at
