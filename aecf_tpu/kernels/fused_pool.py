@@ -127,7 +127,6 @@ def _fusion_kernel(
     # lane-dim reshapes that Mosaic relayouts poorly.
     scale = Dh ** -0.5
     w_acc = jnp.zeros((TB, M), f32)
-    attn_heads = []
     ctx_parts = []
     for h in range(H):
         qh = qp[:, h * Dh : (h + 1) * Dh]  # (TB, Dh)
@@ -137,7 +136,6 @@ def _fusion_kernel(
         smax = s.max(axis=-1, keepdims=True)
         e = jnp.exp(s - smax)
         a = e / e.sum(axis=-1, keepdims=True)  # softmax over M
-        attn_heads.append(a)
         w_acc = w_acc + a
         ctx_parts.append((a[:, :, None] * vh).sum(axis=1))  # (TB, Dh)
 

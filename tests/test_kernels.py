@@ -216,6 +216,33 @@ def test_shared_kernel_bf16_features():
     assert bool(jnp.isfinite(g.astype(jnp.float32)).all())
 
 
+def test_kernel_prng_reproducibility():
+    """docs/prng.md contract: same key + same shapes → identical masks;
+    different keys → different masks with the same distribution."""
+    from aecf_tpu.kernels import fused_fusion_pool_shared
+
+    E, M, B = 128, 3, 512
+    params = init_attention_pool_params(jax.random.key(0), E)
+    query = init_fusion_query(jax.random.key(1), E)
+    kv = jax.random.normal(jax.random.key(2), (B, M, E))
+
+    def run(key):
+        _, _, mw, info = fused_fusion_pool_shared(
+            params, query, kv, training=True, rng=key, base_mask_prob=0.9
+        )
+        return np.asarray(mw), np.asarray(info["mask_rate"])
+
+    mw_a, rate_a = run(jax.random.key(7))
+    mw_b, rate_b = run(jax.random.key(7))
+    np.testing.assert_array_equal(mw_a, mw_b)
+    np.testing.assert_array_equal(rate_a, rate_b)
+
+    mw_c, rate_c = run(jax.random.key(8))
+    assert not np.array_equal(mw_a, mw_c)
+    # same distribution: mean mask rates within a few percent at B=512
+    assert abs(rate_a.mean() - rate_c.mean()) < 0.08
+
+
 def test_supports_fused_gate():
     assert supports_fused(tgt_len=1, num_heads=1, embed_dim=512)
     assert not supports_fused(tgt_len=2, num_heads=1, embed_dim=512)
