@@ -27,6 +27,11 @@ if _FORCE_CPU:
     # The axon TPU plugin in this image ignores the JAX_PLATFORMS env var;
     # the config knob is honored.
     jax.config.update("jax_platforms", "cpu")
+else:
+    # Running the suite against real hardware: hold matmuls to f32 passes.
+    # TPU's default bf16 multiplies would blow the suite's 1e-5/1e-6
+    # tolerances, which pin semantics, not hardware precision.
+    jax.config.update("jax_default_matmul_precision", "highest")
 
 # Persistent compilation cache: this box has 1 vCPU and XLA compiles dominate
 # test wall-clock; cache compiled executables across pytest runs.

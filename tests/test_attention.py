@@ -21,7 +21,7 @@ from aecf_tpu.core.attention import (
 )
 from aecf_tpu.core.init import init_attention_pool_params
 
-ATOL = 1e-5
+ATOL = 1e-5 if jax.default_backend() == "cpu" else 2e-4  # TPU transcendentals
 
 
 def make_params(key, embed_dim, bias=True):
@@ -170,7 +170,7 @@ def test_fast_path_sdpa_matches_numpy():
     expected = np.einsum("bts,bse->bte", attn, v)
 
     got = scaled_dot_product_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
-    np.testing.assert_allclose(got, expected, atol=1e-6)
+    np.testing.assert_allclose(got, expected, atol=ATOL)
 
 
 def test_gradients_flow_and_match_torch():
@@ -195,15 +195,16 @@ def test_gradients_flow_and_match_torch():
     t_out, _ = mha(tq, tk, tk, need_weights=False)
     (t_out**2).sum().backward()
 
+    g_atol = 1e-4 if jax.default_backend() == "cpu" else 5e-4
     np.testing.assert_allclose(
-        grads.in_proj_weight, mha.in_proj_weight.grad.numpy(), atol=1e-4
+        grads.in_proj_weight, mha.in_proj_weight.grad.numpy(), atol=g_atol
     )
     np.testing.assert_allclose(
-        grads.out_proj_weight, mha.out_proj.weight.grad.numpy(), atol=1e-4
+        grads.out_proj_weight, mha.out_proj.weight.grad.numpy(), atol=g_atol
     )
     np.testing.assert_allclose(
-        grads.in_proj_bias, mha.in_proj_bias.grad.numpy(), atol=1e-4
+        grads.in_proj_bias, mha.in_proj_bias.grad.numpy(), atol=g_atol
     )
     np.testing.assert_allclose(
-        grads.out_proj_bias, mha.out_proj.bias.grad.numpy(), atol=1e-4
+        grads.out_proj_bias, mha.out_proj.bias.grad.numpy(), atol=g_atol
     )

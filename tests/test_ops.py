@@ -76,8 +76,12 @@ def test_explicit_pallas_per_row_with_padding_rejected(setup):
 def test_masked_weights_match_core_masking(setup):
     params, query, kv, E, M, B = setup
     rng = jax.random.key(9)
+    # implementation='xla' explicitly: the pallas kernel draws from the
+    # in-kernel TPU PRNG, a different stream than jax.random.bernoulli
+    # (docs/prng.md) — this test pins the XLA path's rng equivalence.
     out, w, mw, info = fusion_pool(
-        params, query, kv, rng=rng, training=True, base_mask_prob=0.9
+        params, query, kv, rng=rng, training=True, base_mask_prob=0.9,
+        implementation="xla",
     )
     # The xla path must implement masking exactly as curriculum_mask: the
     # rng is consumed identically.

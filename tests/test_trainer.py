@@ -24,7 +24,8 @@ def test_bce_matches_torch_formula():
     # BCEWithLogits: max(x,0) - x*z + log(1+exp(-|x|)), mean.
     x, z = np.asarray(logits), np.asarray(labels)
     want = np.mean(np.maximum(x, 0) - x * z + np.log1p(np.exp(-np.abs(x))))
-    np.testing.assert_allclose(bce_with_logits_loss(logits, labels), want, rtol=1e-6)
+    rtol = 1e-6 if jax.default_backend() == "cpu" else 2e-5  # TPU sigmoid/log
+    np.testing.assert_allclose(bce_with_logits_loss(logits, labels), want, rtol=rtol)
 
 
 def test_mask_modality():
