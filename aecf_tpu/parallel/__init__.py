@@ -7,6 +7,12 @@ from .mesh import (
     make_mesh,
     maybe_initialize_distributed,
 )
+from .tensor_parallel import (
+    attention_pool_pspecs,
+    make_tp_train_step,
+    shard_params_tp,
+    tp_param_specs,
+)
 
 __all__ = [
     "make_dp_train_step",
@@ -16,4 +22,8 @@ __all__ = [
     "data_model_mesh",
     "make_mesh",
     "maybe_initialize_distributed",
+    "attention_pool_pspecs",
+    "tp_param_specs",
+    "shard_params_tp",
+    "make_tp_train_step",
 ]

@@ -1,0 +1,165 @@
+"""Tensor parallelism: head-sharded attention pooling over a GSPMD mesh.
+
+The reference is single-device (SURVEY.md §2.4) — TP is new TPU-native
+capability, optional headroom for large embed dims.  The scheme is the
+standard Megatron column→row split expressed purely through shardings; XLA
+inserts the collectives (an ICI all-reduce on the out-projection's partial
+sums), no manual comm code:
+
+* ``in_proj_weight (3E, E)`` sharded on axis 0 (output features): each
+  device owns a contiguous slice of the packed Q/K/V projection rows.  When
+  ``model_parallelism`` divides ``num_heads`` (and hence E), device slices
+  align with head boundaries and the score/context contractions stay fully
+  local per device.
+* ``out_proj_weight (E, E)`` sharded on axis 1 (the contraction dim, torch
+  ``x @ W.T`` convention): each device contracts its local context slice and
+  the partial outputs are psum'd by XLA.
+* biases: ``in_proj_bias`` sharded to match its weight rows;
+  ``out_proj_bias`` replicated (added once after the reduce).
+
+Everything that is not an attention pool (encoders, classifier, queries)
+stays replicated — at AECF scale (E ≤ 1024) TP exists for the fusion layer's
+projection GEMMs, which is where the model's FLOPs live (SURVEY.md §3.1).
+
+Composes with data parallelism on a 2-D ``('data', 'model')`` mesh
+(``data_model_mesh``): batch sharded over ``data``, pool weights over
+``model``; grad reduction over ``data`` is likewise inserted by XLA since
+this path is plain GSPMD jit (no shard_map).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.attention import AttentionPoolParams
+from ..train.trainer import TrainState, bce_with_logits_loss
+
+__all__ = [
+    "attention_pool_pspecs",
+    "tp_param_specs",
+    "shard_params_tp",
+    "make_tp_train_step",
+]
+
+
+def attention_pool_pspecs(
+    params: Optional[AttentionPoolParams] = None, *, model_axis: str = "model"
+) -> AttentionPoolParams:
+    """PartitionSpecs for one attention pool, head-sharded over ``model_axis``.
+
+    Returns an ``AttentionPoolParams`` whose array slots hold
+    ``PartitionSpec``s (bias slots are ``None`` wherever ``params`` has no
+    bias, so the spec tree's structure matches the param tree's).
+    """
+    has_in_bias = params is None or params.in_proj_bias is not None
+    has_out_bias = params is None or params.out_proj_bias is not None
+    return AttentionPoolParams(
+        in_proj_weight=P(model_axis, None),
+        out_proj_weight=P(None, model_axis),
+        in_proj_bias=P(model_axis) if has_in_bias else None,
+        out_proj_bias=P() if has_out_bias else None,
+    )
+
+
+def tp_param_specs(params: Any, *, model_axis: str = "model") -> Any:
+    """PartitionSpec pytree for a model's params: every
+    ``AttentionPoolParams`` subtree head-sharded, all other leaves replicated.
+
+    The result has the same pytree structure as ``params`` and can be passed
+    to :func:`shard_params_tp`, ``jax.device_put``, or ``jit``'s
+    ``in_shardings``.
+    """
+
+    def is_pool_or_none(x):
+        return isinstance(x, AttentionPoolParams) or x is None
+
+    def spec_for(x):
+        if x is None:
+            return None
+        if isinstance(x, AttentionPoolParams):
+            return attention_pool_pspecs(x, model_axis=model_axis)
+        return P()
+
+    return jax.tree.map(spec_for, params, is_leaf=is_pool_or_none)
+
+
+def shard_params_tp(
+    mesh: Mesh, params: Any, *, model_axis: str = "model"
+) -> Any:
+    """Device-put ``params`` with tensor-parallel shardings over ``mesh``.
+
+    Attention-pool weights land head-sharded on the ``model_axis``; every
+    other leaf is replicated.  For collective-free Q/K/V projections the
+    mesh's model-axis size should divide each pool's ``num_heads`` (GSPMD is
+    value-correct regardless — misaligned splits just cost extra comm).
+    """
+    specs = tp_param_specs(params, model_axis=model_axis)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
+    )
+
+
+def make_tp_train_step(
+    apply_fn: Callable[..., Any],
+    optimizer: optax.GradientTransformation,
+    mesh: Mesh,
+    *,
+    data_axis: Optional[str] = "data",
+    loss_fn: Callable[
+        [jax.Array, jax.Array], jax.Array
+    ] = bce_with_logits_loss,
+) -> Callable:
+    """Build a jitted GSPMD ``(state, images, texts, labels, rng) ->
+    (state, loss, info)`` train step for TP (optionally TP × DP) params.
+
+    ``state.params`` must already carry committed shardings (see
+    :func:`shard_params_tp`); jit propagates them through the step and XLA
+    inserts the TP collectives.  When ``data_axis`` names an axis of
+    ``mesh``, batch inputs are additionally constrained to shard over it
+    (DP × TP on a 2-D mesh); pass ``data_axis=None`` for pure TP.
+
+    ``apply_fn(params, images, texts, rng) -> (logits, info)`` sees the
+    global (logical) batch — unlike the shard_map DP step there is no
+    per-shard view, so loss scaling and RNG folding need no special care.
+    """
+    if data_axis is not None and data_axis in mesh.axis_names:
+        batch_sharding = NamedSharding(mesh, P(data_axis))
+    else:
+        batch_sharding = None
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def tp_step(state, images, texts, labels, rng):
+        if batch_sharding is not None:
+            images, texts, labels = (
+                jax.lax.with_sharding_constraint(x, batch_sharding)
+                for x in (images, texts, labels)
+            )
+
+        def local_loss(params):
+            logits, info = apply_fn(params, images, texts, rng)
+            return loss_fn(logits, labels), info
+
+        (loss, info), grads = jax.value_and_grad(local_loss, has_aux=True)(
+            state.params
+        )
+        updates, opt_state = optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        params = optax.apply_updates(state.params, updates)
+        info = jax.tree.map(jnp.mean, info)
+        return (
+            TrainState(
+                params=params, opt_state=opt_state, step=state.step + 1
+            ),
+            loss,
+            info,
+        )
+
+    return tp_step

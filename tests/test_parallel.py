@@ -10,13 +10,17 @@ import numpy as np
 import optax
 import pytest
 
+from aecf_tpu.core import AttentionPoolParams
 from aecf_tpu.models import XrayAECFModel
 from aecf_tpu.parallel import (
     data_mesh,
     data_model_mesh,
     make_dp_train_step,
+    make_tp_train_step,
     replicate,
     shard_batch,
+    shard_params_tp,
+    tp_param_specs,
 )
 from aecf_tpu.train import TrainState, make_train_step
 
@@ -119,6 +123,110 @@ def test_dp_training_descends():
     assert losses[-1] < losses[0]
     assert np.isfinite(losses).all()
     assert "entropy" in info
+
+
+def test_tp_param_specs_structure():
+    """Spec tree mirrors the param tree: pools head-sharded, rest replicated."""
+    from jax.sharding import PartitionSpec as P
+
+    model, _, state, *_ = _setup()
+    specs = tp_param_specs(state.params)
+    assert specs.pool.in_proj_weight == P("model", None)
+    assert specs.pool.out_proj_weight == P(None, "model")
+    assert specs.pool.in_proj_bias == P("model")
+    assert specs.pool.out_proj_bias == P()
+    assert specs.classifier_out.weight == P()
+    # same structure ⇒ usable directly as a device_put / in_shardings tree
+    assert jax.tree.structure(specs, is_leaf=lambda x: isinstance(x, type(P()))) \
+        == jax.tree.structure(state.params)
+    # biasless pools put None in the bias slots to keep structures aligned
+    biasless = AttentionPoolParams(
+        in_proj_weight=jnp.zeros((12, 4)), out_proj_weight=jnp.zeros((4, 4))
+    )
+    s = tp_param_specs(biasless)
+    assert s.in_proj_bias is None and s.out_proj_bias is None
+
+
+def test_tp_step_matches_single_device():
+    """GSPMD head-sharded step == unsharded step (values, not layout).
+
+    Deterministic apply + SGD for the same reasons as the DP parity test.
+    num_heads=2 divides the model axis so Q/K/V shards align with heads.
+    """
+    model = XrayAECFModel(
+        image_dim=32, text_dim=32, hidden_dim=16, num_classes=5, num_heads=2
+    )
+    img = jax.random.normal(jax.random.key(1), (32, 32))
+    txt = jax.random.normal(jax.random.key(2), (32, 32))
+    lab = (
+        jax.random.uniform(jax.random.key(3), (32, 5)) < 0.3
+    ).astype(jnp.float32)
+    opt = optax.sgd(0.1)
+
+    def apply_fn(params, images, texts, rng):
+        logits = model.apply(params, images, texts, training=False)
+        return logits, {}
+
+    params = model.init(jax.random.key(0))
+    state = TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+    single_step = make_train_step(apply_fn, opt)
+    new_single, loss_single, _ = single_step(
+        state, img, txt, lab, jax.random.key(9)
+    )
+
+    mesh = data_model_mesh(8, model_parallelism=2)
+    params2 = shard_params_tp(mesh, model.init(jax.random.key(0)))
+    state2 = TrainState(
+        params2, opt.init(params2), jnp.zeros((), jnp.int32)
+    )
+    tp_step = make_tp_train_step(apply_fn, opt, mesh)
+    new_tp, loss_tp, _ = tp_step(state2, img, txt, lab, jax.random.key(9))
+
+    np.testing.assert_allclose(float(loss_tp), float(loss_single), rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), b, atol=1e-5),
+        new_tp.params,
+        new_single.params,
+    )
+    # the pool weights actually live sharded over the model axis
+    assert len(new_tp.params.pool.in_proj_weight.sharding.device_set) == 8
+
+
+def test_tp_dp_combined_training_descends():
+    """DP × TP on a (4, 2) mesh: full training step with curriculum on."""
+    model = XrayAECFModel(
+        image_dim=32, text_dim=32, hidden_dim=16, num_classes=5, num_heads=2
+    )
+    img = jax.random.normal(jax.random.key(1), (64, 32))
+    txt = jax.random.normal(jax.random.key(2), (64, 32))
+    lab = (
+        jax.random.uniform(jax.random.key(3), (64, 5)) < 0.3
+    ).astype(jnp.float32)
+    opt = optax.adamw(1e-3)
+    mesh = data_model_mesh(8, model_parallelism=2)
+    params = shard_params_tp(mesh, model.init(jax.random.key(0)))
+    state = TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+
+    def apply_fn(params, images, texts, rng):
+        return model.apply(
+            params,
+            images,
+            texts,
+            training=True,
+            rng=rng,
+            curriculum_enabled=True,
+            missing_modality_training=True,
+            return_info=True,
+        )
+
+    tp_step = make_tp_train_step(apply_fn, opt, mesh)
+    losses = []
+    for i in range(10):
+        state, loss, info = tp_step(state, img, txt, lab, jax.random.key(i))
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+    assert np.isfinite(losses).all()
+    assert info["entropy"].shape == () and bool(jnp.isfinite(info["entropy"]))
 
 
 def test_dp_info_is_global_mean():
