@@ -485,7 +485,9 @@ def fused_fusion_pool(
     if T != 1:
         raise ValueError(f"fused kernel requires tgt_len == 1, got {T}")
 
-    if training and rng is None:
+    # M<=1 masking is an early-return no-op (reference AECFLayer.py:160-167),
+    # so no randomness is consumed and no key is required.
+    if training and rng is None and kv.shape[1] > 1:
         raise ValueError(
             "fused_fusion_pool(training=True) needs an `rng=` key"
         )

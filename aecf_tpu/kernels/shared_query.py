@@ -511,7 +511,9 @@ def fused_fusion_pool_shared(
             f"shared-query kernel expects query (1, 1, E), got {query.shape}"
         )
     M = kv.shape[1]
-    if training and rng is None:
+    # M<=1 masking is an early-return no-op (reference AECFLayer.py:160-167),
+    # so no randomness is consumed and no key is required.
+    if training and rng is None and M > 1:
         raise ValueError(
             "fused_fusion_pool_shared(training=True) needs an `rng=` key"
         )

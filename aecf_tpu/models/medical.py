@@ -112,7 +112,9 @@ class MedicalDiagnosisModel:
             modalities,
             num_heads=self.num_heads,
             rng=k_mask,
-            training=training and return_info,
+            # Masking runs whenever training, like the reference module —
+            # NOT gated on return_info (info is just the observability view).
+            training=training,
             base_mask_prob=self.mask_prob,
             entropy_target=self.entropy_target,
             min_active=self.min_active,

@@ -418,6 +418,13 @@ class MultimodalAttentionPool:
             and query.dtype == jnp.float32
             and self.embed_dim <= 1024
             and not self.apply_masking_to_output
+            # detach_info=False (trainable entropy) needs the XLA path: the
+            # fused kernels stop_gradient their entropy output, which would
+            # silently zero the entropy regularizer's gradient on TPU.
+            and (
+                self.curriculum_masking is None
+                or self.curriculum_masking.detach_info
+            )
         )
 
     def _pallas_forward(self, params, query, kv, *, return_info, mask_rng):

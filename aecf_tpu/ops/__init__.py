@@ -76,6 +76,10 @@ def fusion_pool(
                 and query.dtype == jnp.float32
                 # generic kernel has no padding support
                 and (key_padding_mask is None or query.shape[0] == 1)
+                # M<=1 masking is an early-return no-op that needs no rng;
+                # route it to XLA so training an M=1 stack without a
+                # curriculum key works identically on all backends.
+                and kv.shape[1] > 1
             )
             else "xla"
         )
@@ -117,15 +121,19 @@ def fusion_pool(
         if query.shape[0] == 1
         else query
     )
-    out, weights = attention_pool_core(
-        params,
-        q_full,
-        kv,
-        kv,
-        num_heads=num_heads,
-        key_padding_mask=key_padding_mask,
-        need_weights=True,
-    )
+    # Honor the requested matmul precision on the fallback too: on TPU, f32
+    # dots otherwise default to bf16 MXU passes, which would make
+    # implementation='xla' silently less precise than the pallas path.
+    with jax.default_matmul_precision(precision):
+        out, weights = attention_pool_core(
+            params,
+            q_full,
+            kv,
+            kv,
+            num_heads=num_heads,
+            key_padding_mask=key_padding_mask,
+            need_weights=True,
+        )
     masked, info = curriculum_mask(
         weights,
         key=rng,

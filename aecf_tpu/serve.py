@@ -8,7 +8,10 @@ probabilities.
 
 Usage::
 
-    predictor = FusionPredictor(model.apply, params, buckets=(32, 256))
+    predictor = FusionPredictor(
+        model.apply, params,
+        modality_names=("image", "text"), buckets=(32, 256),
+    )
     probs = predictor(image=imgs, text=txts)           # any batch size
     probs = predictor(image=imgs)                      # text missing → zeros
 """
@@ -69,12 +72,6 @@ class FusionPredictor:
             return jax.nn.sigmoid(logits) if apply_sigmoid else logits
 
         self._jitted = jax.jit(_run)
-
-    def _feature_dims(self, kwargs: Dict[str, np.ndarray]) -> Dict[str, int]:
-        dims = {}
-        for name, x in kwargs.items():
-            dims[name] = x.shape[1]
-        return dims
 
     def __call__(self, **modalities: np.ndarray) -> np.ndarray:
         """Predict for any subset of modalities; absent ones are zeroed.

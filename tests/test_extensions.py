@@ -152,3 +152,40 @@ class TestApplyMaskingToOutput:
             num_heads=4,
         )
         np.testing.assert_allclose(out, expected, atol=1e-6)
+
+
+class TestPallasDispatchGates:
+    """Configs whose semantics the fused kernels can't honor must fall back
+    to the XLA path (otherwise e.g. the kernel's stop_gradient on entropy
+    would silently zero the trainable-entropy extension's gradient on TPU)."""
+
+    def _gate(self, pool, q, kv):
+        return pool._pallas_supported(
+            q, kv, kv, None, None, False, None
+        )
+
+    def test_detach_info_false_disables_pallas(self):
+        q = jnp.zeros((4, 1, 16))
+        kv = jnp.zeros((4, 3, 16))
+        base = dict(key=KEY)
+        pool = MultimodalAttentionPool(
+            16, curriculum_masking=CurriculumMasking(), **base
+        )
+        assert self._gate(pool, q, kv)
+        pool_nd = MultimodalAttentionPool(
+            16,
+            curriculum_masking=CurriculumMasking(detach_info=False),
+            **base,
+        )
+        assert not self._gate(pool_nd, q, kv)
+
+    def test_apply_masking_to_output_disables_pallas(self):
+        q = jnp.zeros((4, 1, 16))
+        kv = jnp.zeros((4, 3, 16))
+        pool = MultimodalAttentionPool(
+            16,
+            curriculum_masking=CurriculumMasking(),
+            key=KEY,
+            apply_masking_to_output=True,
+        )
+        assert not self._gate(pool, q, kv)

@@ -98,6 +98,32 @@ class TestMedical:
         with pytest.raises(ValueError, match="At least one"):
             self.model.apply(self.params)
 
+    def test_masking_runs_whenever_training(self):
+        """Masking must not be gated on return_info (reference module
+        semantics): training with info requested reports a live mask, and
+        training WITHOUT info still wires the training path — observable via
+        the mandatory curriculum rng."""
+        kwargs = dict(
+            image=jax.random.normal(jax.random.key(1), (4, 1024)),
+            lab=jax.random.normal(jax.random.key(2), (4, 50)),
+            clinical=jax.random.normal(jax.random.key(3), (4, 200)),
+        )
+        _, info = self.model.apply(
+            self.params, **kwargs,
+            training=True, rng=jax.random.key(4), return_info=True,
+        )
+        assert float(info["mask_rate"].sum()) > 0.0
+        assert "target_entropy" in info
+        # return_info=False keeps the training path active: the masking rng
+        # is still required (it would be silently unused under the old
+        # `training and return_info` gating).
+        with pytest.raises(ValueError):
+            self.model.apply(self.params, **kwargs, training=True)
+        logits = self.model.apply(
+            self.params, **kwargs, training=True, rng=jax.random.key(4)
+        )
+        assert bool(jnp.isfinite(logits).all())
+
 
 class TestMultiScale:
     def test_per_scale_fusion(self):
@@ -116,6 +142,57 @@ class TestMultiScale:
         params = model.init(KEY)
         with pytest.raises(ValueError, match="scales"):
             model.apply(params, [jnp.ones((2, 2, 32))])
+
+    def test_per_scale_curriculum_info(self):
+        """Each scale carries its own masking (README create_fusion_pool
+        pattern): training info has the full key-set, eval drops
+        target_entropy, and masking stats differ across scales."""
+        model = MultiScaleFusion(dims=(32, 64), mask_prob=0.9)
+        params = model.init(KEY)
+        mods = [
+            jax.random.normal(jax.random.key(1), (4, 2, 32)),
+            jax.random.normal(jax.random.key(2), (4, 2, 64)),
+        ]
+        outs, infos = model.apply(
+            params, mods, training=True, rng=jax.random.key(3),
+            return_info=True,
+        )
+        assert len(infos) == 2
+        for info in infos:
+            assert set(info) == {
+                "entropy", "mask_rate", "target_entropy",
+                "attention_weights", "masked_attention_weights",
+            }
+            assert bool(jnp.isfinite(info["entropy"]).all())
+        assert float(sum(i["mask_rate"].sum() for i in infos)) > 0.0
+        # eval path: no target_entropy, zero mask rate
+        _, einfos = model.apply(params, mods, return_info=True)
+        for info in einfos:
+            assert "target_entropy" not in info
+            assert float(info["mask_rate"].sum()) == 0.0
+
+    def test_masking_does_not_change_output(self):
+        """Reference quirk Q1 holds per scale: outputs are identical with
+        masking active vs eval mode."""
+        model = MultiScaleFusion(dims=(32, 64), mask_prob=0.9)
+        params = model.init(KEY)
+        mods = [
+            jax.random.normal(jax.random.key(1), (4, 2, 32)),
+            jax.random.normal(jax.random.key(2), (4, 2, 64)),
+        ]
+        outs_train, _ = model.apply(
+            params, mods, training=True, rng=jax.random.key(3),
+            return_info=True,
+        )
+        outs_eval = model.apply(params, mods)
+        for a, b in zip(outs_train, outs_eval):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    def test_training_requires_rng(self):
+        model = MultiScaleFusion(dims=(32,))
+        params = model.init(KEY)
+        with pytest.raises(ValueError, match="rng"):
+            model.apply(params, [jnp.ones((2, 2, 32))], training=True)
 
 
 class TestXrayModels:
