@@ -194,6 +194,88 @@ def main():
     print(f"wrote {OUT} with {len(cases)} cases")
 
 
+def generate_torch_ckpt_golden():
+    """Golden for the torch-checkpoint converter (contrib/torch_compat.py):
+    a reference pool with TORCH's own random init, its state_dict persisted
+    as npz, plus eval and injected-mask train outputs on fixed inputs.  Also
+    dev-time-checks the export direction: our state_dict round-trips through
+    ``load_state_dict(strict=True)`` on a fresh reference pool.
+    """
+    from aecf import CurriculumMasking as RefMasking
+    from aecf import MultimodalAttentionPool as RefPool
+
+    out_path = os.path.join(
+        os.path.dirname(__file__), "torch_ckpt_golden.npz"
+    )
+    E, M, B, H = 24, 3, 5, 3
+    torch.manual_seed(123)
+    pool = RefPool(
+        embed_dim=E,
+        num_heads=H,
+        curriculum_masking=RefMasking(
+            base_mask_prob=0.5, entropy_target=0.7, min_active=1
+        ),
+        batch_first=True,
+    )
+    rng = np.random.default_rng(11)
+    q = rng.normal(size=(B, 1, E)).astype(np.float32)
+    kv = rng.normal(size=(B, M, E)).astype(np.float32)
+    mask = (rng.random((B, 1, M)) > 0.4).astype(np.float32)
+
+    pool.eval()
+    with torch.no_grad():
+        out_eval, info_eval = pool(
+            torch.tensor(q), torch.tensor(kv), return_info=True
+        )
+    pool.train()
+    orig = torch.bernoulli
+    try:
+        torch.bernoulli = lambda p: torch.tensor(mask, dtype=p.dtype)
+        with torch.no_grad():
+            out_train, info_train = pool(
+                torch.tensor(q), torch.tensor(kv), return_info=True
+            )
+    finally:
+        torch.bernoulli = orig
+
+    blob = {"q": q, "kv": kv, "mask": mask,
+            "out_eval": out_eval.numpy(), "out_train": out_train.numpy(),
+            "info_train_masked": info_train["masked_attention_weights"].numpy(),
+            "info_train_entropy": info_train["entropy"].numpy(),
+            "num_heads": np.array(H)}
+    for k, v in pool.state_dict().items():
+        blob[f"sd.{k}"] = v.numpy()
+    np.savez(out_path, **blob)
+
+    # Export direction: our converter's state_dict must strict-load back
+    # into a fresh reference pool and reproduce the same eval output.
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))))
+    from aecf_tpu.contrib.torch_compat import (
+        attention_pool_params_from_state_dict,
+        attention_pool_state_dict,
+    )
+
+    np_sd = {k: v.numpy() for k, v in pool.state_dict().items()}
+    params = attention_pool_params_from_state_dict(np_sd)
+    exported = attention_pool_state_dict(params)
+    torch.manual_seed(999)
+    pool2 = RefPool(
+        embed_dim=E, num_heads=H,
+        curriculum_masking=RefMasking(base_mask_prob=0.5),
+        batch_first=True,
+    )
+    pool2.load_state_dict(
+        {k: torch.tensor(v) for k, v in exported.items()}, strict=True
+    )
+    pool2.eval()
+    with torch.no_grad():
+        out2 = pool2(torch.tensor(q), torch.tensor(kv))
+    np.testing.assert_allclose(out2.numpy(), out_eval.numpy(), atol=1e-6)
+    print(f"wrote {out_path}; export round-trip through torch verified")
+
+
 if __name__ == "__main__":
     main()
     generate_composed_pool_golden()
+    generate_torch_ckpt_golden()
