@@ -17,7 +17,7 @@ opt-in extensions are clearly flagged.
 from __future__ import annotations
 
 import itertools
-from typing import Any, Dict, Optional, Tuple, Union
+from typing import Any, Callable, Dict, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -53,6 +53,14 @@ class CurriculumMasking:
     reassigned with traced scalars — the reference's subclass-scheduling
     pattern (README.md:341-351) works without recompilation if you store a
     jnp scalar.
+
+    First-class schedules: pass ``schedule=`` a callable ``step -> prob``
+    (any optax schedule works) and provide the current ``step`` at call time
+    (``masking(w, rng=k, step=state.step)``; the pool forwards its own
+    ``step=`` kwarg).  ``step`` is a traced scalar, so sweeping the schedule
+    never recompiles — this is the jit-native equivalent of the reference's
+    mutate-``base_mask_prob``-per-step subclass (README.md:341-351), which
+    relies on Python-side state that cannot live inside a compiled graph.
     """
 
     def __init__(
@@ -62,6 +70,7 @@ class CurriculumMasking:
         min_active: int = 1,
         *,
         detach_info: bool = True,
+        schedule: Optional[Callable[[jax.typing.ArrayLike], jax.Array]] = None,
     ):
         if not 0.0 < base_mask_prob <= 1.0:
             raise ValueError(
@@ -81,6 +90,7 @@ class CurriculumMasking:
         # info['entropy'] differentiable so the documented entropy
         # regularizer actually trains; the reference default detaches (Q2).
         self.detach_info = detach_info
+        self.schedule = schedule
         self.training = True
         self._last_seq_len = 2  # reference default (AECFLayer.py:99)
 
@@ -92,6 +102,22 @@ class CurriculumMasking:
     def eval(self) -> "CurriculumMasking":
         return self.train(False)
 
+    # -- schedule --------------------------------------------------------------
+    def mask_prob_at(
+        self, step: Optional[jax.typing.ArrayLike] = None
+    ) -> jax.typing.ArrayLike:
+        """Effective mask prob: ``schedule(step)`` when scheduled, else
+        ``base_mask_prob``.  Works with traced ``step`` scalars (no
+        recompilation across schedule values)."""
+        if self.schedule is None:
+            return self.base_mask_prob
+        if step is None:
+            raise ValueError(
+                "this CurriculumMasking has a schedule= — pass the current "
+                "`step=` at call time"
+            )
+        return self.schedule(step)
+
     # -- forward --------------------------------------------------------------
     def __call__(
         self,
@@ -99,6 +125,7 @@ class CurriculumMasking:
         *,
         rng: Optional[jax.Array] = None,
         mask_override: Optional[jax.Array] = None,
+        step: Optional[jax.typing.ArrayLike] = None,
     ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
         if self.training and weights.shape[-1] > 1:
             self._last_seq_len = int(weights.shape[-1])
@@ -106,7 +133,7 @@ class CurriculumMasking:
             weights,
             key=rng,
             training=self.training,
-            base_mask_prob=self.base_mask_prob,
+            base_mask_prob=self.mask_prob_at(step),
             entropy_target=self.entropy_target,
             min_active=self.min_active,
             mask_override=mask_override,
@@ -280,6 +307,7 @@ class MultimodalAttentionPool:
         rng: Optional[jax.Array] = None,
         mask_override: Optional[jax.Array] = None,
         params: Optional[AttentionPoolParams] = None,
+        step: Optional[jax.typing.ArrayLike] = None,
     ) -> Union[jax.Array, Tuple[jax.Array, Dict[str, Any]]]:
         # Functional override: inside jit/grad, pass `params=` instead of
         # assigning `self.params` (attribute mutation under trace leaks
@@ -327,6 +355,7 @@ class MultimodalAttentionPool:
                 key,
                 return_info=return_info,
                 mask_rng=mask_rng,
+                step=step,
             )
 
         def attend(q, k, v):
@@ -365,7 +394,10 @@ class MultimodalAttentionPool:
                     "`rng=` key (or a `mask_override`)."
                 )
             masked_weights, mask_info = self.curriculum_masking(
-                pooled_weights, rng=mask_rng, mask_override=mask_override
+                pooled_weights,
+                rng=mask_rng,
+                mask_override=mask_override,
+                step=step,
             )
             if self.apply_masking_to_output:
                 from ..core.attention import apply_pooled_weights
@@ -427,7 +459,9 @@ class MultimodalAttentionPool:
             )
         )
 
-    def _pallas_forward(self, params, query, kv, *, return_info, mask_rng):
+    def _pallas_forward(
+        self, params, query, kv, *, return_info, mask_rng, step=None
+    ):
         """Forward through the fused TPU kernel; same info contract as the
         XLA path.  ``use_checkpoint`` is moot here — the kernel's custom_vjp
         already rematerializes instead of saving activations."""
@@ -445,7 +479,7 @@ class MultimodalAttentionPool:
             num_heads=self.num_heads,
             rng=mask_rng,
             training=masking_training,
-            base_mask_prob=cm.base_mask_prob if cm else 0.15,
+            base_mask_prob=cm.mask_prob_at(step) if cm else 0.15,
             entropy_target=cm.entropy_target if cm else 0.7,
             min_active=cm.min_active if cm else 1,
         )

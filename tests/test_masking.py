@@ -348,3 +348,85 @@ class TestCurriculumMaskingModule:
         extreme = jnp.array([[1.0, 0.0, 0.0], [0.33, 0.33, 0.34]])
         masked, _ = m(extreme, rng=KEY)
         assert jnp.isfinite(masked).all()
+
+
+class TestMaskProbSchedule:
+    """First-class schedule= API (jit-native equivalent of the reference's
+    CustomCurriculumMasking subclass pattern, README.md:341-351)."""
+
+    def test_schedule_drives_mask_prob(self):
+        from aecf_tpu import CurriculumMasking
+
+        sched = lambda step: jnp.where(step < 10, 0.01, 0.95)
+        m = CurriculumMasking(schedule=sched)
+        w = jnp.full((4096, 4), 0.25)  # max entropy -> p_mask == base
+        _, info_lo = m(w, rng=jax.random.key(0), step=0)
+        _, info_hi = m(w, rng=jax.random.key(0), step=50)
+        assert float(info_lo["mask_rate"].mean()) < 0.05
+        assert float(info_hi["mask_rate"].mean()) > 0.5
+
+    def test_schedule_requires_step(self):
+        from aecf_tpu import CurriculumMasking
+
+        m = CurriculumMasking(schedule=lambda s: 0.5)
+        with pytest.raises(ValueError, match="step"):
+            m(jnp.full((2, 3), 1 / 3), rng=jax.random.key(0))
+
+    def test_single_compilation_across_schedule_values(self):
+        from aecf_tpu import CurriculumMasking
+
+        m = CurriculumMasking(
+            schedule=lambda step: jnp.clip(0.05 + 0.01 * step, 0.0, 1.0)
+        )
+
+        @jax.jit
+        def f(w, key, step):
+            return m(w, rng=key, step=step)
+
+        w = jnp.full((8, 4), 0.25)
+        for s in range(6):
+            f(w, jax.random.key(s), jnp.asarray(s))
+        assert f._cache_size() == 1
+
+    def test_pool_forwards_step(self):
+        from aecf_tpu import CurriculumMasking, MultimodalAttentionPool
+
+        pool = MultimodalAttentionPool(
+            16,
+            curriculum_masking=CurriculumMasking(
+                schedule=lambda step: jnp.where(step < 5, 0.01, 0.95)
+            ),
+            key=jax.random.key(0),
+            implementation="xla",
+        ).train()
+        q = jax.random.normal(jax.random.key(1), (512, 1, 16))
+        kv = jax.random.normal(jax.random.key(2), (512, 3, 16))
+
+        @jax.jit
+        def run(step):
+            _, info = pool(
+                q, kv, return_info=True, rng=jax.random.key(3), step=step
+            )
+            return info["mask_rate"].mean()
+
+        lo = float(run(jnp.asarray(0)))
+        hi = float(run(jnp.asarray(100)))
+        assert lo < hi
+        assert run._cache_size() == 1
+
+    def test_optax_schedule_interops(self):
+        import optax
+
+        from aecf_tpu import CurriculumMasking
+
+        m = CurriculumMasking(
+            schedule=optax.linear_schedule(
+                init_value=0.05, end_value=0.5, transition_steps=100
+            )
+        )
+        w = jnp.full((4096, 4), 0.25)
+        _, early = m(w, rng=jax.random.key(0), step=0)
+        _, late = m(w, rng=jax.random.key(0), step=100)
+        assert float(early["mask_rate"].mean()) < float(
+            late["mask_rate"].mean()
+        )
