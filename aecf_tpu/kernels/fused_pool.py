@@ -13,12 +13,13 @@ emitting ``(output, attention_weights, masked_weights, entropy, mask_rate)``
 in a single HBM round-trip.  The GEMMs ride the MXU; everything between them
 stays in VMEM registers instead of bouncing through HBM.
 
-Scope (v1):
+Scope:
   * query length T == 1 (the pooling use case — query is the fusion token);
-  * no dropout, no key_padding/attn masks (those configs dispatch to the
+  * ``key_padding_mask`` supported (additive score bias, like the shared
+    kernel); no dropout, no ``attn_mask`` (those configs dispatch to the
     XLA path, which is the numerics oracle);
-  * fp32 compute (bit-compatible with the oracle to ~1e-6; a bf16 fast path
-    is a planned extension).
+  * bf16 feature storage supported (halves HBM traffic); all in-kernel math
+    is f32 (weights/entropy bit-compatible with the oracle to ~1e-6).
 
 Backward: custom_vjp with an XLA einsum backward (matmuls are already
 speed-of-light under XLA; the win of the fused kernel is the forward's
@@ -79,6 +80,7 @@ def _fusion_kernel(
     # tensor operands (VMEM)
     q_ref,  # (TB, E)
     kv_ref,  # (TB, M, E)
+    pad_ref,  # (TB, M)  additive score bias (0 or -1e30 for padded slots)
     wq_ref,  # (E, E)
     wk_ref,  # (E, E)
     wv_ref,  # (E, E)
@@ -104,8 +106,9 @@ def _fusion_kernel(
     f32 = jnp.float32
 
     # ---- projections (MXU) --------------------------------------------------
-    q = q_ref[:]
-    kv = kv_ref[:].reshape(TB * M, E)
+    # bf16 feature storage supported; all math runs f32 in VMEM.
+    q = q_ref[:].astype(f32)
+    kv = kv_ref[:].astype(f32).reshape(TB * M, E)
     qp = (
         jnp.dot(q, wq_ref[:].T, preferred_element_type=f32,
                  precision=lax.Precision.HIGHEST)
@@ -132,7 +135,7 @@ def _fusion_kernel(
         qh = qp[:, h * Dh : (h + 1) * Dh]  # (TB, Dh)
         kh = kp[:, :, h * Dh : (h + 1) * Dh]  # (TB, M, Dh)
         vh = vp[:, :, h * Dh : (h + 1) * Dh]  # (TB, M, Dh)
-        s = (qh[:, None, :] * kh).sum(axis=-1) * scale  # (TB, M)
+        s = (qh[:, None, :] * kh).sum(axis=-1) * scale + pad_ref[:]  # (TB, M)
         smax = s.max(axis=-1, keepdims=True)
         e = jnp.exp(s - smax)
         a = e / e.sum(axis=-1, keepdims=True)  # softmax over M
@@ -213,6 +216,7 @@ def _forward_pallas(
     kv: jax.Array,  # (B, M, E)
     seed: jax.Array,  # () int32
     mask_prob: jax.Array,  # () float32
+    key_padding_mask: Optional[jax.Array],  # (B, M) bool, True = padded
     *,
     num_heads: int,
     min_active: int,
@@ -221,6 +225,13 @@ def _forward_pallas(
 ):
     B, E = query2d.shape
     M = kv.shape[1]
+
+    if key_padding_mask is None:
+        pad_bias = jnp.zeros((B, M), jnp.float32)
+    else:
+        pad_bias = jnp.where(
+            key_padding_mask, jnp.float32(-1e30), jnp.float32(0.0)
+        )
 
     # Batch tiling: weights stay resident (constant index maps); activations
     # stream.  TB sized to keep the tile working set within VMEM; the
@@ -234,6 +245,7 @@ def _forward_pallas(
         pad = B_pad - B
         query2d = jnp.pad(query2d, ((0, pad), (0, 0)))
         kv = jnp.pad(kv, ((0, pad), (0, 0), (0, 0)))
+        pad_bias = jnp.pad(pad_bias, ((0, pad), (0, 0)))
 
     wq, wk, wv = jnp.split(params.in_proj_weight, 3, axis=0)
     if params.in_proj_bias is not None:
@@ -275,6 +287,7 @@ def _forward_pallas(
             pl.BlockSpec(
                 (TB, M, E), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
             ),
+            pl.BlockSpec((TB, M), tile, memory_space=pltpu.VMEM),
             pl.BlockSpec((E, E), whole, memory_space=pltpu.VMEM),
             pl.BlockSpec((E, E), whole, memory_space=pltpu.VMEM),
             pl.BlockSpec((E, E), whole, memory_space=pltpu.VMEM),
@@ -306,6 +319,7 @@ def _forward_pallas(
         mask_prob.reshape(1).astype(jnp.float32),
         query2d,
         kv,
+        pad_bias,
         wq,
         wk,
         wv,
@@ -328,11 +342,11 @@ def _forward_pallas(
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8)
+    jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9)
 )
 def _fused_core(
-    params, query2d, kv, seed, mask_prob, num_heads, min_active, training,
-    interpret,
+    params, query2d, kv, seed, mask_prob, key_padding_mask,
+    num_heads, min_active, training, interpret,
 ):
     return _forward_pallas(
         params,
@@ -340,6 +354,7 @@ def _fused_core(
         kv,
         seed,
         mask_prob,
+        key_padding_mask,
         num_heads=num_heads,
         min_active=min_active,
         training=training,
@@ -348,8 +363,8 @@ def _fused_core(
 
 
 def _fused_fwd(
-    params, query2d, kv, seed, mask_prob, num_heads, min_active, training,
-    interpret,
+    params, query2d, kv, seed, mask_prob, key_padding_mask,
+    num_heads, min_active, training, interpret,
 ):
     outs = _forward_pallas(
         params,
@@ -357,12 +372,13 @@ def _fused_fwd(
         kv,
         seed,
         mask_prob,
+        key_padding_mask,
         num_heads=num_heads,
         min_active=min_active,
         training=training,
         interpret=interpret,
     )
-    return outs, (params, query2d, kv)
+    return outs, (params, query2d, kv, key_padding_mask)
 
 
 def _fused_bwd(num_heads, min_active, training, interpret, residuals, cots):
@@ -374,12 +390,16 @@ def _fused_bwd(num_heads, min_active, training, interpret, residuals, cots):
 
 
 def _fused_bwd_impl(num_heads, residuals, cots):
-    params, q, kv = residuals
+    params, q, kv, key_padding_mask = residuals
     d_out, d_w, _d_mw, _d_ent, _d_rate = cots
     B, E = q.shape
     M = kv.shape[1]
     H = num_heads
     Dh = E // H
+
+    q_dtype, kv_dtype = q.dtype, kv.dtype
+    q = q.astype(jnp.float32)
+    kv = kv.astype(jnp.float32)
 
     wq, wk, wv = jnp.split(params.in_proj_weight, 3, axis=0)
     if params.in_proj_bias is not None:
@@ -397,6 +417,8 @@ def _fused_bwd_impl(num_heads, residuals, cots):
     kh = kp.reshape(B, M, H, Dh)
     vh = vp.reshape(B, M, H, Dh)
     scores = jnp.einsum("bhd,bmhd->bhm", qh, kh) * scale
+    if key_padding_mask is not None:
+        scores = jnp.where(key_padding_mask[:, None, :], -1e30, scores)
     attn = jax.nn.softmax(scores, axis=-1)  # (B, H, M)
 
     ctx = jnp.einsum("bhm,bmhd->bhd", attn, vh).reshape(B, E)
@@ -448,7 +470,14 @@ def _fused_bwd_impl(num_heads, residuals, cots):
         in_proj_bias=d_in_proj_bias,
         out_proj_bias=dbo,
     )
-    return d_params, d_q, d_kv, None, None
+    return (
+        d_params,
+        d_q.astype(q_dtype),
+        d_kv.astype(kv_dtype),
+        None,
+        None,
+        None,
+    )
 
 
 _fused_core.defvjp(_fused_fwd, _fused_bwd)
@@ -470,6 +499,7 @@ def fused_fusion_pool(
     base_mask_prob: jax.typing.ArrayLike = 0.15,
     entropy_target: jax.typing.ArrayLike = 0.7,
     min_active: int = 1,
+    key_padding_mask: Optional[jax.Array] = None,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, Dict[str, jax.Array]]:
     """Fused forward of the full fusion path.
@@ -504,6 +534,7 @@ def fused_fusion_pool(
         kv,
         seed,
         jnp.asarray(base_mask_prob, jnp.float32),
+        key_padding_mask,
         num_heads,
         min_active,
         training,

@@ -389,9 +389,242 @@ def _shared_fwd(
     return outs, (params, qrow, kv, key_padding_mask)
 
 
+def _bwd_kernel(
+    kv_ref,  # (TB, M, E)
+    dout_ref,  # (TB, E)
+    dw_ref,  # (TB, M)   cotangent on the returned raw weights
+    bias_ref,  # (TB, M)  pad bias + score offset c, pre-folded
+    u_ref,  # (1, E)
+    wvo_ref,  # (E, E)   W_vo = Wo @ Wv (precomputed, f32)
+    dkv_ref,  # (TB, M, E)            [tile output]
+    g_ref,  # (E, E)   Σ_b d_outᵀ·mix  [whole-array accumulator]
+    du_ref,  # (1, E)   Σ d_s·kv       [accumulator]
+    dvec_ref,  # (2, E)  row 0: Σ_b d_out; row 1 col 0: Σ d_s  [accumulator]
+    *,
+    mxu_precision,
+):
+    """Fused backward for the H==1 shared-query pool.
+
+    One pass over each kv tile computes d_kv and the three reduction
+    accumulators; the XLA backward's separate d_ctx/dWo/d_mix/dWv GEMMs
+    collapse to TWO per-tile GEMMs:
+      d_mix = d_out @ W_vo          (since out = mix @ W_voᵀ + b)
+      G    += d_outᵀ @ mix          (contract over the batch tile)
+    with dWo = G·Wvᵀ + Σd_out ⊗ bv and dWv = Woᵀ·G reconstructed outside
+    (two E×E GEMMs once per step, not per tile).
+    """
+    TB, M, E = kv_ref.shape
+    f32 = jnp.float32
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        g_ref[:] = jnp.zeros((E, E), f32)
+        du_ref[:] = jnp.zeros((1, E), f32)
+        dvec_ref[:] = jnp.zeros((2, E), f32)
+
+    kv_slices = [kv_ref[:, m, :].astype(f32) for m in range(M)]
+    d_out = dout_ref[:]
+    u = u_ref[0, :]
+
+    # ---- recompute softmax (same unrolled scheme as the forward) ------------
+    col = lax.broadcasted_iota(jnp.int32, (TB, M), 1)
+    s = jnp.zeros((TB, M), f32)
+    for m, kv_m in enumerate(kv_slices):
+        s_m = (kv_m * u).sum(axis=-1, keepdims=True)
+        s = s + jnp.where(col == m, s_m, 0.0)
+    s = s + bias_ref[:]
+    smax = s.max(axis=-1, keepdims=True)
+    e = jnp.exp(s - smax)
+    a = e / e.sum(axis=-1, keepdims=True)  # (TB, M)
+
+    def mixed(w):
+        acc = w[:, 0:1] * kv_slices[0]
+        for m in range(1, M):
+            acc = acc + w[:, m : m + 1] * kv_slices[m]
+        return acc
+
+    mix = mixed(a)  # (TB, E)
+
+    # ---- the two MXU GEMMs ---------------------------------------------------
+    # out = mix @ W_voᵀ + b  ⇒  d_mix = d_out @ W_vo
+    d_mix = jnp.dot(
+        d_out, wvo_ref[:], preferred_element_type=f32,
+        precision=mxu_precision,
+    )
+    g_ref[:] += lax.dot_general(
+        d_out, mix,
+        dimension_numbers=(((0,), (0,)), ((), ())),  # contract batch
+        preferred_element_type=f32,
+        precision=mxu_precision,
+    )
+
+    # ---- softmax backward -----------------------------------------------------
+    d_a = jnp.zeros((TB, M), f32)
+    for m, kv_m in enumerate(kv_slices):
+        da_m = (d_mix * kv_m).sum(axis=-1, keepdims=True)
+        d_a = d_a + jnp.where(col == m, da_m, 0.0)
+    d_a = d_a + dw_ref[:]  # H == 1: head-average is identity
+    d_s = a * (d_a - (a * d_a).sum(axis=-1, keepdims=True))  # (TB, M)
+
+    # ---- d_kv + reductions ----------------------------------------------------
+    du_acc = jnp.zeros((1, E), f32)
+    for m, kv_m in enumerate(kv_slices):
+        a_m = a[:, m : m + 1]
+        ds_m = d_s[:, m : m + 1]
+        dkv_ref[:, m, :] = a_m * d_mix + ds_m * u
+        du_acc = du_acc + (ds_m * kv_m).sum(axis=0, keepdims=True)
+    du_ref[:] += du_acc
+    # Row 0 ← Σ_b d_out; row 1, col 0 ← Σ d_s.  Built by broadcast-select
+    # (Mosaic cannot concat offset-mismatched vectors).
+    row = lax.broadcasted_iota(jnp.int32, (2, E), 0)
+    colE = lax.broadcasted_iota(jnp.int32, (2, E), 1)
+    dvec_ref[:] += jnp.where(
+        row == 0,
+        d_out.sum(axis=0, keepdims=True),
+        jnp.where(colE == 0, d_s.sum(), 0.0),
+    )
+
+
+def _bwd_pallas(residuals, cots, *, precision, interpret):
+    """Pallas backward (H == 1): one kv read, two GEMMs per tile."""
+    params, qrow, kv, key_padding_mask = residuals
+    d_out, d_w, _d_mw, _d_ent, _d_rate = cots
+    B, M, E = kv.shape
+    kv_dtype = kv.dtype
+    f32 = jnp.float32
+
+    wq, wk, wv = jnp.split(params.in_proj_weight, 3, axis=0)
+    has_bias = params.in_proj_bias is not None
+    if has_bias:
+        bq, bk, bv = jnp.split(params.in_proj_bias, 3)
+    else:
+        bq = bk = bv = jnp.zeros((E,), f32)
+    wo = params.out_proj_weight
+    scale = E ** -0.5  # H == 1 ⇒ Dh == E
+
+    prec = lax.Precision.HIGHEST if precision == "highest" else None
+    qp = qrow @ wq.T + bq  # (E,)
+    # wk rows are output features f: u_e = scale · Σ_f qp_f · wk[f, e]
+    u = scale * (qp @ wk)  # (E,)
+    c = scale * (qp * bk).sum()
+    wvo = jnp.matmul(wo, wv, precision=prec)  # (E, E)
+
+    bias = jnp.full((B, M), c, f32)
+    if key_padding_mask is not None:
+        bias = jnp.where(key_padding_mask, jnp.float32(-1e30), bias)
+    if d_w is None:
+        d_w = jnp.zeros((B, M), f32)
+
+    import os as _os
+
+    TB = 256 if E <= 512 else 128
+    if _os.environ.get("AECF_BWD_TB"):
+        TB = int(_os.environ["AECF_BWD_TB"])
+    TB = min(TB, _round_up(B, 8))
+    B_pad = _round_up(B, TB)
+    if B_pad != B:
+        # zero-padded rows contribute exactly zero to every output
+        kv = jnp.pad(kv, ((0, B_pad - B), (0, 0), (0, 0)))
+        d_out = jnp.pad(d_out, ((0, B_pad - B), (0, 0)))
+        d_w = jnp.pad(d_w, ((0, B_pad - B), (0, 0)))
+        bias = jnp.pad(bias, ((0, B_pad - B), (0, 0)))
+
+    mxu_precision = prec
+    kernel = functools.partial(_bwd_kernel, mxu_precision=mxu_precision)
+    tile = lambda i: (i, 0)  # noqa: E731
+    whole = lambda i: (0, 0)  # noqa: E731
+    d_kv, G, du, dvec = pl.pallas_call(
+        kernel,
+        grid=(B_pad // TB,),
+        in_specs=[
+            pl.BlockSpec((TB, M, E), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, E), tile, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, M), tile, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, M), tile, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, E), whole, memory_space=pltpu.VMEM),
+            pl.BlockSpec((E, E), whole, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((TB, M, E), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((E, E), whole, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, E), whole, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, E), whole, memory_space=pltpu.VMEM),
+        ],
+        out_shape=(
+            jax.ShapeDtypeStruct((B_pad, M, E), f32),
+            jax.ShapeDtypeStruct((E, E), f32),
+            jax.ShapeDtypeStruct((1, E), f32),
+            jax.ShapeDtypeStruct((2, E), f32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B_pad * E * E + 10 * B_pad * M * E,
+            bytes_accessed=4 * (2 * B_pad * M * E + 2 * B_pad * E + 2 * E * E),
+            transcendentals=B_pad * M,
+        ),
+        interpret=interpret,
+    )(kv, d_out, d_w, bias, u.reshape(1, E), wvo)
+
+    d_kv = d_kv[:B]
+    du = du[0]
+    dsum_out = dvec[0]
+    dc = dvec[1, 0]
+
+    # ---- reconstruct weight grads from the fused accumulators ----------------
+    with jax.default_matmul_precision(
+        "highest" if precision == "highest" else "default"
+    ):
+        dWo = G @ wv.T + jnp.outer(dsum_out, bv)
+        dWv = wo.T @ G
+        d_bv = dsum_out @ wo
+        dbo = dsum_out if params.out_proj_bias is not None else None
+
+        # u_e = scale·Σ_f qp_f·wk[f,e], c = scale·(qp·bk)
+        # ⇒ d_qp_f = scale·Σ_e du_e·wk[f,e] + scale·dc·bk_f
+        #   dWk[f,e] = scale·qp_f·du_e
+        d_qp = scale * (wk @ du + dc * bk)
+        dWk = scale * jnp.outer(qp, du)
+        d_bk = scale * dc * qp if has_bias else None
+
+        dWq = jnp.outer(d_qp, qrow)
+        d_qrow = d_qp @ wq
+
+    d_in_proj_weight = jnp.concatenate([dWq, dWk, dWv], axis=0)
+    d_in_proj_bias = (
+        jnp.concatenate([d_qp, d_bk, d_bv]) if has_bias else None
+    )
+    d_params = AttentionPoolParams(
+        in_proj_weight=d_in_proj_weight,
+        out_proj_weight=dWo,
+        in_proj_bias=d_in_proj_bias,
+        out_proj_bias=dbo,
+    )
+    return d_params, d_qrow, d_kv.astype(kv_dtype), None, None, None
+
+
 def _shared_bwd(
     num_heads, min_active, training, precision, interpret, residuals, cots
 ):
+    # H == 1 (every BASELINE config except heads8): fused Pallas backward —
+    # one kv read, two per-tile GEMMs.  H > 1 falls back to the XLA einsum
+    # backward.  Interpret mode runs the Pallas path hermetically on CPU.
+    # AECF_SHARED_BWD=xla|pallas overrides (benchmark A/B hook).
+    import os
+
+    override = os.environ.get("AECF_SHARED_BWD", "auto")
+    use_pallas = num_heads == 1 and (
+        interpret or jax.default_backend() == "tpu"
+    )
+    if override == "xla":
+        use_pallas = False
+    elif override == "pallas":
+        use_pallas = num_heads == 1
+    if use_pallas:
+        return _bwd_pallas(
+            residuals, cots, precision=precision, interpret=interpret
+        )
     ctx_prec = "highest" if precision == "highest" else "default"
     with jax.default_matmul_precision(ctx_prec):
         return _shared_bwd_impl(num_heads, residuals, cots)

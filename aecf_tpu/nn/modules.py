@@ -356,6 +356,7 @@ class MultimodalAttentionPool:
                 return_info=return_info,
                 mask_rng=mask_rng,
                 step=step,
+                key_padding_mask=key_padding_mask,
             )
 
         def attend(q, k, v):
@@ -442,7 +443,6 @@ class MultimodalAttentionPool:
         """Config gate: unsupported shapes silently use the XLA oracle path."""
         return (
             query.shape[1] == 1
-            and key_padding_mask is None
             and attn_mask is None
             and not dropout_active
             and mask_override is None
@@ -460,7 +460,8 @@ class MultimodalAttentionPool:
         )
 
     def _pallas_forward(
-        self, params, query, kv, *, return_info, mask_rng, step=None
+        self, params, query, kv, *, return_info, mask_rng, step=None,
+        key_padding_mask=None,
     ):
         """Forward through the fused TPU kernel; same info contract as the
         XLA path.  ``use_checkpoint`` is moot here — the kernel's custom_vjp
@@ -482,6 +483,7 @@ class MultimodalAttentionPool:
             base_mask_prob=cm.mask_prob_at(step) if cm else 0.15,
             entropy_target=cm.entropy_target if cm else 0.7,
             min_active=cm.min_active if cm else 1,
+            key_padding_mask=key_padding_mask,
         )
         if query.shape[0] == 1 and kv.shape[0] >= 1:
             out, weights, masked, mask_info = fused_fusion_pool_shared(

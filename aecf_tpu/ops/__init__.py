@@ -60,7 +60,7 @@ def fusion_pool(
     ``implementation='auto'`` uses the Pallas kernels on TPU (shared-query
     variant when ``query`` is the unexpanded ``(1,1,E)`` parameter);
     ``'xla'`` forces the oracle path.  ``key_padding_mask (B, M)`` (True =
-    padded slot) is supported by the shared kernel and the XLA path.
+    padded slot) is supported on every path.
     """
     B = kv.shape[0]
     E = query.shape[-1]
@@ -74,8 +74,6 @@ def fusion_pool(
                     tgt_len=query.shape[1], num_heads=num_heads, embed_dim=E
                 )
                 and query.dtype == jnp.float32
-                # generic kernel has no padding support
-                and (key_padding_mask is None or query.shape[0] == 1)
                 # M<=1 masking is an early-return no-op that needs no rng;
                 # route it to XLA so training an M=1 stack without a
                 # curriculum key works identically on all backends.
@@ -99,11 +97,6 @@ def fusion_pool(
                 key_padding_mask=key_padding_mask,
                 precision=precision,
             )
-        if key_padding_mask is not None:
-            raise ValueError(
-                "key_padding_mask with a per-row query requires "
-                "implementation='xla'"
-            )
         return fused_fusion_pool(
             params,
             query,
@@ -114,6 +107,7 @@ def fusion_pool(
             base_mask_prob=base_mask_prob,
             entropy_target=entropy_target,
             min_active=min_active,
+            key_padding_mask=key_padding_mask,
         )
 
     q_full = (

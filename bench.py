@@ -151,6 +151,8 @@ def main():
         jax.block_until_ready(loss)
         round_sps.append(batch * K / (time.perf_counter() - t0))
 
+    import statistics
+
     samples_per_sec = max(round_sps)
     result = {
         "metric": (
@@ -161,6 +163,18 @@ def main():
         "value": round(samples_per_sec, 1),
         "unit": "samples/sec",
         "vs_baseline": round(samples_per_sec / baseline_sps, 2),
+        # The tunnel to the chip has phase-dependent dispatch latency
+        # (docs/experiments.md): the spread shows how trustworthy the
+        # best-window headline is for this particular run.
+        "spread": {
+            "median": round(statistics.median(round_sps), 1),
+            "min": round(min(round_sps), 1),
+            "max": round(samples_per_sec, 1),
+            "rounds": len(round_sps),
+            "median_vs_baseline": round(
+                statistics.median(round_sps) / baseline_sps, 2
+            ),
+        },
     }
     print(json.dumps(result))
     return 0

@@ -13,7 +13,10 @@ Two layouts:
 
 The source parquet (columns: ``image`` JPEG bytes, ``findings``,
 ``impression``) is not distributed with the reference snapshot
-(.MISSING_LARGE_BLOBS); point ``--parquet`` at your copy.
+(.MISSING_LARGE_BLOBS); point ``--parquet`` at your copy, or pass
+``--synthetic N`` to drive the full mining → selection → grid-rendering
+path on N generated records (tiny JPEGs + report text with positive and
+negated pathology mentions) — no dataset needed.
 """
 
 from __future__ import annotations
@@ -28,6 +31,50 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 from aecf_tpu.data import find_single_pathology_cases, load_xray_parquet
 
 DEFAULT_PATHOLOGIES = ["Pneumothorax", "Effusion", "Atelectasis", "Edema"]
+
+
+def synthetic_records(n, pathologies, seed=0):
+    """Generate n synthetic report records with JPEG chest-film stand-ins.
+
+    Roughly a third mention exactly one pathology positively, a third
+    mention one but negated ("no evidence of ..."), and a third mention two
+    — so the miner's single-pathology and negation filters are both
+    exercised (the viewers in the reference run on exactly this record
+    shape, extract_xray_pathologies.py:87-127).
+    """
+    import io as _io
+    import random
+
+    import numpy as np
+    from PIL import Image
+
+    rng = random.Random(seed)
+    nprng = np.random.default_rng(seed)
+    records = []
+    for i in range(n):
+        arr = (nprng.random((48, 48)) * 255).astype("uint8")
+        buf = _io.BytesIO()
+        Image.fromarray(arr, mode="L").save(buf, format="JPEG")
+        kind = i % 3
+        p = rng.choice(pathologies)
+        if kind == 0:
+            findings = f"There is a moderate {p.lower()} on the left."
+            impression = f"Findings consistent with {p.lower()}."
+        elif kind == 1:
+            findings = f"No evidence of {p.lower()}. Lungs are clear."
+            impression = "No acute cardiopulmonary abnormality."
+        else:
+            q = rng.choice([x for x in pathologies if x != p])
+            findings = f"Both {p.lower()} and {q.lower()} are present."
+            impression = f"{p} with associated {q.lower()}."
+        records.append(
+            {
+                "image": buf.getvalue(),
+                "findings": findings,
+                "impression": impression,
+            }
+        )
+    return records
 
 
 def select_distinct(cases, pathologies, per_pathology):
@@ -85,12 +132,23 @@ def main():
     ap.add_argument("--layout", choices=["row", "grid"], default="row")
     ap.add_argument("--examples-per", type=int, default=3)
     ap.add_argument("--out", default="pathology_examples.png")
+    ap.add_argument(
+        "--synthetic",
+        type=int,
+        default=0,
+        metavar="N",
+        help="generate N synthetic records instead of reading --parquet",
+    )
     args = ap.parse_args()
 
-    df = load_xray_parquet(args.parquet)
-    print(f"loaded {len(df)} X-ray cases")
+    if args.synthetic:
+        records = synthetic_records(args.synthetic, args.pathologies)
+        print(f"generated {len(records)} synthetic cases")
+    else:
+        records = load_xray_parquet(args.parquet)
+        print(f"loaded {len(records)} X-ray cases")
     cases = find_single_pathology_cases(
-        df, args.pathologies, verbose=True
+        records, args.pathologies, verbose=True
     )
     for p in args.pathologies:
         n = len(cases[p])

@@ -144,3 +144,38 @@ class TestSyntheticFeatures:
         )
         img_only = probe(train["image"], val["image"])
         assert both > img_only, (both, img_only)
+
+
+class TestPathologyViewerSynthetic:
+    """X7's rendering path, driven end-to-end on generated records —
+    the real xray.parquet is stripped from the reference snapshot too."""
+
+    def test_mine_select_render(self, tmp_path):
+        import importlib.util
+        import os
+
+        spec = importlib.util.spec_from_file_location(
+            "show_pathologies",
+            os.path.join(
+                os.path.dirname(__file__), "..", "examples",
+                "show_pathologies.py",
+            ),
+        )
+        viewer = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(viewer)
+
+        from aecf_tpu.data import find_single_pathology_cases
+
+        paths = ["Pneumothorax", "Effusion"]
+        records = viewer.synthetic_records(60, paths, seed=1)
+        assert all(r["image"][:2] == b"\xff\xd8" for r in records)  # JPEG
+        cases = find_single_pathology_cases(records, paths)
+        # positive single mentions survive; negated and dual mentions do not
+        assert all(len(cases[p]) > 0 for p in paths)
+        total = sum(len(v) for v in cases.values())
+        assert total < len(records)  # negation/dual filters dropped some
+
+        selected = viewer.select_distinct(cases, paths, 2)
+        out = tmp_path / "grid.png"
+        viewer.render(selected, paths, 2, str(out))
+        assert out.exists() and out.stat().st_size > 1000

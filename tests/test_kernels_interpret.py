@@ -62,3 +62,80 @@ class TestInterpretModeCPU:
         np.testing.assert_allclose(np.asarray(w_k.sum(-1)), 1.0, rtol=1e-5)
 
 
+
+
+class TestPallasBackwardInterpret:
+    """The fused Pallas backward (H==1) vs the XLA einsum backward — exact
+    same cotangent contract, hermetically via the interpreter."""
+
+    def _residuals(self, bias=True, mask=False):
+        E, M, B = 64, 3, 40
+        params = init_attention_pool_params(jax.random.key(0), E, bias=bias)
+        qrow = init_fusion_query(jax.random.key(1), E)[0, 0]
+        kv = jax.random.normal(jax.random.key(2), (B, M, E))
+        kpm = (
+            jax.random.uniform(jax.random.key(5), (B, M)) < 0.2
+            if mask
+            else None
+        )
+        cots = (
+            jax.random.normal(jax.random.key(3), (B, E)),
+            jax.random.normal(jax.random.key(4), (B, M)) * 0.1,
+            jnp.zeros((B, M)),
+            jnp.zeros((B,)),
+            jnp.zeros((B,)),
+        )
+        return (params, qrow, kv, kpm), cots
+
+    @pytest.mark.parametrize("bias,mask", [(True, False), (True, True),
+                                           (False, False)])
+    def test_bwd_matches_xla_impl(self, bias, mask):
+        from aecf_tpu.kernels import shared_query as sq
+
+        residuals, cots = self._residuals(bias=bias, mask=mask)
+        ref = sq._shared_bwd_impl(1, residuals, cots)
+        got = sq._bwd_pallas(
+            residuals, cots, precision="highest", interpret=True
+        )
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5
+            ),
+            ref[:3],
+            got[:3],
+        )
+
+    def test_end_to_end_grads_match_oracle(self):
+        """jax.grad through the full custom_vjp (interpret fwd + interpret
+        Pallas bwd) vs the XLA oracle."""
+        from aecf_tpu.kernels import fused_fusion_pool_shared
+
+        E, M, B = 64, 3, 24
+        params = init_attention_pool_params(jax.random.key(0), E)
+        query = init_fusion_query(jax.random.key(1), E)
+        kv = jax.random.normal(jax.random.key(2), (B, M, E))
+
+        def loss_k(p, qq, x):
+            o, w, _, _ = fused_fusion_pool_shared(
+                p, qq, x, training=False, interpret=True,
+                precision="highest",
+            )
+            return (o * o).mean() + (w * w).sum()
+
+        def loss_o(p, qq, x):
+            with jax.default_matmul_precision("highest"):
+                o, w = attention_pool_core(
+                    p, jnp.broadcast_to(qq, (B, 1, E)), x, x, num_heads=1,
+                    need_weights=True,
+                )
+            return (o * o).mean() + (w * w).sum()
+
+        gk = jax.grad(loss_k, argnums=(0, 1, 2))(params, query, kv)
+        go = jax.grad(loss_o, argnums=(0, 1, 2))(params, query, kv)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-5
+            ),
+            gk,
+            go,
+        )

@@ -58,19 +58,50 @@ def test_per_row_query_supported(setup):
     np.testing.assert_allclose(out, out_ref, atol=1e-6)
 
 
-def test_explicit_pallas_per_row_with_padding_rejected(setup):
+def test_generic_kernel_padding_matches_oracle(setup):
+    """Per-row queries + key_padding_mask run through the generic fused
+    kernel (interpret mode) and match the XLA oracle."""
+    from aecf_tpu.kernels import fused_fusion_pool
+
     params, _, kv, E, M, B = setup
     q = jax.random.normal(jax.random.key(5), (B, 1, E))
-    kpm = jnp.zeros((B, M), bool)
-    with pytest.raises(ValueError, match="key_padding_mask"):
-        fusion_pool(
-            params,
-            q,
-            kv,
-            training=False,
-            key_padding_mask=kpm,
-            implementation="pallas",
+    kpm = jnp.zeros((B, M), bool).at[:, 1].set(True)
+    out_k, w_k, _, _ = fused_fusion_pool(
+        params, q, kv, training=False, key_padding_mask=kpm, interpret=True
+    )
+    with jax.default_matmul_precision("highest"):
+        out_o, w_o = attention_pool_core(
+            params, q, kv, kv, num_heads=1, key_padding_mask=kpm,
+            need_weights=True,
         )
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_o), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(w_k), np.asarray(w_o), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(w_k[:, :, 1]), 0.0, atol=1e-7)
+
+
+def test_generic_kernel_bf16_features(setup):
+    """bf16 feature storage on the generic kernel: f32-math weights stay
+    within bf16-input tolerance of the f32 oracle."""
+    from aecf_tpu.kernels import fused_fusion_pool
+
+    params, _, kv, E, M, B = setup
+    q = jax.random.normal(jax.random.key(5), (B, 1, E))
+    out_k, w_k, _, _ = fused_fusion_pool(
+        params,
+        q.astype(jnp.bfloat16),
+        kv.astype(jnp.bfloat16),
+        training=False,
+        interpret=True,
+    )
+    assert out_k.dtype == jnp.float32
+    with jax.default_matmul_precision("highest"):
+        out_o, w_o = attention_pool_core(
+            params, q, kv, kv, num_heads=1, need_weights=True
+        )
+    np.testing.assert_allclose(
+        np.asarray(out_k), np.asarray(out_o), atol=5e-2, rtol=5e-2
+    )
+    np.testing.assert_allclose(np.asarray(w_k.sum(-1)), 1.0, rtol=1e-5)
 
 
 def test_masked_weights_match_core_masking(setup):
