@@ -41,6 +41,19 @@ def multimodal_attention_pool(
     Anything else constructs a fresh ``MultimodalAttentionPool`` per call
     (reference quirk Q3); pass ``init_key`` to pin its random init and ``rng``
     for training-mode randomness.
+
+    Example (mirrors reference AECFLayer.py:615-624):
+
+    >>> import jax, jax.numpy as jnp
+    >>> q = jnp.ones((2, 1, 64))
+    >>> kv = jnp.ones((2, 3, 64))
+    >>> multimodal_attention_pool(q, kv).shape          # fast path
+    (2, 1, 64)
+    >>> out = multimodal_attention_pool(
+    ...     q, kv, training=True, init_key=jax.random.key(0),
+    ...     rng=jax.random.key(1))                       # fresh-module path
+    >>> out.shape
+    (2, 1, 64)
     """
     if embed_dim is None:
         embed_dim = query.shape[-1]
@@ -81,6 +94,24 @@ def create_fusion_pool(
     ``fusion_query`` is a ``(1, 1, E)`` array drawn from ``N(0, √(2/E))`` —
     register it as a trainable leaf in your model's param pytree.
     ``num_modalities`` is validation-only, as in the reference (:708).
+
+    Example (mirrors reference AECFLayer.py:688-698):
+
+    >>> import jax, jax.numpy as jnp
+    >>> query, pool = create_fusion_pool(64, 3, key=jax.random.key(0))
+    >>> query.shape
+    (1, 1, 64)
+    >>> kv = jnp.ones((2, 3, 64))
+    >>> q = jnp.broadcast_to(query, (2, 1, 64))
+    >>> out, info = pool.eval()(q, kv, return_info=True)
+    >>> out.shape
+    (2, 1, 64)
+    >>> sorted(info)                    # eval: no target_entropy key
+    ['attention_weights', 'entropy', 'mask_rate', 'masked_attention_weights']
+    >>> out, info = pool.train()(q, kv, rng=jax.random.key(1),
+    ...                          return_info=True)
+    >>> sorted(info)                    # training adds target_entropy
+    ['attention_weights', 'entropy', 'mask_rate', 'masked_attention_weights', 'target_entropy']
     """
     if not isinstance(embed_dim, int) or embed_dim <= 0:
         raise ValueError(

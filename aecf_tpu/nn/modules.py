@@ -61,6 +61,19 @@ class CurriculumMasking:
     never recompiles — this is the jit-native equivalent of the reference's
     mutate-``base_mask_prob``-per-step subclass (README.md:341-351), which
     relies on Python-side state that cannot live inside a compiled graph.
+
+    Example (mirrors reference AECFLayer.py:65-69):
+
+    >>> import jax, jax.numpy as jnp
+    >>> masking = CurriculumMasking(base_mask_prob=0.15)
+    >>> w = jnp.full((4, 3), 1 / 3)               # uniform ⇒ max entropy
+    >>> masked, info = masking(w, rng=jax.random.key(0))
+    >>> masked.shape
+    (4, 3)
+    >>> sorted(info)
+    ['entropy', 'mask_rate', 'target_entropy']
+    >>> bool(jnp.allclose(masked.sum(-1), 1.0))    # rows stay normalized
+    True
     """
 
     def __init__(
@@ -182,6 +195,21 @@ class MultimodalAttentionPool:
     ``implementation`` selects the compute path: ``"xla"`` (fused-by-XLA
     einsums, the oracle), ``"pallas"`` (single fused TPU kernel), or
     ``"auto"`` (pallas on TPU when the config is supported).
+
+    Example (mirrors reference AECFLayer.py:357-368):
+
+    >>> import jax, jax.numpy as jnp
+    >>> pool = MultimodalAttentionPool(
+    ...     64, curriculum_masking=CurriculumMasking(),
+    ...     key=jax.random.key(0))
+    >>> q = jnp.ones((2, 1, 64))
+    >>> kv = jnp.ones((2, 3, 64))
+    >>> out, info = pool.train()(q, kv, rng=jax.random.key(1),
+    ...                          return_info=True)
+    >>> out.shape, info["attention_weights"].shape
+    ((2, 1, 64), (2, 1, 3))
+    >>> pool.eval()(q, kv).shape                    # eval: no rng needed
+    (2, 1, 64)
     """
 
     def __init__(

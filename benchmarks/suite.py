@@ -87,6 +87,49 @@ def parity_check():
     }
 
 
+def bwd_ab(quick):
+    """Within-run A/B of the shared kernel's backward at the compute-bound
+    config (E=1024, M=4): XLA einsum backward vs the fused Pallas backward.
+    Alternating timed windows in the same process — the only measurement
+    the tunnel's phase-dependent dispatch latency doesn't poison."""
+    import statistics
+
+    from bench import build_chunk
+
+    B, M, E, H = 8192, 4, 1024, 1
+    K = 10 if quick else 20
+    rounds = 3 if quick else 6
+
+    chunks = {}
+    for mode in ("xla", "pallas"):
+        os.environ["AECF_SHARED_BWD"] = mode
+        c, p, s = build_chunk(B, M, E, H, "pallas", K)
+        p, s, loss = c(p, s, jnp.int32(0))
+        jax.block_until_ready(loss)
+        chunks[mode] = (c, p, s)
+    os.environ.pop("AECF_SHARED_BWD", None)
+
+    res = {m: [] for m in chunks}
+    for r in range(1, rounds + 1):
+        for m in chunks:
+            c, p, s = chunks[m]
+            t0 = time.perf_counter()
+            p, s, loss = c(p, s, jnp.int32(r * K))
+            jax.block_until_ready(loss)
+            res[m].append(B * K / (time.perf_counter() - t0))
+            chunks[m] = (c, p, s)
+    med = {m: statistics.median(v) for m, v in res.items()}
+    return {
+        "config": f"B={B},M={M},E={E},H={H}",
+        "xla_bwd_median_sps": round(med["xla"], 1),
+        "pallas_bwd_median_sps": round(med["pallas"], 1),
+        "xla_bwd_best_sps": round(max(res["xla"]), 1),
+        "pallas_bwd_best_sps": round(max(res["pallas"]), 1),
+        "speedup_median": round(med["pallas"] / med["xla"], 3),
+        "speedup_best": round(max(res["pallas"]) / max(res["xla"]), 3),
+    }
+
+
 def vlm_throughput(quick):
     """Config #4: full VisionLanguageModel train step."""
     import optax
@@ -178,6 +221,10 @@ def main():
 
     results["parity"] = parity_check()
     print(f"parity: {results['parity']}", flush=True)
+
+    if jax.default_backend() == "tpu":
+        results["shared_bwd_ab_large"] = bwd_ab(args.quick)
+        print(f"bwd A/B: {results['shared_bwd_ab_large']}", flush=True)
 
     if args.json:
         with open(args.json, "w") as f:
