@@ -179,3 +179,55 @@ class TestPathologyViewerSynthetic:
         out = tmp_path / "grid.png"
         viewer.render(selected, paths, 2, str(out))
         assert out.exists() and out.stat().st_size > 1000
+
+
+class TestClipExtractor:
+    """The feature-extraction pipeline gap-closer: synthetic records →
+    CLIP features → the train_xrays .npz contract. Tiny random-init config
+    keeps it hermetic (no weight downloads)."""
+
+    def test_extract_produces_npz_contract(self):
+        import importlib.util
+        import os
+
+        from transformers import CLIPConfig, CLIPModel
+
+        spec = importlib.util.spec_from_file_location(
+            "extract_clip_features",
+            os.path.join(
+                os.path.dirname(__file__), "..", "examples",
+                "extract_clip_features.py",
+            ),
+        )
+        ex = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(ex)
+        spec2 = importlib.util.spec_from_file_location(
+            "show_pathologies",
+            os.path.join(
+                os.path.dirname(__file__), "..", "examples",
+                "show_pathologies.py",
+            ),
+        )
+        viewer = importlib.util.module_from_spec(spec2)
+        spec2.loader.exec_module(viewer)
+
+        from aecf_tpu.data import XRAY_PATHOLOGY_NAMES
+
+        config = CLIPConfig(
+            text_config={"hidden_size": 32, "intermediate_size": 37,
+                         "num_attention_heads": 4, "num_hidden_layers": 2,
+                         "projection_dim": 16},
+            vision_config={"hidden_size": 32, "intermediate_size": 37,
+                           "num_attention_heads": 4, "num_hidden_layers": 2,
+                           "image_size": 224, "patch_size": 32,
+                           "projection_dim": 16},
+            projection_dim=16,
+        )
+        model = CLIPModel(config)
+        records = viewer.synthetic_records(10, XRAY_PATHOLOGY_NAMES[:4])
+        image, text, label = ex.extract(
+            records, model, processor=None, batch_size=4
+        )
+        assert image.shape == (10, 16) and text.shape == (10, 16)
+        assert label.shape == (10, len(XRAY_PATHOLOGY_NAMES))
+        assert label.max() <= 1.0 and label.sum() > 0  # some positives mined
