@@ -78,3 +78,82 @@ def test_errors(predictor):
             image=np.zeros((2, 32), np.float32),
             text=np.zeros((3, 16), np.float32),
         )
+
+
+class TestHTTPServing:
+    """RPC front end: JSON + binary npz protocols over a live server."""
+
+    @pytest.fixture(scope="class")
+    def server(self, request):
+        # module-scoped predictor fixture isn't visible here; build our own
+        model = VisionLanguageModel(
+            img_dim=32, txt_dim=16, hidden_dim=8, num_classes=5
+        )
+        params = model.init(jax.random.key(0))
+
+        def apply_fn(p, image, text):
+            return model.apply(p, image, text, training=False)
+
+        pred = FusionPredictor(
+            apply_fn, params, modality_names=("image", "text"),
+            buckets=(8, 32),
+        )
+        from aecf_tpu.serving_http import PredictionServer
+
+        srv = PredictionServer(pred, port=0).start()  # ephemeral port
+        yield srv, pred
+        srv.stop()
+
+    def test_healthz(self, server):
+        import json as _json
+        import urllib.request
+
+        srv, _ = server
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/healthz", timeout=10
+        ) as resp:
+            body = _json.loads(resp.read())
+        assert body["status"] == "ok"
+        assert body["modalities"] == ["image", "text"]
+
+    def test_json_and_binary_match_local(self, server):
+        from aecf_tpu.serving_http import predict_remote
+
+        srv, pred = server
+        rng = np.random.default_rng(0)
+        img = rng.normal(size=(5, 32)).astype(np.float32)
+        txt = rng.normal(size=(5, 16)).astype(np.float32)
+        local = pred(image=img, text=txt)
+        url = f"http://127.0.0.1:{srv.port}"
+        remote_bin = predict_remote(url, image=img, text=txt)
+        remote_json = predict_remote(url, binary=False, image=img, text=txt)
+        np.testing.assert_allclose(remote_bin, local, atol=1e-6)
+        np.testing.assert_allclose(remote_json, local, atol=1e-5)
+
+    def test_missing_modality_over_rpc(self, server):
+        from aecf_tpu.serving_http import predict_remote
+
+        srv, pred = server
+        rng = np.random.default_rng(1)
+        img = rng.normal(size=(3, 32)).astype(np.float32)
+        url = f"http://127.0.0.1:{srv.port}"
+        # teach the predictor the text dim first
+        predict_remote(url, image=img,
+                       text=np.zeros((3, 16), np.float32))
+        out = predict_remote(url, image=img)
+        assert out.shape == (3, 5)
+        assert np.isfinite(out).all()
+
+    def test_bad_request_is_400(self, server):
+        import urllib.error
+        import urllib.request
+
+        srv, _ = server
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/v1/predict",
+            data=b'{"audio": [[1.0]]}',
+            headers={"Content-Type": "application/json"},
+        )
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req, timeout=10)
+        assert e.value.code == 400
