@@ -1,1 +1,2 @@
-"""Interop wrappers for third-party module systems (flax linen)."""
+"""Interop wrappers for third-party module systems (flax linen, dm-haiku)
+and torch checkpoints."""
