@@ -41,7 +41,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..core.attention import AttentionPoolParams
 from ..core.masking import EPS
 
-__all__ = ["fused_fusion_pool_shared"]
+__all__ = ["fused_fusion_pool_shared", "quantize_features"]
 
 
 def _round_up(x: int, m: int) -> int:
@@ -87,10 +87,10 @@ def _mask_and_renorm(
     return mw, rate
 
 
-def _shared_kernel(
-    seed_ref,  # (1,) int32      [scalar prefetch]
-    mask_prob_ref,  # (1,) f32   [scalar prefetch]
-    kv_ref,  # (TB, M, E)
+def _shared_body(
+    kv_slices,  # list of M (TB, E) f32 arrays
+    seed_ref,
+    mask_prob_ref,
     u_ref,  # (H, E)    score vectors (scale folded in)
     c_ref,  # (1, H)    score offsets (scale folded in)
     pad_ref,  # (TB, M)  additive score bias (0 or -1e30 for padded slots)
@@ -110,18 +110,12 @@ def _shared_kernel(
     seq_len: int,
     mxu_precision,
 ):
-    TB, M, E = kv_ref.shape
+    """Kernel body shared by the f32/bf16 and int8 entry points."""
+    TB, M = pad_ref.shape
+    E = kv_slices[0].shape[-1]
     H = num_heads
     Dh = E // H
     f32 = jnp.float32
-
-    # M is tiny (2-4 modalities): unroll it so every op is a clean 2-D
-    # (TB, E) or (TB, M) array with native (8, 128) tiling — 3-D
-    # broadcast-reduce chains cost Mosaic relayouts.
-    # bf16 feature storage halves HBM traffic; all math stays f32 in VMEM.
-    kv_slices = [
-        kv_ref[:, m, :].astype(f32) for m in range(M)
-    ]  # each (TB, E)
 
     # ---- per-head scores via the precomputed u/c vectors (pure VPU) ---------
     # Build the (TB, M) score matrix by broadcast-select instead of
@@ -209,6 +203,66 @@ def _shared_kernel(
             )
             + bo_ref[0, :]
         )
+
+
+def _shared_kernel(
+    seed_ref, mask_prob_ref,
+    kv_ref,  # (TB, M, E) f32 or bf16
+    u_ref, c_ref, pad_ref, wctx_ref, wo_ref, bctx_ref, bo_ref,
+    out_ref, w_ref, mw_ref, ent_ref, rate_ref,
+    **static_kw,
+):
+    TB, M, E = kv_ref.shape
+    # M is tiny (2-4 modalities): unroll it so every op is a clean 2-D
+    # (TB, E) or (TB, M) array with native (8, 128) tiling — 3-D
+    # broadcast-reduce chains cost Mosaic relayouts.
+    # bf16 feature storage halves HBM traffic; all math stays f32 in VMEM.
+    kv_slices = [kv_ref[:, m, :].astype(jnp.float32) for m in range(M)]
+    _shared_body(
+        kv_slices, seed_ref, mask_prob_ref, u_ref, c_ref, pad_ref,
+        wctx_ref, wo_ref, bctx_ref, bo_ref,
+        out_ref, w_ref, mw_ref, ent_ref, rate_ref, **static_kw,
+    )
+
+
+def _shared_kernel_q8(
+    seed_ref, mask_prob_ref,
+    kv_ref,  # (TB, M*E) int8 — flattened so lane-slicing avoids the
+    #          (32, 128) int8 sublane tile blowing up a tiny M dimension
+    scales_ref,  # (TB, M) f32 per-(row, modality) dequant scales
+    u_ref, c_ref, pad_ref, wctx_ref, wo_ref, bctx_ref, bo_ref,
+    out_ref, w_ref, mw_ref, ent_ref, rate_ref,
+    *,
+    seq_len: int,
+    **static_kw,
+):
+    M = pad_ref.shape[1]
+    E = kv_ref.shape[1] // M
+    # int8 features quarter the kv HBM traffic; dequantize per slice in
+    # VMEM (f32 math throughout, like the bf16 path).
+    kv_slices = [
+        kv_ref[:, m * E : (m + 1) * E].astype(jnp.float32)
+        * scales_ref[:, m : m + 1]
+        for m in range(M)
+    ]
+    _shared_body(
+        kv_slices, seed_ref, mask_prob_ref, u_ref, c_ref, pad_ref,
+        wctx_ref, wo_ref, bctx_ref, bo_ref,
+        out_ref, w_ref, mw_ref, ent_ref, rate_ref,
+        seq_len=seq_len, **static_kw,
+    )
+
+
+def quantize_features(kv: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Per-(row, modality) symmetric int8 quantization of ``(B, M, E)``
+    features: returns ``(kv_int8, scales (B, M))`` for the quantized
+    serving path of :func:`fused_fusion_pool_shared`."""
+    absmax = jnp.abs(kv).max(axis=-1)  # (B, M)
+    scales = jnp.where(absmax > 0, absmax / 127.0, 1.0).astype(jnp.float32)
+    q = jnp.clip(
+        jnp.round(kv / scales[..., None]), -127, 127
+    ).astype(jnp.int8)
+    return q, scales
 
 
 def _prep(
@@ -354,6 +408,111 @@ def _forward(
         seed.reshape(1).astype(jnp.int32),
         mask_prob.reshape(1).astype(jnp.float32),
         kv,
+        u,
+        c,
+        pad_bias,
+        wctx,
+        wo,
+        bctx,
+        bo_k,
+    )
+    return out[:B], w[:B], mw[:B], ent[:B, 0], rate[:B, 0]
+
+
+def _forward_q8(
+    params,
+    qrow,  # (E,)
+    kv_q8,  # (B, M, E) int8
+    scales,  # (B, M) f32
+    seed,
+    mask_prob,
+    key_padding_mask=None,
+    *,
+    num_heads,
+    min_active,
+    training,
+    precision,
+    interpret=False,
+):
+    """int8-feature forward (inference path — no custom_vjp)."""
+    B, M, E = kv_q8.shape
+    u, c, wctx, wo, bctx, bo_k = _prep(params, qrow, num_heads, precision)
+
+    if key_padding_mask is None:
+        pad_bias = jnp.zeros((B, M), jnp.float32)
+    else:
+        pad_bias = jnp.where(
+            key_padding_mask, jnp.float32(-1e30), jnp.float32(0.0)
+        )
+
+    TB = 384 if E <= 512 else 192
+    if num_heads > 2:
+        TB = max(64, TB // (num_heads // 2))
+    TB = min(TB, _round_up(B, 8))
+    B_pad = _round_up(B, TB)
+    kv_flat = kv_q8.reshape(B, M * E)
+    if B_pad != B:
+        kv_flat = jnp.pad(kv_flat, ((0, B_pad - B), (0, 0)))
+        scales = jnp.pad(scales, ((0, B_pad - B), (0, 0)))
+        pad_bias = jnp.pad(pad_bias, ((0, B_pad - B), (0, 0)))
+
+    mxu_precision = (
+        lax.Precision.HIGHEST if precision == "highest" else None
+    )
+    kernel = functools.partial(
+        _shared_kernel_q8,
+        num_heads=num_heads,
+        min_active=min_active,
+        training=training,
+        seq_len=M,
+        mxu_precision=mxu_precision,
+    )
+    tile = lambda i, *_: (i, 0)  # noqa: E731
+    whole = lambda i, *_: (0, 0)  # noqa: E731
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B_pad // TB,),
+        in_specs=[
+            pl.BlockSpec((TB, M * E), tile, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, M), tile, memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_heads, E), whole, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, num_heads), whole, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, M), tile, memory_space=pltpu.VMEM),
+            pl.BlockSpec((E, E), whole, memory_space=pltpu.VMEM),
+            pl.BlockSpec((E, E), whole, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, E), whole, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, E), whole, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((TB, E), tile, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, M), tile, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, M), tile, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, 1), tile, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, 1), tile, memory_space=pltpu.VMEM),
+        ],
+    )
+    gemm_flops = 2 * B_pad * E * E * (1 if num_heads == 1 else 2)
+    out, w, mw, ent, rate = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((B_pad, E), jnp.float32),
+            jax.ShapeDtypeStruct((B_pad, M), jnp.float32),
+            jax.ShapeDtypeStruct((B_pad, M), jnp.float32),
+            jax.ShapeDtypeStruct((B_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B_pad, 1), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=gemm_flops + 7 * B_pad * M * E,
+            bytes_accessed=B_pad * M * E + 4 * (B_pad * E + 2 * E * E),
+            transcendentals=B_pad * M * 2,
+        ),
+        interpret=interpret,
+    )(
+        seed.reshape(1).astype(jnp.int32),
+        mask_prob.reshape(1).astype(jnp.float32),
+        kv_flat,
+        scales,
         u,
         c,
         pad_bias,
@@ -725,6 +884,7 @@ def fused_fusion_pool_shared(
     min_active: int = 1,
     key_padding_mask: Optional[jax.Array] = None,
     precision: str = "default",
+    kv_scales: Optional[jax.Array] = None,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, Dict[str, jax.Array]]:
     """Fused fusion pool for a batch-shared query.
@@ -738,6 +898,11 @@ def fused_fusion_pool_shared(
     ``precision``: "default" (bf16 MXU passes on the context GEMM — fastest;
     weights/entropy are f32-exact either way) or "highest" (full f32 MXU,
     output parity ~1e-6 with the fp32 oracle).
+
+    Quantized serving path: pass ``kv`` as int8 with ``kv_scales (B, M)``
+    (see :func:`quantize_features`) — quarters the kv HBM traffic at the
+    memory-bound shapes.  Inference-only: no gradients flow through this
+    path (there is no custom_vjp for it).
     """
     if query.shape[:2] != (1, 1):
         raise ValueError(
@@ -757,6 +922,30 @@ def fused_fusion_pool_shared(
     else:
         seed = jnp.zeros((), jnp.int32)
 
+    if kv.dtype == jnp.int8:
+        if kv_scales is None:
+            raise ValueError(
+                "int8 kv requires kv_scales (see quantize_features)"
+            )
+        out, w, mw, ent, rate = _forward_q8(
+            params,
+            query[0, 0, :],
+            kv,
+            kv_scales,
+            seed,
+            jnp.asarray(base_mask_prob, jnp.float32),
+            key_padding_mask,
+            num_heads=num_heads,
+            min_active=min_active,
+            training=training,
+            precision=precision,
+            interpret=interpret,
+        )
+        return _package_outputs(
+            out, w, mw, ent, rate, training=training, M=M,
+            entropy_target=entropy_target,
+        )
+
     out, w, mw, ent, rate = _shared_core(
         params,
         query[0, 0, :],
@@ -771,6 +960,13 @@ def fused_fusion_pool_shared(
         interpret,
     )
 
+    return _package_outputs(
+        out, w, mw, ent, rate, training=training, M=M,
+        entropy_target=entropy_target,
+    )
+
+
+def _package_outputs(out, w, mw, ent, rate, *, training, M, entropy_target):
     weights = w[:, None, :]
     masked = lax.stop_gradient(mw[:, None, :])
     entropy = lax.stop_gradient(ent[:, None])

@@ -253,3 +253,36 @@ def test_supports_fused_gate():
         tgt_len=1, num_heads=1, embed_dim=512, has_masks=True
     )
     assert not supports_fused(tgt_len=1, num_heads=1, embed_dim=2048)
+
+
+def test_quantized_kv_on_chip():
+    """int8 kv path on real hardware: near-oracle outputs, renormalized
+    weights, and training-mode masking still draws from the TPU PRNG."""
+    from aecf_tpu.kernels import fused_fusion_pool_shared, quantize_features
+
+    E, M, B = 256, 3, 512
+    params = init_attention_pool_params(jax.random.key(0), E)
+    query = init_fusion_query(jax.random.key(1), E)
+    kv = jax.random.normal(jax.random.key(2), (B, M, E))
+    q8, scales = quantize_features(kv)
+
+    out_q, w_q, _, _ = fused_fusion_pool_shared(
+        params, query, q8, kv_scales=scales, training=False,
+        precision="highest",
+    )
+    with jax.default_matmul_precision("highest"):
+        out_o, w_o = attention_pool_core(
+            params, jnp.broadcast_to(query, (B, 1, E)), kv, kv,
+            num_heads=1, need_weights=True,
+        )
+    assert float(jnp.abs(out_q - out_o).max()) < 0.1
+    assert float(jnp.abs(w_q - w_o).max()) < 0.02
+    np.testing.assert_allclose(np.asarray(w_q.sum(-1)), 1.0, rtol=1e-5)
+
+    # training-mode masking over int8 features
+    _, _, mw, info = fused_fusion_pool_shared(
+        params, query, q8, kv_scales=scales, training=True,
+        rng=jax.random.key(5), base_mask_prob=0.9,
+    )
+    assert float(info["mask_rate"].mean()) > 0.05
+    np.testing.assert_allclose(np.asarray(mw.sum(-1)), 1.0, rtol=1e-5)

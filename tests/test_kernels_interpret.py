@@ -139,3 +139,55 @@ class TestPallasBackwardInterpret:
             gk,
             go,
         )
+
+
+class TestQuantizedFeaturesInterpret:
+    """int8 kv serving path: quantize → fused kernel → near-oracle output."""
+
+    def test_quantize_round_trip(self):
+        from aecf_tpu.kernels import quantize_features
+
+        kv = jax.random.normal(jax.random.key(0), (8, 3, 64))
+        q8, scales = quantize_features(kv)
+        assert q8.dtype == jnp.int8 and scales.shape == (8, 3)
+        deq = q8.astype(jnp.float32) * scales[..., None]
+        assert float(jnp.abs(deq - kv).max()) < 0.05
+        # zero rows quantize without dividing by zero
+        q0, s0 = quantize_features(jnp.zeros((2, 3, 64)))
+        assert float(jnp.abs(q0).max()) == 0.0 and np.isfinite(s0).all()
+
+    def test_q8_matches_oracle_within_quant_tolerance(self):
+        from aecf_tpu.kernels import fused_fusion_pool_shared, quantize_features
+
+        E, M, B = 64, 3, 24
+        params = init_attention_pool_params(jax.random.key(0), E)
+        query = init_fusion_query(jax.random.key(1), E)
+        kv = jax.random.normal(jax.random.key(2), (B, M, E))
+        q8, scales = quantize_features(kv)
+        out_q, w_q, mw_q, info = fused_fusion_pool_shared(
+            params, query, q8, kv_scales=scales, training=False,
+            interpret=True, precision="highest",
+        )
+        with jax.default_matmul_precision("highest"):
+            out_o, w_o = attention_pool_core(
+                params, jnp.broadcast_to(query, (B, 1, E)), kv, kv,
+                num_heads=1, need_weights=True,
+            )
+        assert float(jnp.abs(out_q - out_o).max()) < 0.1
+        assert float(jnp.abs(w_q - w_o).max()) < 0.02
+        np.testing.assert_allclose(np.asarray(w_q.sum(-1)), 1.0, rtol=1e-5)
+        assert set(info) == {"entropy", "mask_rate"}
+
+    def test_int8_requires_scales(self):
+        from aecf_tpu.kernels import fused_fusion_pool_shared, quantize_features
+
+        E, M, B = 64, 3, 8
+        params = init_attention_pool_params(jax.random.key(0), E)
+        query = init_fusion_query(jax.random.key(1), E)
+        q8, _ = quantize_features(
+            jax.random.normal(jax.random.key(2), (B, M, E))
+        )
+        with pytest.raises(ValueError, match="kv_scales"):
+            fused_fusion_pool_shared(
+                params, query, q8, training=False, interpret=True
+            )
