@@ -41,11 +41,11 @@ def throughput(batch, modalities, embed, heads, impl, quick):
         batch, modalities, embed, heads, impl, K
     )
     params, opt_state, loss = chunk(params, opt_state, jnp.int32(0))
-    jax.block_until_ready(loss)
+    float(loss)  # value fetch: reliable sync through the tunnel
     t0 = time.perf_counter()
     for r in range(1, rounds + 1):
         params, opt_state, loss = chunk(params, opt_state, jnp.int32(r * K))
-    jax.block_until_ready(loss)
+    float(loss)  # value fetch: reliable sync through the tunnel
     return batch * rounds * K / (time.perf_counter() - t0)
 
 
@@ -105,7 +105,7 @@ def bwd_ab(quick):
         os.environ["AECF_SHARED_BWD"] = mode
         c, p, s = build_chunk(B, M, E, H, "pallas", K)
         p, s, loss = c(p, s, jnp.int32(0))
-        jax.block_until_ready(loss)
+        float(loss)  # value fetch: reliable sync through the tunnel
         chunks[mode] = (c, p, s)
     os.environ.pop("AECF_SHARED_BWD", None)
 
@@ -115,7 +115,7 @@ def bwd_ab(quick):
             c, p, s = chunks[m]
             t0 = time.perf_counter()
             p, s, loss = c(p, s, jnp.int32(r * K))
-            jax.block_until_ready(loss)
+            float(loss)  # value fetch: reliable sync through the tunnel
             res[m].append(B * K / (time.perf_counter() - t0))
             chunks[m] = (c, p, s)
     med = {m: statistics.median(v) for m, v in res.items()}
@@ -181,12 +181,12 @@ def vlm_throughput(quick):
         return state, losses[-1]
 
     state, loss = chunk(state)
-    jax.block_until_ready(loss)
+    float(loss)  # value fetch: reliable sync through the tunnel
     rounds = 2 if quick else 4
     t0 = time.perf_counter()
     for _ in range(rounds):
         state, loss = chunk(state)
-    jax.block_until_ready(loss)
+    float(loss)  # value fetch: reliable sync through the tunnel
     return B * rounds * K / (time.perf_counter() - t0)
 
 
