@@ -97,8 +97,11 @@ def bwd_ab(quick):
     from bench import build_chunk
 
     B, M, E, H = 8192, 4, 1024, 1
-    K = 10 if quick else 20
-    rounds = 3 if quick else 6
+    # Long windows: each pays one tunnel RTT (up to ~35ms in bad phases) —
+    # K must be large enough that compute dominates or the ratio compresses
+    # toward 1.
+    K = 20 if quick else 80
+    rounds = 3 if quick else 5
 
     chunks = {}
     for mode in ("xla", "pallas"):
