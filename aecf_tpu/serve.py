@@ -18,13 +18,16 @@ Usage::
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Sequence
+import threading
+import time
+from concurrent.futures import Future
+from typing import Any, Callable, Dict, List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["FusionPredictor", "pad_to_bucket"]
+__all__ = ["FusionPredictor", "MicroBatcher", "pad_to_bucket"]
 
 
 def pad_to_bucket(
@@ -64,6 +67,8 @@ class FusionPredictor:
         self.modality_names = tuple(modality_names)
         self.buckets = tuple(sorted(buckets))
         self.apply_sigmoid = apply_sigmoid
+        self.calls = 0
+        self._dims: Dict[str, int] = {}
 
         def _run(params, *mods):
             logits = apply_fn(
@@ -100,7 +105,7 @@ class FusionPredictor:
                     f"batch mismatch: {k} has {v.shape[0]} rows, expected {n}"
                 )
 
-        self._dims = getattr(self, "_dims", {})
+        self.calls += 1  # device-call counter (micro-batching observability)
         for k, v in provided.items():
             self._dims[k] = v.shape[1]
         missing = [
@@ -137,3 +142,109 @@ class FusionPredictor:
             outs.append(out[:chunk_n])
             start += chunk_n
         return np.concatenate(outs)
+
+
+class MicroBatcher:
+    """Request coalescing: concurrent single/small requests ride one device
+    call.
+
+    Production front ends receive many small independent requests; padding
+    each to a bucket wastes the chip.  The micro-batcher queues requests for
+    up to ``max_wait_ms`` (or until ``max_batch`` rows accumulate), groups
+    them by modality key-set (rows with different provided modalities cannot
+    share a zero-fill pattern), concatenates, runs ONE predictor call per
+    group, and scatters the rows back to their callers' futures.
+
+    Thread-safe; callers block in ``__call__`` until their slice is ready.
+
+    Usage::
+
+        batcher = MicroBatcher(predictor, max_batch=256, max_wait_ms=3.0)
+        probs = batcher(image=img_row)        # from any number of threads
+        batcher.stop()
+    """
+
+    def __init__(
+        self,
+        predictor: FusionPredictor,
+        *,
+        max_batch: int = 256,
+        max_wait_ms: float = 3.0,
+    ):
+        self.predictor = predictor
+        self.modality_names = predictor.modality_names
+        self.max_batch = max_batch
+        self.max_wait = max_wait_ms / 1e3
+        self._lock = threading.Lock()
+        self._cv = threading.Condition(self._lock)
+        self._queue: List[Tuple[Tuple[str, ...], Dict[str, np.ndarray], Future]] = []
+        self._stopping = False
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    def __call__(self, **modalities: np.ndarray) -> np.ndarray:
+        mods = {
+            k: np.asarray(v, np.float32)
+            for k, v in modalities.items()
+            if v is not None
+        }
+        if not mods:
+            raise ValueError("At least one modality must be provided")
+        fut: Future = Future()
+        keyset = tuple(sorted(mods))
+        with self._cv:
+            if self._stopping:
+                raise RuntimeError("MicroBatcher is stopped")
+            self._queue.append((keyset, mods, fut))
+            self._cv.notify()
+        return fut.result()
+
+    def _run(self) -> None:
+        while True:
+            with self._cv:
+                while not self._queue and not self._stopping:
+                    self._cv.wait()
+                if self._stopping and not self._queue:
+                    return
+                # batching window: wait for more arrivals (bounded)
+                deadline = time.monotonic() + self.max_wait
+                while (
+                    sum(
+                        next(iter(m.values())).shape[0]
+                        for _, m, _ in self._queue
+                    )
+                    < self.max_batch
+                    and not self._stopping
+                ):
+                    remaining = deadline - time.monotonic()
+                    if remaining <= 0:
+                        break
+                    self._cv.wait(timeout=remaining)
+                batch, self._queue = self._queue, []
+
+            # group by modality key-set; one device call per group
+            groups: Dict[Tuple[str, ...], List[Tuple[Dict, Future]]] = {}
+            for keyset, mods, fut in batch:
+                groups.setdefault(keyset, []).append((mods, fut))
+            for keyset, items in groups.items():
+                try:
+                    stacked = {
+                        k: np.concatenate([m[k] for m, _ in items])
+                        for k in keyset
+                    }
+                    out = self.predictor(**stacked)
+                    start = 0
+                    for mods, fut in items:
+                        n = next(iter(mods.values())).shape[0]
+                        fut.set_result(out[start : start + n])
+                        start += n
+                except Exception as e:  # noqa: BLE001 — serving boundary
+                    for _, fut in items:
+                        if not fut.done():
+                            fut.set_exception(e)
+
+    def stop(self) -> None:
+        with self._cv:
+            self._stopping = True
+            self._cv.notify_all()
+        self._worker.join(timeout=5)

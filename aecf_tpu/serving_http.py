@@ -34,25 +34,34 @@ import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Dict, Optional
 
+import contextlib
 import numpy as np
 
-from .serve import FusionPredictor
+from .serve import FusionPredictor, MicroBatcher
 
 __all__ = ["PredictionServer", "predict_remote"]
 
 
 class PredictionServer:
-    """Threaded HTTP server wrapping a :class:`FusionPredictor`."""
+    """Threaded HTTP server wrapping a :class:`FusionPredictor` (or a
+    :class:`MicroBatcher` — then concurrent requests coalesce into shared
+    device calls instead of serializing behind the lock)."""
 
     def __init__(
         self,
-        predictor: FusionPredictor,
+        predictor,
         *,
         host: str = "127.0.0.1",
         port: int = 8000,
     ):
         self.predictor = predictor
-        self._lock = threading.Lock()
+        # A MicroBatcher is thread-safe and WANTS concurrent callers (that
+        # is what it coalesces); a bare predictor is serialized.
+        self._lock = (
+            contextlib.nullcontext()
+            if isinstance(predictor, MicroBatcher)
+            else threading.Lock()
+        )
         outer = self
 
         class Handler(BaseHTTPRequestHandler):

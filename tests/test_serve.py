@@ -157,3 +157,129 @@ class TestHTTPServing:
         with pytest.raises(urllib.error.HTTPError) as e:
             urllib.request.urlopen(req, timeout=10)
         assert e.value.code == 400
+
+
+class TestMicroBatcher:
+    """Request coalescing: many concurrent small requests → few device
+    calls, rows routed back to the right caller."""
+
+    @pytest.fixture()
+    def batcher(self):
+        from aecf_tpu.serve import MicroBatcher
+
+        model = VisionLanguageModel(
+            img_dim=32, txt_dim=16, hidden_dim=8, num_classes=5
+        )
+        params = model.init(jax.random.key(0))
+
+        def apply_fn(p, image, text):
+            return model.apply(p, image, text, training=False)
+
+        pred = FusionPredictor(
+            apply_fn, params, modality_names=("image", "text"),
+            buckets=(8, 64),
+        )
+        b = MicroBatcher(pred, max_batch=64, max_wait_ms=20.0)
+        yield b, pred
+        b.stop()
+
+    def test_concurrent_requests_coalesce_and_match_direct(self, batcher):
+        import concurrent.futures as cf
+
+        b, pred = batcher
+        rng = np.random.default_rng(0)
+        imgs = rng.normal(size=(12, 1, 32)).astype(np.float32)
+        txts = rng.normal(size=(12, 1, 16)).astype(np.float32)
+        # warm the jit so the timing window can actually coalesce
+        pred(image=imgs[0], text=txts[0])
+        calls_before = pred.calls
+
+        with cf.ThreadPoolExecutor(max_workers=12) as ex:
+            futs = [
+                ex.submit(b, image=imgs[i], text=txts[i])
+                for i in range(12)
+            ]
+            outs = [f.result(timeout=30) for f in futs]
+
+        for i, out in enumerate(outs):
+            direct = pred(image=imgs[i], text=txts[i])
+            np.testing.assert_allclose(out, direct, atol=1e-6)
+        # 12 one-row requests must NOT have cost 12 device calls
+        coalesced_calls = pred.calls - calls_before - 12  # minus the
+        # direct-verification calls made above
+        assert coalesced_calls < 12, (pred.calls, calls_before)
+
+    def test_mixed_keysets_grouped_separately(self, batcher):
+        import concurrent.futures as cf
+
+        b, pred = batcher
+        rng = np.random.default_rng(1)
+        img = rng.normal(size=(1, 32)).astype(np.float32)
+        txt = rng.normal(size=(1, 16)).astype(np.float32)
+        pred(image=img, text=txt)  # teach dims
+        with cf.ThreadPoolExecutor(max_workers=4) as ex:
+            f1 = ex.submit(b, image=img, text=txt)
+            f2 = ex.submit(b, image=img)  # different key-set
+            o1, o2 = f1.result(timeout=30), f2.result(timeout=30)
+        np.testing.assert_allclose(
+            o1, pred(image=img, text=txt), atol=1e-6
+        )
+        np.testing.assert_allclose(o2, pred(image=img), atol=1e-6)
+
+    def test_error_propagates_to_caller(self, batcher):
+        b, _ = batcher
+        with pytest.raises(ValueError):
+            b(bogus=np.zeros((1, 4), np.float32))
+
+    def test_stopped_batcher_rejects(self, batcher):
+        from aecf_tpu.serve import MicroBatcher
+
+        b, pred = batcher
+        b2 = MicroBatcher(pred, max_wait_ms=1.0)
+        b2.stop()
+        with pytest.raises(RuntimeError, match="stopped"):
+            b2(image=np.zeros((1, 32), np.float32))
+
+
+def test_http_server_with_microbatcher():
+    """The RPC front end over a MicroBatcher: concurrent HTTP clients
+    coalesce into shared device calls."""
+    import concurrent.futures as cf
+
+    from aecf_tpu.serve import MicroBatcher
+    from aecf_tpu.serving_http import PredictionServer, predict_remote
+
+    model = VisionLanguageModel(
+        img_dim=32, txt_dim=16, hidden_dim=8, num_classes=5
+    )
+    params = model.init(jax.random.key(0))
+
+    def apply_fn(p, image, text):
+        return model.apply(p, image, text, training=False)
+
+    pred = FusionPredictor(
+        apply_fn, params, modality_names=("image", "text"), buckets=(8, 64)
+    )
+    batcher = MicroBatcher(pred, max_batch=64, max_wait_ms=20.0)
+    srv = PredictionServer(batcher, port=0).start()
+    try:
+        rng = np.random.default_rng(0)
+        imgs = rng.normal(size=(8, 1, 32)).astype(np.float32)
+        txts = rng.normal(size=(8, 1, 16)).astype(np.float32)
+        pred(image=imgs[0], text=txts[0])  # warm jit
+        calls_before = pred.calls
+        url = f"http://127.0.0.1:{srv.port}"
+        with cf.ThreadPoolExecutor(max_workers=8) as ex:
+            futs = [
+                ex.submit(predict_remote, url, image=imgs[i], text=txts[i])
+                for i in range(8)
+            ]
+            outs = [f.result(timeout=30) for f in futs]
+        for i, out in enumerate(outs):
+            np.testing.assert_allclose(
+                out, pred(image=imgs[i], text=txts[i]), atol=1e-6
+            )
+        assert pred.calls - calls_before - 8 < 8  # coalesced
+    finally:
+        srv.stop()
+        batcher.stop()
