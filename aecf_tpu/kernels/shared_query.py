@@ -207,17 +207,23 @@ def _shared_body(
 
 def _shared_kernel(
     seed_ref, mask_prob_ref,
-    kv_ref,  # (TB, M, E) f32 or bf16
+    kv_ref,  # (TB, M*E) f32 or bf16 — flattened: the tiny M dim would be
+    #          sublane-padded to 8 (f32) / 16 (bf16) as a block dimension,
+    #          inflating the VMEM tile 2-4x; lane-slicing avoids it
     u_ref, c_ref, pad_ref, wctx_ref, wo_ref, bctx_ref, bo_ref,
     out_ref, w_ref, mw_ref, ent_ref, rate_ref,
     **static_kw,
 ):
-    TB, M, E = kv_ref.shape
+    TB, M = pad_ref.shape
+    E = kv_ref.shape[1] // M
     # M is tiny (2-4 modalities): unroll it so every op is a clean 2-D
     # (TB, E) or (TB, M) array with native (8, 128) tiling — 3-D
     # broadcast-reduce chains cost Mosaic relayouts.
     # bf16 feature storage halves HBM traffic; all math stays f32 in VMEM.
-    kv_slices = [kv_ref[:, m, :].astype(jnp.float32) for m in range(M)]
+    kv_slices = [
+        kv_ref[:, m * E : (m + 1) * E].astype(jnp.float32)
+        for m in range(M)
+    ]
     _shared_body(
         kv_slices, seed_ref, mask_prob_ref, u_ref, c_ref, pad_ref,
         wctx_ref, wo_ref, bctx_ref, bo_ref,
@@ -343,12 +349,17 @@ def _forward(
     # the unrolled head loop (~H/2 extra (TB, E) buffers): TB=512 at
     # E=512/H=1 overflows by ~0.1MB, TB=384 at H=8 by ~12MB (measured).
     TB = 384 if E <= 512 else 192
+    import os as _os
+
+    if _os.environ.get("AECF_FWD_TB"):
+        TB = int(_os.environ["AECF_FWD_TB"])
     if num_heads > 2:
         TB = max(64, TB // (num_heads // 2))
     TB = min(TB, _round_up(B, 8))
     B_pad = _round_up(B, TB)
+    kv_flat = kv.reshape(B, M * E)  # lane-sliced in-kernel (see kernel doc)
     if B_pad != B:
-        kv = jnp.pad(kv, ((0, B_pad - B), (0, 0), (0, 0)))
+        kv_flat = jnp.pad(kv_flat, ((0, B_pad - B), (0, 0)))
         pad_bias = jnp.pad(pad_bias, ((0, B_pad - B), (0, 0)))
 
     mxu_precision = (
@@ -368,9 +379,7 @@ def _forward(
         num_scalar_prefetch=2,
         grid=(B_pad // TB,),
         in_specs=[
-            pl.BlockSpec(
-                (TB, M, E), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
-            ),
+            pl.BlockSpec((TB, M * E), tile, memory_space=pltpu.VMEM),
             pl.BlockSpec((num_heads, E), whole, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, num_heads), whole, memory_space=pltpu.VMEM),
             pl.BlockSpec((TB, M), tile, memory_space=pltpu.VMEM),
@@ -407,7 +416,7 @@ def _forward(
     )(
         seed.reshape(1).astype(jnp.int32),
         mask_prob.reshape(1).astype(jnp.float32),
-        kv,
+        kv_flat,
         u,
         c,
         pad_bias,
@@ -446,6 +455,10 @@ def _forward_q8(
         )
 
     TB = 384 if E <= 512 else 192
+    import os as _os
+
+    if _os.environ.get("AECF_FWD_TB"):
+        TB = int(_os.environ["AECF_FWD_TB"])
     if num_heads > 2:
         TB = max(64, TB // (num_heads // 2))
     TB = min(TB, _round_up(B, 8))
@@ -549,13 +562,13 @@ def _shared_fwd(
 
 
 def _bwd_kernel(
-    kv_ref,  # (TB, M, E)
+    kv_ref,  # (TB, M*E) — flattened, lane-sliced (see _shared_kernel doc)
     dout_ref,  # (TB, E)
     dw_ref,  # (TB, M)   cotangent on the returned raw weights
     bias_ref,  # (TB, M)  pad bias + score offset c, pre-folded
     u_ref,  # (1, E)
     wvo_ref,  # (E, E)   W_vo = Wo @ Wv (precomputed, f32)
-    dkv_ref,  # (TB, M, E)            [tile output]
+    dkv_ref,  # (TB, M*E)             [tile output, feature dtype]
     g_ref,  # (E, E)   Σ_b d_outᵀ·mix  [whole-array accumulator]
     du_ref,  # (1, E)   Σ d_s·kv       [accumulator]
     dvec_ref,  # (2, E)  row 0: Σ_b d_out; row 1 col 0: Σ d_s  [accumulator]
@@ -572,7 +585,8 @@ def _bwd_kernel(
     with dWo = G·Wvᵀ + Σd_out ⊗ bv and dWv = Woᵀ·G reconstructed outside
     (two E×E GEMMs once per step, not per tile).
     """
-    TB, M, E = kv_ref.shape
+    TB, M = dw_ref.shape
+    E = kv_ref.shape[1] // M
     f32 = jnp.float32
     i = pl.program_id(0)
 
@@ -582,7 +596,9 @@ def _bwd_kernel(
         du_ref[:] = jnp.zeros((1, E), f32)
         dvec_ref[:] = jnp.zeros((2, E), f32)
 
-    kv_slices = [kv_ref[:, m, :].astype(f32) for m in range(M)]
+    kv_slices = [
+        kv_ref[:, m * E : (m + 1) * E].astype(f32) for m in range(M)
+    ]
     d_out = dout_ref[:]
     u = u_ref[0, :]
 
@@ -631,7 +647,11 @@ def _bwd_kernel(
     for m, kv_m in enumerate(kv_slices):
         a_m = a[:, m : m + 1]
         ds_m = d_s[:, m : m + 1]
-        dkv_ref[:, m, :] = a_m * d_mix + ds_m * u
+        # d_kv is stored in the feature dtype (bf16 features ⇒ bf16
+        # cotangent written directly — halves the d_kv HBM traffic).
+        dkv_ref[:, m * E : (m + 1) * E] = (
+            a_m * d_mix + ds_m * u
+        ).astype(dkv_ref.dtype)
         du_acc = du_acc + (ds_m * kv_m).sum(axis=0, keepdims=True)
     du_ref[:] += du_acc
     # Row 0 ← Σ_b d_out; row 1, col 0 ← Σ d_s.  Built by broadcast-select
@@ -942,14 +962,17 @@ def _bwd_pallas(residuals, cots, *, precision, interpret):
 
     import os as _os
 
-    TB = 256 if E <= 512 else 128
+    # Measured with flattened (TB, M*E) tiles: 192 beats 128 by ~5% at
+    # E=1024 and 256 still exceeds VMEM (remote-compile failure).
+    TB = 256 if E <= 512 else 192
     if _os.environ.get("AECF_BWD_TB"):
         TB = int(_os.environ["AECF_BWD_TB"])
     TB = min(TB, _round_up(B, 8))
     B_pad = _round_up(B, TB)
+    kv_flat = kv.reshape(B, M * E)  # lane-sliced in-kernel
     if B_pad != B:
         # zero-padded rows contribute exactly zero to every output
-        kv = jnp.pad(kv, ((0, B_pad - B), (0, 0), (0, 0)))
+        kv_flat = jnp.pad(kv_flat, ((0, B_pad - B), (0, 0)))
         d_out = jnp.pad(d_out, ((0, B_pad - B), (0, 0)))
         d_w = jnp.pad(d_w, ((0, B_pad - B), (0, 0)))
         bias = jnp.pad(bias, ((0, B_pad - B), (0, 0)))
@@ -962,8 +985,7 @@ def _bwd_pallas(residuals, cots, *, precision, interpret):
         kernel,
         grid=(B_pad // TB,),
         in_specs=[
-            pl.BlockSpec((TB, M, E), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, M * E), tile, memory_space=pltpu.VMEM),
             pl.BlockSpec((TB, E), tile, memory_space=pltpu.VMEM),
             pl.BlockSpec((TB, M), tile, memory_space=pltpu.VMEM),
             pl.BlockSpec((TB, M), tile, memory_space=pltpu.VMEM),
@@ -971,14 +993,15 @@ def _bwd_pallas(residuals, cots, *, precision, interpret):
             pl.BlockSpec((E, E), whole, memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((TB, M, E), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, M * E), tile, memory_space=pltpu.VMEM),
             pl.BlockSpec((E, E), whole, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, E), whole, memory_space=pltpu.VMEM),
             pl.BlockSpec((2, E), whole, memory_space=pltpu.VMEM),
         ],
         out_shape=(
-            jax.ShapeDtypeStruct((B_pad, M, E), f32),
+            # d_kv in the feature dtype — written once, at bf16 half-traffic
+            # when features are bf16 (no f32 detour through HBM).
+            jax.ShapeDtypeStruct((B_pad, M * E), kv_dtype),
             jax.ShapeDtypeStruct((E, E), f32),
             jax.ShapeDtypeStruct((1, E), f32),
             jax.ShapeDtypeStruct((2, E), f32),
@@ -989,9 +1012,9 @@ def _bwd_pallas(residuals, cots, *, precision, interpret):
             transcendentals=B_pad * M,
         ),
         interpret=interpret,
-    )(kv, d_out, d_w, bias, u.reshape(1, E), wvo)
+    )(kv_flat, d_out, d_w, bias, u.reshape(1, E), wvo)
 
-    d_kv = d_kv[:B]
+    d_kv = d_kv[:B].reshape(B, M, E)
     du = du[0]
     dsum_out = dvec[0]
     dc = dvec[1, 0]

@@ -47,7 +47,8 @@ CONFIGS = {
 }
 
 
-def build_chunk(batch, modalities, embed, heads, impl, steps_per_call):
+def build_chunk(batch, modalities, embed, heads, impl, steps_per_call,
+                features_dtype="float32"):
     import optax
 
     from aecf_tpu.core.attention import attention_pool_core
@@ -97,7 +98,7 @@ def build_chunk(batch, modalities, embed, heads, impl, steps_per_call):
 
     modal = jax.random.normal(
         jax.random.key(2), (batch, modalities, embed)
-    )
+    ).astype(features_dtype)
 
     @jax.jit
     def chunk(params, opt_state, start):
@@ -119,6 +120,12 @@ def main():
     ap.add_argument("--embed", type=int)
     ap.add_argument("--modalities", type=int)
     ap.add_argument("--heads", type=int)
+    ap.add_argument(
+        "--features-dtype", default="float32",
+        choices=["float32", "bfloat16"],
+        help="kv feature storage dtype (bf16 halves the memory-bound "
+        "roofline; params/weights/entropy stay f32)",
+    )
     args = ap.parse_args()
 
     batch, modalities, embed, heads, baseline_sps = CONFIGS[args.config]
@@ -137,7 +144,8 @@ def main():
     rounds = 3 if args.quick else 6
 
     chunk, params, opt_state = build_chunk(
-        batch, modalities, embed, heads, impl, K
+        batch, modalities, embed, heads, impl, K,
+        features_dtype=args.features_dtype,
     )
     params, opt_state, loss = chunk(params, opt_state, jnp.int32(0))
     float(loss)  # compile + warmup (value fetch: the only reliable sync through the tunnel)
@@ -166,7 +174,8 @@ def main():
         "metric": (
             f"fusion fwd+bwd samples/sec/chip "
             f"(B={batch}, M={modalities}, E={embed}, H={heads}, "
-            f"impl={impl}, {jax.default_backend()})"
+            f"impl={impl}, feats={args.features_dtype}, "
+            f"{jax.default_backend()})"
         ),
         "value": round(samples_per_sec, 1),
         "unit": "samples/sec",
