@@ -22,17 +22,30 @@ __all__ = ["make_mesh", "data_mesh", "data_model_mesh", "maybe_initialize_distri
 def maybe_initialize_distributed() -> None:
     """Initialize multi-host JAX if launched under a multi-process runtime.
 
-    Safe no-op on a single host / when already initialized.
+    Safe no-op on a single host / when already initialized.  Cluster
+    environments JAX knows (GKE, SLURM, TPU pods) auto-detect; manual
+    launches set ``JAX_COORDINATOR_ADDRESS`` (or ``COORDINATOR_ADDRESS``)
+    plus ``JAX_NUM_PROCESSES`` / ``JAX_PROCESS_ID``, which this helper
+    passes through explicitly (jax.distributed.initialize does not read
+    the count/id env vars itself).  Tested for real in
+    tests/test_multihost.py with a two-process CPU cluster.
     """
     import os
 
-    if os.environ.get("COORDINATOR_ADDRESS") or os.environ.get(
-        "JAX_COORDINATOR_ADDRESS"
-    ):
-        try:
-            jax.distributed.initialize()
-        except RuntimeError:
-            pass  # already initialized
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+        "COORDINATOR_ADDRESS"
+    )
+    if not addr:
+        return
+    kwargs = {"coordinator_address": addr}
+    if os.environ.get("JAX_NUM_PROCESSES"):
+        kwargs["num_processes"] = int(os.environ["JAX_NUM_PROCESSES"])
+    if os.environ.get("JAX_PROCESS_ID"):
+        kwargs["process_id"] = int(os.environ["JAX_PROCESS_ID"])
+    try:
+        jax.distributed.initialize(**kwargs)
+    except RuntimeError:
+        pass  # already initialized
 
 
 def make_mesh(

@@ -110,6 +110,27 @@ def build_chunk(batch, modalities, embed, heads, impl, steps_per_call,
     return chunk, params, opt_state
 
 
+def measure_tunnel_rtt(samples: int = 6) -> float:
+    """Median round-trip of a trivial dispatch+fetch — the fixed transport
+    cost the tunnel adds to every timed window (pure infrastructure, not
+    chip time; subtract it from benchmark windows)."""
+    import statistics
+
+    @jax.jit
+    def _nop(x):
+        return x + 1.0
+
+    z = jnp.float32(0)
+    float(_nop(z))
+    rtts = []
+    for _ in range(samples):
+        t0 = time.perf_counter()
+        z = _nop(z)
+        float(z)
+        rtts.append(time.perf_counter() - t0)
+    return statistics.median(rtts)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
@@ -152,22 +173,8 @@ def main():
 
     import statistics
 
-    # The tunnel to the chip adds a fixed per-fetch round-trip (0.2-35ms
-    # depending on phase) that is pure transport, not chip time — measure
-    # it with a trivial fetch and subtract it from every timed window.
-    @jax.jit
-    def _nop(x):
-        return x + 1.0
-
-    z = jnp.float32(0)
-    float(_nop(z))
-    rtts = []
-    for _ in range(6):
-        t0 = time.perf_counter()
-        z = _nop(z)
-        float(z)
-        rtts.append(time.perf_counter() - t0)
-    rtt = statistics.median(rtts)
+    # Fixed per-fetch transport cost — subtracted from every timed window.
+    rtt = measure_tunnel_rtt()
 
     def window_sps(elapsed, steps):
         # never subtract more than 90% of the window (RTT estimate noise)

@@ -32,10 +32,30 @@ import jax.numpy as jnp
 import numpy as np
 
 
+_RTT = None
+
+
+def tunnel_rtt():
+    """Cached fixed per-fetch transport cost (see bench.measure_tunnel_rtt)."""
+    global _RTT
+    if _RTT is None:
+        from bench import measure_tunnel_rtt
+
+        _RTT = measure_tunnel_rtt()
+        print(f"tunnel rtt: {_RTT * 1e3:.1f}ms (subtracted from windows)",
+              flush=True)
+    return _RTT
+
+
+def _net(elapsed):
+    # never subtract more than 90% of the window (RTT estimate noise)
+    return max(elapsed - tunnel_rtt(), 0.1 * elapsed)
+
+
 def throughput(batch, modalities, embed, heads, impl, quick):
     from bench import build_chunk
 
-    K = 10 if quick else 25
+    K = 10 if quick else 60
     rounds = 2 if quick else 4
     chunk, params, opt_state = build_chunk(
         batch, modalities, embed, heads, impl, K
@@ -46,7 +66,7 @@ def throughput(batch, modalities, embed, heads, impl, quick):
     for r in range(1, rounds + 1):
         params, opt_state, loss = chunk(params, opt_state, jnp.int32(r * K))
     float(loss)  # value fetch: reliable sync through the tunnel
-    return batch * rounds * K / (time.perf_counter() - t0)
+    return batch * rounds * K / _net(time.perf_counter() - t0)
 
 
 def parity_check(retries: int = 2):
@@ -138,7 +158,7 @@ def bwd_ab(quick):
             t0 = time.perf_counter()
             p, s, loss = c(p, s, jnp.int32(r * K))
             float(loss)  # value fetch: reliable sync through the tunnel
-            res[m].append(B * K / (time.perf_counter() - t0))
+            res[m].append(B * K / _net(time.perf_counter() - t0))
             chunks[m] = (c, p, s)
     med = {m: statistics.median(v) for m, v in res.items()}
     return {
@@ -209,7 +229,7 @@ def vlm_throughput(quick):
     for _ in range(rounds):
         state, loss = chunk(state)
     float(loss)  # value fetch: reliable sync through the tunnel
-    return B * rounds * K / (time.perf_counter() - t0)
+    return B * rounds * K / _net(time.perf_counter() - t0)
 
 
 def main():
