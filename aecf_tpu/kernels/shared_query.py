@@ -537,10 +537,10 @@ def _forward_q8(
     return out[:B], w[:B], mw[:B], ent[:B, 0], rate[:B, 0]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11))
 def _shared_core(
     params, qrow, kv, seed, mask_prob, key_padding_mask,
-    num_heads, min_active, training, precision, interpret,
+    num_heads, min_active, training, precision, interpret, kv_grad,
 ):
     return _forward(
         params, qrow, kv, seed, mask_prob, key_padding_mask,
@@ -551,7 +551,7 @@ def _shared_core(
 
 def _shared_fwd(
     params, qrow, kv, seed, mask_prob, key_padding_mask,
-    num_heads, min_active, training, precision, interpret,
+    num_heads, min_active, training, precision, interpret, kv_grad,
 ):
     outs = _forward(
         params, qrow, kv, seed, mask_prob, key_padding_mask,
@@ -568,12 +568,10 @@ def _bwd_kernel(
     bias_ref,  # (TB, M)  pad bias + score offset c, pre-folded
     u_ref,  # (1, E)
     wvo_ref,  # (E, E)   W_vo = Wo @ Wv (precomputed, f32)
-    dkv_ref,  # (TB, M*E)             [tile output, feature dtype]
-    g_ref,  # (E, E)   Σ_b d_outᵀ·mix  [whole-array accumulator]
-    du_ref,  # (1, E)   Σ d_s·kv       [accumulator]
-    dvec_ref,  # (2, E)  row 0: Σ_b d_out; row 1 col 0: Σ d_s  [accumulator]
-    *,
+    # out refs: [dkv_ref (TB, M*E) when want_dkv] + g/du/dvec accumulators
+    *out_refs,
     mxu_precision,
+    want_dkv: bool = True,
 ):
     """Fused backward for the H==1 shared-query pool.
 
@@ -584,7 +582,17 @@ def _bwd_kernel(
       G    += d_outᵀ @ mix          (contract over the batch tile)
     with dWo = G·Wvᵀ + Σd_out ⊗ bv and dWv = Woᵀ·G reconstructed outside
     (two E×E GEMMs once per step, not per tile).
+
+    ``want_dkv=False`` drops the d_kv tile output entirely — when the
+    caller does not differentiate w.r.t. the features (the torch-baseline
+    protocol: frozen/input features, only params trained), the 25MB/step
+    d_kv write is a third of the backward's HBM traffic for nothing.
     """
+    if want_dkv:
+        dkv_ref, g_ref, du_ref, dvec_ref = out_refs
+    else:
+        g_ref, du_ref, dvec_ref = out_refs
+        dkv_ref = None
     TB, M = dw_ref.shape
     E = kv_ref.shape[1] // M
     f32 = jnp.float32
@@ -645,13 +653,13 @@ def _bwd_kernel(
     # ---- d_kv + reductions ----------------------------------------------------
     du_acc = jnp.zeros((1, E), f32)
     for m, kv_m in enumerate(kv_slices):
-        a_m = a[:, m : m + 1]
         ds_m = d_s[:, m : m + 1]
-        # d_kv is stored in the feature dtype (bf16 features ⇒ bf16
-        # cotangent written directly — halves the d_kv HBM traffic).
-        dkv_ref[:, m * E : (m + 1) * E] = (
-            a_m * d_mix + ds_m * u
-        ).astype(dkv_ref.dtype)
+        if want_dkv:
+            # d_kv is stored in the feature dtype (bf16 features ⇒ bf16
+            # cotangent written directly — halves the d_kv HBM traffic).
+            dkv_ref[:, m * E : (m + 1) * E] = (
+                a[:, m : m + 1] * d_mix + ds_m * u
+            ).astype(dkv_ref.dtype)
         du_acc = du_acc + (ds_m * kv_m).sum(axis=0, keepdims=True)
     du_ref[:] += du_acc
     # Row 0 ← Σ_b d_out; row 1, col 0 ← Σ d_s.  Built by broadcast-select
@@ -675,20 +683,22 @@ def _bwd_kernel_mh(
     wv_ref,  # (E, E)
     wo_ref,  # (E, E)
     bv_ref,  # (1, E)
-    dkv_ref,  # (TB, M, E)            [tile output]
-    dwo_ref,  # (E, E)                 [accumulator]
-    dwv_ref,  # (E, E)                 [accumulator]
-    du_ref,  # (H, E)                  [accumulator]
-    daux_ref,  # (H + 1, E): row 0 = Σ d_out; row 1+h col 0 = Σ d_s_h
-    *,
+    # out refs: [dkv_ref (TB, M, E) when want_dkv] + dwo/dwv/du/daux accums
+    *out_refs,
     num_heads: int,
     mxu_precision,
+    want_dkv: bool = True,
 ):
     """Fused multi-head backward: one kv read per tile; recomputes the
     per-head softmax/mix from the precomputed score vectors, accumulates
     dWo/dWv/du/dc on-chip, and writes d_kv.  More GEMM groups than the
     H==1 kernel (no W_vo fusion), but still a single pass over kv versus
     the XLA backward's repeated reads."""
+    if want_dkv:
+        dkv_ref, dwo_ref, dwv_ref, du_ref, daux_ref = out_refs
+    else:
+        dwo_ref, dwv_ref, du_ref, daux_ref = out_refs
+        dkv_ref = None
     TB, M, E = kv_ref.shape
     H = num_heads
     Dh = E // H
@@ -776,15 +786,18 @@ def _bwd_kernel_mh(
         u_h = u_ref[h, :]
         du_acc = jnp.zeros((1, E), f32)
         for m, kv_m in enumerate(kv_slices):
-            a_m = a[:, m : m + 1]
             ds_m = d_s[:, m : m + 1]
-            d_kv_acc[m] = d_kv_acc[m] + a_m * d_mix + ds_m * u_h
+            if want_dkv:
+                d_kv_acc[m] = (
+                    d_kv_acc[m] + a[:, m : m + 1] * d_mix + ds_m * u_h
+                )
             du_acc = du_acc + (ds_m * kv_m).sum(axis=0, keepdims=True)
         du_ref[h, :] += du_acc[0, :]
         dc_rows.append(d_s.sum())
 
-    for m in range(M):
-        dkv_ref[:, m, :] = d_kv_acc[m]
+    if want_dkv:
+        for m in range(M):
+            dkv_ref[:, m, :] = d_kv_acc[m]
 
     # daux: row 0 ← Σ d_out; row 1+h, col 0 ← dc_h (broadcast-select —
     # Mosaic cannot concat offset-mismatched vectors).
@@ -802,7 +815,9 @@ def _bwd_kernel_mh(
     daux_ref[:] += upd
 
 
-def _bwd_pallas_mh(residuals, cots, *, num_heads, precision, interpret):
+def _bwd_pallas_mh(
+    residuals, cots, *, num_heads, precision, interpret, want_dkv=True
+):
     """Pallas backward for H > 1 pools (e.g. the medical model's H=8)."""
     params, qrow, kv, key_padding_mask = residuals
     d_out, d_w, _d_mw, _d_ent, _d_rate = cots
@@ -850,11 +865,19 @@ def _bwd_pallas_mh(residuals, cots, *, num_heads, precision, interpret):
 
     prec = lax.Precision.HIGHEST if precision == "highest" else None
     kernel = functools.partial(
-        _bwd_kernel_mh, num_heads=H, mxu_precision=prec
+        _bwd_kernel_mh, num_heads=H, mxu_precision=prec, want_dkv=want_dkv
     )
     tile = lambda i: (i, 0)  # noqa: E731
     whole = lambda i: (0, 0)  # noqa: E731
-    d_kv, dWo, dWv, du, daux = pl.pallas_call(
+    dkv_specs = (
+        [pl.BlockSpec((TB, M, E), lambda i: (i, 0, 0),
+                      memory_space=pltpu.VMEM)]
+        if want_dkv else []
+    )
+    dkv_shapes = (
+        [jax.ShapeDtypeStruct((B_pad, M, E), f32)] if want_dkv else []
+    )
+    outs = pl.pallas_call(
         kernel,
         grid=(B_pad // TB,),
         in_specs=[
@@ -869,16 +892,13 @@ def _bwd_pallas_mh(residuals, cots, *, num_heads, precision, interpret):
             pl.BlockSpec((E, E), whole, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, E), whole, memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((TB, M, E), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+        out_specs=dkv_specs + [
             pl.BlockSpec((E, E), whole, memory_space=pltpu.VMEM),
             pl.BlockSpec((E, E), whole, memory_space=pltpu.VMEM),
             pl.BlockSpec((H, E), whole, memory_space=pltpu.VMEM),
             pl.BlockSpec((H + 1, E), whole, memory_space=pltpu.VMEM),
         ],
-        out_shape=(
-            jax.ShapeDtypeStruct((B_pad, M, E), f32),
+        out_shape=tuple(dkv_shapes) + (
             jax.ShapeDtypeStruct((E, E), f32),
             jax.ShapeDtypeStruct((E, E), f32),
             jax.ShapeDtypeStruct((H, E), f32),
@@ -886,8 +906,8 @@ def _bwd_pallas_mh(residuals, cots, *, num_heads, precision, interpret):
         ),
         cost_estimate=pl.CostEstimate(
             flops=10 * B_pad * E * E + 12 * B_pad * M * E * H // H,
-            bytes_accessed=4 * (2 * B_pad * M * E + 2 * B_pad * E
-                                + 4 * E * E),
+            bytes_accessed=4 * ((2 if want_dkv else 1) * B_pad * M * E
+                                + 2 * B_pad * E + 4 * E * E),
             transcendentals=B_pad * M * H,
         ),
         interpret=interpret,
@@ -896,7 +916,12 @@ def _bwd_pallas_mh(residuals, cots, *, num_heads, precision, interpret):
         bv.reshape(1, E),
     )
 
-    d_kv = d_kv[:B]
+    if want_dkv:
+        d_kv, dWo, dWv, du, daux = outs
+        d_kv = d_kv[:B]
+    else:
+        dWo, dWv, du, daux = outs
+        d_kv = jnp.zeros((B, M, E), f32)
     dsum_out = daux[0]
     dc = daux[1:, 0]  # (H,)
 
@@ -930,7 +955,7 @@ def _bwd_pallas_mh(residuals, cots, *, num_heads, precision, interpret):
     return d_params, d_qrow, d_kv.astype(kv_dtype), None, None, None
 
 
-def _bwd_pallas(residuals, cots, *, precision, interpret):
+def _bwd_pallas(residuals, cots, *, precision, interpret, want_dkv=True):
     """Pallas backward (H == 1): one kv read, two GEMMs per tile."""
     params, qrow, kv, key_padding_mask = residuals
     d_out, d_w, _d_mw, _d_ent, _d_rate = cots
@@ -978,10 +1003,21 @@ def _bwd_pallas(residuals, cots, *, precision, interpret):
         bias = jnp.pad(bias, ((0, B_pad - B), (0, 0)))
 
     mxu_precision = prec
-    kernel = functools.partial(_bwd_kernel, mxu_precision=mxu_precision)
+    kernel = functools.partial(
+        _bwd_kernel, mxu_precision=mxu_precision, want_dkv=want_dkv
+    )
     tile = lambda i: (i, 0)  # noqa: E731
     whole = lambda i: (0, 0)  # noqa: E731
-    d_kv, G, du, dvec = pl.pallas_call(
+    dkv_specs = (
+        [pl.BlockSpec((TB, M * E), tile, memory_space=pltpu.VMEM)]
+        if want_dkv else []
+    )
+    dkv_shapes = (
+        # d_kv in the feature dtype — written once, at bf16 half-traffic
+        # when features are bf16 (no f32 detour through HBM).
+        [jax.ShapeDtypeStruct((B_pad, M * E), kv_dtype)] if want_dkv else []
+    )
+    outs = pl.pallas_call(
         kernel,
         grid=(B_pad // TB,),
         in_specs=[
@@ -992,29 +1028,31 @@ def _bwd_pallas(residuals, cots, *, precision, interpret):
             pl.BlockSpec((1, E), whole, memory_space=pltpu.VMEM),
             pl.BlockSpec((E, E), whole, memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((TB, M * E), tile, memory_space=pltpu.VMEM),
+        out_specs=dkv_specs + [
             pl.BlockSpec((E, E), whole, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, E), whole, memory_space=pltpu.VMEM),
             pl.BlockSpec((2, E), whole, memory_space=pltpu.VMEM),
         ],
-        out_shape=(
-            # d_kv in the feature dtype — written once, at bf16 half-traffic
-            # when features are bf16 (no f32 detour through HBM).
-            jax.ShapeDtypeStruct((B_pad, M * E), kv_dtype),
+        out_shape=tuple(dkv_shapes) + (
             jax.ShapeDtypeStruct((E, E), f32),
             jax.ShapeDtypeStruct((1, E), f32),
             jax.ShapeDtypeStruct((2, E), f32),
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * B_pad * E * E + 10 * B_pad * M * E,
-            bytes_accessed=4 * (2 * B_pad * M * E + 2 * B_pad * E + 2 * E * E),
+            bytes_accessed=4 * ((2 if want_dkv else 1) * B_pad * M * E
+                                + 2 * B_pad * E + 2 * E * E),
             transcendentals=B_pad * M,
         ),
         interpret=interpret,
     )(kv_flat, d_out, d_w, bias, u.reshape(1, E), wvo)
 
-    d_kv = d_kv[:B].reshape(B, M, E)
+    if want_dkv:
+        d_kv, G, du, dvec = outs
+        d_kv = d_kv[:B].reshape(B, M, E)
+    else:
+        G, du, dvec = outs
+        d_kv = jnp.zeros((B, M, E), kv_dtype)
     du = du[0]
     dsum_out = dvec[0]
     dc = dvec[1, 0]
@@ -1052,7 +1090,8 @@ def _bwd_pallas(residuals, cots, *, precision, interpret):
 
 
 def _shared_bwd(
-    num_heads, min_active, training, precision, interpret, residuals, cots
+    num_heads, min_active, training, precision, interpret, kv_grad,
+    residuals, cots,
 ):
     # H == 1 (every reference flow; north-star + large configs): fused
     # Pallas backward — one kv read, two per-tile GEMMs, measured 1.46x the
@@ -1076,18 +1115,21 @@ def _shared_bwd(
     if use_pallas:
         if num_heads == 1:
             return _bwd_pallas(
-                residuals, cots, precision=precision, interpret=interpret
+                residuals, cots, precision=precision, interpret=interpret,
+                want_dkv=kv_grad,
             )
         return _bwd_pallas_mh(
             residuals, cots, num_heads=num_heads, precision=precision,
-            interpret=interpret,
+            interpret=interpret, want_dkv=kv_grad,
         )
     ctx_prec = "highest" if precision == "highest" else "default"
     with jax.default_matmul_precision(ctx_prec):
-        return _shared_bwd_impl(num_heads, residuals, cots)
+        return _shared_bwd_impl(
+            num_heads, residuals, cots, kv_grad=kv_grad
+        )
 
 
-def _shared_bwd_impl(num_heads, residuals, cots):
+def _shared_bwd_impl(num_heads, residuals, cots, kv_grad=True):
     params, qrow, kv, key_padding_mask = residuals
     d_out, d_w, _d_mw, _d_ent, _d_rate = cots
     B, M, E = kv.shape
@@ -1135,9 +1177,12 @@ def _shared_bwd_impl(num_heads, residuals, cots):
         d_a = d_a + d_w[:, None, :] / H
     d_s = a * (d_a - (a * d_a).sum(axis=-1, keepdims=True))  # (B, H, M)
 
-    d_kv = jnp.einsum("bhm,bhe->bme", a, d_mix) + jnp.einsum(
-        "bhm,he->bme", d_s, u
-    )
+    if kv_grad:
+        d_kv = jnp.einsum("bhm,bhe->bme", a, d_mix) + jnp.einsum(
+            "bhm,he->bme", d_s, u
+        )
+    else:
+        d_kv = jnp.zeros((B, M, E), jnp.float32)
     d_u = jnp.einsum("bhm,bme->he", d_s, kv)  # (H, E)
     d_c = d_s.sum((0, 2))  # (H,)
 
@@ -1183,6 +1228,7 @@ def fused_fusion_pool_shared(
     key_padding_mask: Optional[jax.Array] = None,
     precision: str = "default",
     kv_scales: Optional[jax.Array] = None,
+    kv_grad: bool = True,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, Dict[str, jax.Array]]:
     """Fused fusion pool for a batch-shared query.
@@ -1201,6 +1247,14 @@ def fused_fusion_pool_shared(
     (see :func:`quantize_features`) — quarters the kv HBM traffic at the
     memory-bound shapes.  Inference-only: no gradients flow through this
     path (there is no custom_vjp for it).
+
+    ``kv_grad=False`` declares that the caller never differentiates w.r.t.
+    ``kv`` (frozen/pre-extracted features — the reference's own training
+    protocol feeds CLIP features straight into the pool).  The fused
+    Pallas backward then skips computing AND writing the ``(B, M, E)``
+    d_kv cotangent — a third of the backward's HBM traffic at the
+    memory-bound shapes — and returns zeros for it.  Do not set this when
+    trainable encoders feed the pool.
     """
     if query.shape[:2] != (1, 1):
         raise ValueError(
@@ -1247,7 +1301,7 @@ def fused_fusion_pool_shared(
     out, w, mw, ent, rate = _shared_core(
         params,
         query[0, 0, :],
-        kv,
+        kv if kv_grad else lax.stop_gradient(kv),
         seed,
         jnp.asarray(base_mask_prob, jnp.float32),
         key_padding_mask,
@@ -1256,6 +1310,7 @@ def fused_fusion_pool_shared(
         training,
         precision,
         interpret,
+        kv_grad,
     )
 
     return _package_outputs(

@@ -53,6 +53,7 @@ def fusion_pool(
     key_padding_mask: Optional[jax.Array] = None,
     implementation: str = "auto",
     precision: str = "highest",
+    kv_grad: bool = True,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, Dict[str, jax.Array]]:
     """Fused attention-pool + curriculum masking with backend dispatch.
 
@@ -61,6 +62,10 @@ def fusion_pool(
     variant when ``query`` is the unexpanded ``(1,1,E)`` parameter);
     ``'xla'`` forces the oracle path.  ``key_padding_mask (B, M)`` (True =
     padded slot) is supported on every path.
+
+    ``kv_grad=False`` declares the features non-differentiable (frozen
+    CLIP-style inputs): the fused backward skips the ``(B, M, E)`` d_kv
+    write — a third of its HBM traffic — and ``kv`` is stop-gradiented.
     """
     B = kv.shape[0]
     E = query.shape[-1]
@@ -96,6 +101,7 @@ def fusion_pool(
                 min_active=min_active,
                 key_padding_mask=key_padding_mask,
                 precision=precision,
+                kv_grad=kv_grad,
             )
         return fused_fusion_pool(
             params,
@@ -110,6 +116,8 @@ def fusion_pool(
             key_padding_mask=key_padding_mask,
         )
 
+    if not kv_grad:
+        kv = jax.lax.stop_gradient(kv)
     q_full = (
         jnp.broadcast_to(query, (B, query.shape[1], E))
         if query.shape[0] == 1

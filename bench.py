@@ -48,7 +48,7 @@ CONFIGS = {
 
 
 def build_chunk(batch, modalities, embed, heads, impl, steps_per_call,
-                features_dtype="float32"):
+                features_dtype="float32", kv_grad=False):
     import optax
 
     from aecf_tpu.core.attention import attention_pool_core
@@ -76,7 +76,7 @@ def build_chunk(batch, modalities, embed, heads, impl, steps_per_call,
                 out, w, mw, info = fused_fusion_pool_shared(
                     p["pool"], p["query"], modal, num_heads=heads,
                     rng=rng, training=True, base_mask_prob=0.15,
-                    precision="default",
+                    precision="default", kv_grad=kv_grad,
                 )
             else:
                 q = jnp.broadcast_to(p["query"], (batch, 1, embed))
@@ -147,6 +147,14 @@ def main():
         help="kv feature storage dtype (bf16 halves the memory-bound "
         "roofline; params/weights/entropy stay f32)",
     )
+    ap.add_argument(
+        "--kv-grad", action="store_true",
+        help="also compute/write the d_kv feature cotangent. Off by "
+        "default to match the measured torch-CPU baseline protocol "
+        "(benchmarks/baseline_torch.py feeds modal = torch.randn(...) "
+        "without requires_grad, so torch autograd never computes d_kv "
+        "either); enable when modelling trainable encoders under the pool.",
+    )
     args = ap.parse_args()
 
     batch, modalities, embed, heads, baseline_sps = CONFIGS[args.config]
@@ -166,7 +174,7 @@ def main():
 
     chunk, params, opt_state = build_chunk(
         batch, modalities, embed, heads, impl, K,
-        features_dtype=args.features_dtype,
+        features_dtype=args.features_dtype, kv_grad=args.kv_grad,
     )
     params, opt_state, loss = chunk(params, opt_state, jnp.int32(0))
     float(loss)  # compile + warmup (value fetch: the only reliable sync through the tunnel)
@@ -206,7 +214,7 @@ def main():
             f"fusion fwd+bwd samples/sec/chip "
             f"(B={batch}, M={modalities}, E={embed}, H={heads}, "
             f"impl={impl}, feats={args.features_dtype}, "
-            f"{jax.default_backend()})"
+            f"kv_grad={args.kv_grad}, {jax.default_backend()})"
         ),
         "value": round(samples_per_sec, 1),
         "unit": "samples/sec",

@@ -145,7 +145,8 @@ def bwd_ab(quick):
     chunks = {}
     for mode in ("xla", "pallas"):
         os.environ["AECF_SHARED_BWD"] = mode
-        c, p, s = build_chunk(B, M, E, H, "pallas", K)
+        # kv_grad=True: full-cotangent backward, comparable across rounds.
+        c, p, s = build_chunk(B, M, E, H, "pallas", K, kv_grad=True)
         p, s, loss = c(p, s, jnp.int32(0))
         float(loss)  # value fetch: reliable sync through the tunnel
         chunks[mode] = (c, p, s)
@@ -169,6 +170,46 @@ def bwd_ab(quick):
         "pallas_bwd_best_sps": round(max(res["pallas"]), 1),
         "speedup_median": round(med["pallas"] / med["xla"], 3),
         "speedup_best": round(max(res["pallas"]) / max(res["xla"]), 3),
+    }
+
+
+def kv_grad_ab(quick, B=4096, M=3, E=512, H=1):
+    """Within-run A/B of kv_grad=True (full d_kv cotangent) vs kv_grad=False
+    (frozen-features protocol — the torch baseline's: modal has no
+    requires_grad).  Skipping the (B, M, E) d_kv write removes a third of
+    the backward's HBM traffic at memory-bound shapes."""
+    import statistics
+
+    from bench import build_chunk
+
+    K = 20 if quick else 80
+    rounds = 3 if quick else 5
+
+    chunks = {}
+    for grad_kv in (True, False):
+        c, p, s = build_chunk(B, M, E, H, "pallas", K, kv_grad=grad_kv)
+        p, s, loss = c(p, s, jnp.int32(0))
+        float(loss)  # value fetch: reliable sync through the tunnel
+        chunks[grad_kv] = (c, p, s)
+
+    res = {m: [] for m in chunks}
+    for r in range(1, rounds + 1):
+        for m in chunks:
+            c, p, s = chunks[m]
+            t0 = time.perf_counter()
+            p, s, loss = c(p, s, jnp.int32(r * K))
+            float(loss)  # value fetch: reliable sync through the tunnel
+            res[m].append(B * K / _net(time.perf_counter() - t0))
+            chunks[m] = (c, p, s)
+    med = {m: statistics.median(v) for m, v in res.items()}
+    return {
+        "config": f"B={B},M={M},E={E},H={H}",
+        "kv_grad_median_sps": round(med[True], 1),
+        "no_kv_grad_median_sps": round(med[False], 1),
+        "kv_grad_best_sps": round(max(res[True]), 1),
+        "no_kv_grad_best_sps": round(max(res[False]), 1),
+        "speedup_median": round(med[False] / med[True], 3),
+        "speedup_best": round(max(res[False]) / max(res[True]), 3),
     }
 
 
@@ -267,6 +308,8 @@ def main():
     if jax.default_backend() == "tpu":
         results["shared_bwd_ab_large"] = bwd_ab(args.quick)
         print(f"bwd A/B: {results['shared_bwd_ab_large']}", flush=True)
+        results["kv_grad_ab_north_star"] = kv_grad_ab(args.quick)
+        print(f"kv_grad A/B: {results['kv_grad_ab_north_star']}", flush=True)
 
     if args.json:
         with open(args.json, "w") as f:

@@ -265,3 +265,120 @@ class TestMultiHeadPallasBackward:
             gk,
             go,
         )
+
+
+class TestKvGradSkip:
+    """kv_grad=False: the fused backward skips the d_kv write (a third of
+    its HBM traffic) without touching any other cotangent."""
+
+    def _setup(self):
+        E, M, B = 64, 3, 40
+        params = init_attention_pool_params(jax.random.key(0), E)
+        qrow = init_fusion_query(jax.random.key(1), E)[0, 0]
+        kv = jax.random.normal(jax.random.key(2), (B, M, E))
+        cots = (
+            jax.random.normal(jax.random.key(3), (B, E)),
+            jax.random.normal(jax.random.key(4), (B, M)) * 0.1,
+            jnp.zeros((B, M)),
+            jnp.zeros((B,)),
+            jnp.zeros((B,)),
+        )
+        return (params, qrow, kv, None), cots
+
+    def test_bwd_pallas_no_dkv_matches_param_grads(self):
+        from aecf_tpu.kernels import shared_query as sq
+
+        residuals, cots = self._setup()
+        full = sq._bwd_pallas(
+            residuals, cots, precision="highest", interpret=True
+        )
+        slim = sq._bwd_pallas(
+            residuals, cots, precision="highest", interpret=True,
+            want_dkv=False,
+        )
+        # d_params and d_qrow identical; d_kv becomes zeros.
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-6
+            ),
+            full[:2],
+            slim[:2],
+        )
+        assert float(jnp.abs(slim[2]).max()) == 0.0
+        assert float(jnp.abs(full[2]).max()) > 0.0
+
+    def test_bwd_pallas_mh_no_dkv_matches_param_grads(self):
+        from aecf_tpu.kernels import shared_query as sq
+
+        residuals, cots = self._setup()
+        full = sq._bwd_pallas_mh(
+            residuals, cots, num_heads=4, precision="highest",
+            interpret=True,
+        )
+        slim = sq._bwd_pallas_mh(
+            residuals, cots, num_heads=4, precision="highest",
+            interpret=True, want_dkv=False,
+        )
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-6
+            ),
+            full[:2],
+            slim[:2],
+        )
+        assert float(jnp.abs(slim[2]).max()) == 0.0
+
+    def test_end_to_end_kv_grad_false_param_grads_unchanged(self):
+        """jax.grad over params/query through the public entry with
+        kv_grad=False equals the kv_grad=True grads exactly."""
+        from aecf_tpu.kernels import fused_fusion_pool_shared
+
+        E, M, B = 64, 3, 24
+        params = init_attention_pool_params(jax.random.key(0), E)
+        query = init_fusion_query(jax.random.key(1), E)
+        kv = jax.random.normal(jax.random.key(2), (B, M, E))
+
+        def loss(p, qq, grad_kv):
+            o, w, _, _ = fused_fusion_pool_shared(
+                p, qq, kv, training=False, interpret=True,
+                precision="highest", kv_grad=grad_kv,
+            )
+            return (o * o).mean() + (w * w).sum()
+
+        g_full = jax.grad(loss, argnums=(0, 1))(params, query, True)
+        g_slim = jax.grad(loss, argnums=(0, 1))(params, query, False)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-6
+            ),
+            g_full,
+            g_slim,
+        )
+
+    def test_ops_kv_grad_false_stops_feature_grad(self):
+        """ops.fusion_pool(kv_grad=False): d_kv is exactly zero on the XLA
+        path (stop_gradient), param grads unchanged."""
+        from aecf_tpu import ops
+
+        E, M, B = 32, 3, 8
+        params = init_attention_pool_params(jax.random.key(0), E)
+        query = init_fusion_query(jax.random.key(1), E)
+        kv = jax.random.normal(jax.random.key(2), (B, M, E))
+
+        def loss(p, x, grad_kv):
+            o, _, _, _ = ops.fusion_pool(
+                p, query, x, implementation="xla", kv_grad=grad_kv
+            )
+            return (o * o).mean()
+
+        gp_full, gkv_full = jax.grad(loss, argnums=(0, 1))(params, kv, True)
+        gp_slim, gkv_slim = jax.grad(loss, argnums=(0, 1))(params, kv, False)
+        assert float(jnp.abs(gkv_slim).max()) == 0.0
+        assert float(jnp.abs(gkv_full).max()) > 0.0
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-6
+            ),
+            gp_full,
+            gp_slim,
+        )
