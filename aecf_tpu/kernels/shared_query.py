@@ -988,8 +988,13 @@ def _bwd_pallas(residuals, cots, *, precision, interpret, want_dkv=True):
     import os as _os
 
     # Measured with flattened (TB, M*E) tiles: 192 beats 128 by ~5% at
-    # E=1024 and 256 still exceeds VMEM (remote-compile failure).
-    TB = 256 if E <= 512 else 192
+    # E=1024 and 256 still exceeds VMEM (remote-compile failure).  Without
+    # the d_kv output tile (want_dkv=False) the freed VMEM admits larger
+    # tiles, measured within-run: 512 +6% at E=512, 256 +8% at E=1024.
+    if want_dkv:
+        TB = 256 if E <= 512 else 192
+    else:
+        TB = 512 if E <= 512 else 256
     if _os.environ.get("AECF_BWD_TB"):
         TB = int(_os.environ["AECF_BWD_TB"])
     TB = min(TB, _round_up(B, 8))
