@@ -286,3 +286,35 @@ def test_quantized_kv_on_chip():
     )
     assert float(info["mask_rate"].mean()) > 0.05
     np.testing.assert_allclose(np.asarray(mw.sum(-1)), 1.0, rtol=1e-5)
+
+
+def test_shared_kernel_kv_grad_false_on_chip():
+    """kv_grad=False on hardware: forward values identical to kv_grad=True,
+    param/query grads identical, feature grads zero."""
+    from aecf_tpu.kernels import fused_fusion_pool_shared
+
+    E, M, B = 128, 3, 64
+    params = init_attention_pool_params(jax.random.key(0), E)
+    query = init_fusion_query(jax.random.key(1), E)
+    kv = jax.random.normal(jax.random.key(2), (B, M, E))
+
+    def loss(p, qq, x, grad_kv):
+        o, w, _, _ = fused_fusion_pool_shared(
+            p, qq, x, training=True, rng=jax.random.key(5),
+            precision="highest", kv_grad=grad_kv,
+        )
+        return (o * o).mean() + (w * w).sum()
+
+    l_full = float(loss(params, query, kv, True))
+    l_slim = float(loss(params, query, kv, False))
+    assert l_full == l_slim  # forward identical bit-for-bit
+
+    g_full = jax.grad(loss, argnums=(0, 1, 2))(params, query, kv, True)
+    g_slim = jax.grad(loss, argnums=(0, 1, 2))(params, query, kv, False)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, atol=1e-6),
+        g_full[:2],
+        g_slim[:2],
+    )
+    assert float(jnp.abs(g_slim[2]).max()) == 0.0
+    assert float(jnp.abs(g_full[2]).max()) > 0.0
