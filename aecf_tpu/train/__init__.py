@@ -2,7 +2,13 @@
 
 from .checkpointing import CheckpointManager, load_params, save_params
 from .fit import fit
-from .metrics import average_precision, calculate_metrics, macro_map
+from .metrics import (
+    average_precision,
+    brier_score,
+    calculate_metrics,
+    expected_calibration_error,
+    macro_map,
+)
 from .sweeps import missing_modality_sweep, modality_subsets
 from .trainer import (
     ExperimentConfig,
@@ -21,6 +27,8 @@ __all__ = [
     "save_params",
     "average_precision",
     "calculate_metrics",
+    "expected_calibration_error",
+    "brier_score",
     "macro_map",
     "missing_modality_sweep",
     "modality_subsets",

@@ -20,7 +20,13 @@ from typing import Tuple
 
 import numpy as np
 
-__all__ = ["average_precision", "macro_map", "calculate_metrics"]
+__all__ = [
+    "average_precision",
+    "macro_map",
+    "calculate_metrics",
+    "expected_calibration_error",
+    "brier_score",
+]
 
 
 def _sigmoid(x: np.ndarray) -> np.ndarray:
@@ -74,6 +80,54 @@ def _binary_f1(y_true: np.ndarray, y_pred: np.ndarray) -> float:
     fn = float(np.sum((y_pred == 0) & (y_true == 1)))
     denom = 2 * tp + fp + fn
     return 0.0 if denom == 0 else 2 * tp / denom
+
+
+def expected_calibration_error(
+    y_prob: np.ndarray,
+    y_true: np.ndarray,
+    n_bins: int = 15,
+) -> float:
+    """Expected calibration error over equal-width confidence bins.
+
+    The reference's headline claim — "maintains both robustness and
+    calibration when modalities are missing" / "Calibrated Predictions"
+    (reference README.md:7, 17) — ships without any metric code (the test
+    suite that measured it was deleted pre-snapshot, PYPI_READY.md:50-59).
+    This is the standard ECE estimator: bin predictions by confidence into
+    ``n_bins`` equal-width bins on [0, 1] and average |accuracy − mean
+    confidence| weighted by bin occupancy.  Multilabel inputs are flattened
+    (micro-ECE over every (sample, label) binary decision).
+
+    Args:
+      y_prob: probabilities in [0, 1], any shape.
+      y_true: binary labels, same shape.
+    """
+    p = np.asarray(y_prob, dtype=np.float64).ravel()
+    t = np.asarray(y_true, dtype=np.float64).ravel()
+    if p.size == 0:
+        return 0.0
+    if p.min() < 0.0 or p.max() > 1.0:
+        raise ValueError("y_prob must be probabilities in [0, 1]")
+    # Bin by confidence; right-closed bins, p=0 lands in bin 0.
+    idx = np.minimum((p * n_bins).astype(int), n_bins - 1)
+    ece = 0.0
+    for b in range(n_bins):
+        sel = idx == b
+        n = int(sel.sum())
+        if n == 0:
+            continue
+        ece += (n / p.size) * abs(t[sel].mean() - p[sel].mean())
+    return float(ece)
+
+
+def brier_score(y_prob: np.ndarray, y_true: np.ndarray) -> float:
+    """Mean squared error between probabilities and binary labels
+    (a proper scoring rule: sensitive to both calibration and refinement)."""
+    p = np.asarray(y_prob, dtype=np.float64).ravel()
+    t = np.asarray(y_true, dtype=np.float64).ravel()
+    if p.size == 0:
+        return 0.0
+    return float(np.mean((p - t) ** 2))
 
 
 def calculate_metrics(

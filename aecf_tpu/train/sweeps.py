@@ -17,7 +17,11 @@ from typing import Callable, Dict, List, Sequence, Tuple
 
 import numpy as np
 
-from .metrics import calculate_metrics
+from .metrics import (
+    brier_score,
+    calculate_metrics,
+    expected_calibration_error,
+)
 
 __all__ = ["modality_subsets", "missing_modality_sweep"]
 
@@ -42,7 +46,10 @@ def missing_modality_sweep(
 
     ``predict_fn(**{name: array})`` must accept all modality kwargs and
     return logits; absent modalities are passed as zeros.  Returns
-    ``{subset: {"map": ..., "macro_f1": ..., "per_label_f1": [...]}}``.
+    ``{subset: {"map": ..., "macro_f1": ..., "per_label_f1": [...],
+    "ece": ..., "brier": ...}}`` — per-subset calibration (ECE/Brier)
+    quantifies the reference's "calibrated under missing modalities"
+    claim (reference README.md:7, 17).
     """
     names = list(modalities)
     n = labels.shape[0]
@@ -60,9 +67,12 @@ def missing_modality_sweep(
             preds.append(np.asarray(predict_fn(**kwargs)))
         logits = np.concatenate(preds)
         m, f1, per_label = calculate_metrics(logits, labels, threshold)
+        probs = 1.0 / (1.0 + np.exp(-np.asarray(logits, dtype=np.float64)))
         results[subset] = {
             "map": m,
             "macro_f1": f1,
             "per_label_f1": per_label.tolist(),
+            "ece": expected_calibration_error(probs, labels),
+            "brier": brier_score(probs, labels),
         }
     return results

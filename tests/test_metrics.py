@@ -84,3 +84,70 @@ def test_per_label_f1_zero_for_empty_classes():
 
 def test_macro_map_all_empty():
     assert macro_map(np.zeros((5, 3)), np.random.rand(5, 3)) == 0.0
+
+
+class TestCalibration:
+    """ECE/Brier — the metric code behind the reference's calibration claim
+    (reference README.md:7, 17; no metric shipped in the snapshot)."""
+
+    def test_perfectly_calibrated_is_zero(self):
+        from aecf_tpu.train.metrics import expected_calibration_error
+
+        rng = np.random.default_rng(0)
+        p = rng.uniform(0, 1, 200_000)
+        t = (rng.uniform(0, 1, p.size) < p).astype(float)
+        assert expected_calibration_error(p, t, n_bins=10) < 0.01
+
+    def test_hand_computed_two_bins(self):
+        from aecf_tpu.train.metrics import expected_calibration_error
+
+        # bin [0, .5): probs (.2, .4) mean .3, acc 0.0 → |0 − .3| = .3
+        # bin [.5, 1]: probs (.6, .8) mean .7, acc 1.0 → |1 − .7| = .3
+        # equal occupancy → ECE = .3
+        p = np.array([0.2, 0.4, 0.6, 0.8])
+        t = np.array([0.0, 0.0, 1.0, 1.0])
+        assert abs(expected_calibration_error(p, t, n_bins=2) - 0.3) < 1e-12
+
+    def test_overconfident_detected(self):
+        from aecf_tpu.train.metrics import expected_calibration_error
+
+        rng = np.random.default_rng(1)
+        # claims 99% confidence, right only 60% of the time
+        p = np.full(10_000, 0.99)
+        t = (rng.uniform(0, 1, p.size) < 0.6).astype(float)
+        assert expected_calibration_error(p, t) > 0.3
+
+    def test_edge_values_and_validation(self):
+        from aecf_tpu.train.metrics import expected_calibration_error
+
+        assert expected_calibration_error(np.array([0.0, 1.0]),
+                                          np.array([0.0, 1.0])) == 0.0
+        assert expected_calibration_error(np.zeros(0), np.zeros(0)) == 0.0
+        with np.testing.assert_raises(ValueError):
+            expected_calibration_error(np.array([1.5]), np.array([1.0]))
+
+    def test_brier(self):
+        from aecf_tpu.train.metrics import brier_score
+
+        assert brier_score(np.array([1.0, 0.0]), np.array([1.0, 0.0])) == 0.0
+        assert abs(brier_score(np.array([0.5]), np.array([1.0])) - 0.25) < 1e-12
+        # proper scoring: calibrated-but-uninformative worse than sharp+right
+        rng = np.random.default_rng(2)
+        t = (rng.uniform(0, 1, 1000) < 0.5).astype(float)
+        assert brier_score(np.full(1000, 0.5), t) > brier_score(t, t)
+
+    def test_sweep_reports_calibration(self):
+        from aecf_tpu.train.sweeps import missing_modality_sweep
+
+        rng = np.random.default_rng(3)
+        n, c = 64, 4
+        labels = (rng.uniform(size=(n, c)) < 0.3).astype(float)
+
+        def predict(a, b):
+            return (labels * 4 - 2) + rng.normal(0, 0.1, size=(len(a), c))
+
+        mods = {"a": rng.normal(size=(n, 8)), "b": rng.normal(size=(n, 8))}
+        res = missing_modality_sweep(predict, mods, labels)
+        for subset, row in res.items():
+            assert {"map", "macro_f1", "per_label_f1", "ece", "brier"} <= set(row)
+            assert 0.0 <= row["ece"] <= 1.0
