@@ -120,7 +120,8 @@ def main():
     for subset, metrics in results.items():
         print(
             f"  present={'+'.join(subset):13s} "
-            f"mAP={metrics['map']:.4f} macroF1={metrics['macro_f1']:.4f}"
+            f"mAP={metrics['map']:.4f} macroF1={metrics['macro_f1']:.4f} "
+            f"ECE={metrics['ece']:.4f} Brier={metrics['brier']:.4f}"
         )
 
 
