@@ -1,11 +1,12 @@
 """Fused Pallas TPU kernels — the framework's native compute path."""
 
-from .fused_pool import fused_fusion_pool, supports_fused
+from .fused_pool import fused_fusion_pool, prefers_fused, supports_fused
 from .shared_query import fused_fusion_pool_shared, quantize_features
 
 __all__ = [
     "fused_fusion_pool",
     "fused_fusion_pool_shared",
     "supports_fused",
+    "prefers_fused",
     "quantize_features",
 ]

@@ -68,6 +68,19 @@ def supports_fused(
     )
 
 
+def prefers_fused(*, num_heads: int) -> bool:
+    """Performance preference (vs capability — :func:`supports_fused`).
+
+    Measured within-run on v5e (full train step, B=4096/M=3/E=512):
+    the fused kernel wins 2.0x at H=1 and 1.2x at H=2, ties at H=4, and
+    LOSES 2x at H=8 — per-head Dh=E/H GEMMs underfill the 128x128 MXU
+    while XLA batches heads into efficient einsums.  Auto dispatch routes
+    H>2 to the XLA path; ``implementation='pallas'`` still forces the
+    kernel.
+    """
+    return num_heads <= 2
+
+
 # ---------------------------------------------------------------------------
 # Forward kernel
 # ---------------------------------------------------------------------------

@@ -365,8 +365,15 @@ class MultimodalAttentionPool:
         # ---- fused Pallas dispatch ------------------------------------------
         impl = self.implementation
         if impl == "auto":
+            from ..kernels import prefers_fused
+
+            # prefers_fused: measured perf boundary — XLA batches H>2 heads
+            # better than the per-head kernel GEMMs. 'pallas' still forces.
             impl = (
-                "pallas" if jax.default_backend() == "tpu" else "xla"
+                "pallas"
+                if jax.default_backend() == "tpu"
+                and prefers_fused(num_heads=self.num_heads)
+                else "xla"
             )
         if impl == "pallas" and self._pallas_supported(
             query,

@@ -23,6 +23,7 @@ from ..core.masking import compute_entropy, curriculum_mask, entropy_loss
 from ..kernels import (
     fused_fusion_pool,
     fused_fusion_pool_shared,
+    prefers_fused,
     supports_fused,
 )
 
@@ -78,6 +79,9 @@ def fusion_pool(
                 and supports_fused(
                     tgt_len=query.shape[1], num_heads=num_heads, embed_dim=E
                 )
+                # Measured perf boundary: XLA batches H>2 heads better
+                # than the per-head kernel GEMMs (see prefers_fused).
+                and prefers_fused(num_heads=num_heads)
                 and query.dtype == jnp.float32
                 # M<=1 masking is an early-return no-op that needs no rng;
                 # route it to XLA so training an M=1 stack without a

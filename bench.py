@@ -110,6 +110,15 @@ def build_chunk(batch, modalities, embed, heads, impl, steps_per_call,
     return chunk, params, opt_state
 
 
+def resolve_impl(heads: int, embed: int) -> str:
+    """Same auto-dispatch rule as ops.fusion_pool: the fused kernel on TPU
+    when it wins (H<=2 — XLA batches more heads better; E<=1024 — above
+    that the resident weight set exceeds VMEM)."""
+    return "pallas" if (
+        jax.default_backend() == "tpu" and embed <= 1024 and heads <= 2
+    ) else "xla"
+
+
 def measure_tunnel_rtt(samples: int = 6) -> float:
     """Median round-trip of a trivial dispatch+fetch — the fixed transport
     cost the tunnel adds to every timed window (pure infrastructure, not
@@ -165,9 +174,7 @@ def main():
 
     impl = args.impl
     if impl == "auto":
-        impl = "pallas" if (
-            jax.default_backend() == "tpu" and embed <= 1024
-        ) else "xla"
+        impl = resolve_impl(heads, embed)
 
     K = 10 if args.quick else 150
     rounds = 3 if args.quick else 6

@@ -281,11 +281,9 @@ def main():
                     choices=["auto", "xla", "pallas"])
     args = ap.parse_args()
 
-    impl = args.impl
-    if impl == "auto":
-        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    from bench import resolve_impl
 
-    results = {"backend": jax.default_backend(), "impl": impl}
+    results = {"backend": jax.default_backend(), "impl": args.impl}
 
     configs = [
         ("quickstart_B32_M2_E512", 32, 2, 512, 1),
@@ -295,9 +293,11 @@ def main():
         ("large_B8192_M4_E1024", 8192, 4, 1024, 1),
     ]
     for name, B, M, E, H in configs:
+        # per-config auto dispatch (heads8 routes to XLA — measured faster)
+        impl = args.impl if args.impl != "auto" else resolve_impl(H, E)
         sps = throughput(B, M, E, H, impl, args.quick)
         results[name] = round(sps, 1)
-        print(f"{name}: {sps:,.0f} samples/s", flush=True)
+        print(f"{name}: {sps:,.0f} samples/s ({impl})", flush=True)
 
     results["vlm_B256"] = round(vlm_throughput(args.quick), 1)
     print(f"vlm_B256: {results['vlm_B256']:,.0f} samples/s", flush=True)
