@@ -1,6 +1,11 @@
 """Mesh/sharding layer: the framework's distributed-communication backend."""
 
-from .data_parallel import make_dp_train_step, replicate, shard_batch
+from .data_parallel import (
+    make_dp_eval_step,
+    make_dp_train_step,
+    replicate,
+    shard_batch,
+)
 from .mesh import (
     data_mesh,
     data_model_mesh,
@@ -16,6 +21,7 @@ from .tensor_parallel import (
 
 __all__ = [
     "make_dp_train_step",
+    "make_dp_eval_step",
     "replicate",
     "shard_batch",
     "data_mesh",

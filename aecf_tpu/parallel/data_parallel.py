@@ -37,7 +37,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..train.trainer import TrainState, bce_with_logits_loss
 
-__all__ = ["make_dp_train_step", "shard_batch", "replicate"]
+__all__ = [
+    "make_dp_train_step",
+    "make_dp_eval_step",
+    "shard_batch",
+    "replicate",
+]
 
 
 def shard_batch(mesh: Mesh, batch: Any) -> Any:
@@ -50,6 +55,32 @@ def replicate(mesh: Mesh, tree: Any) -> Any:
     """Device-put a pytree fully replicated over the mesh."""
     sharding = NamedSharding(mesh, P())
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def make_dp_eval_step(
+    apply_fn: Callable[..., Any],
+    mesh: Mesh,
+    *,
+    axis_name: str = "data",
+) -> Callable:
+    """Build a jitted data-parallel inference step.
+
+    ``apply_fn(params, batch) -> out`` where ``batch`` is any pytree with
+    the batch dimension on axis 0.  Pure GSPMD: params replicated, batch
+    sharded over ``axis_name``; the fusion forward is row-parallel, so XLA
+    partitions it with zero collectives.  Output keeps the batch sharding
+    (fetch or ``jax.device_get`` gathers it).  Pairs with
+    :func:`aecf_tpu.train.sweeps.missing_modality_sweep` for eval sweeps
+    over datasets larger than one chip's HBM.
+    """
+    params_sh = NamedSharding(mesh, P())
+    batch_sh = NamedSharding(mesh, P(axis_name))
+
+    @partial(jax.jit, in_shardings=(params_sh, batch_sh))
+    def eval_step(params, batch):
+        return apply_fn(params, batch)
+
+    return eval_step
 
 
 def make_dp_train_step(

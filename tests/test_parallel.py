@@ -250,3 +250,58 @@ def test_dp_info_is_global_mean():
     _, _, info = dp_step(state, *batch, jax.random.key(0))
     assert info["entropy"].shape == ()
     assert jnp.isfinite(info["entropy"])
+
+
+def test_dp_eval_step_matches_single_device():
+    from aecf_tpu.parallel import make_dp_eval_step
+
+    model, _, state, img, txt, lab = _setup(batch=32)
+    mesh = data_mesh(8)
+
+    def apply(params, batch):
+        return model.apply(params, batch["image"], batch["text"],
+                           training=False)
+
+    eval_step = make_dp_eval_step(apply, mesh)
+    batch = {"image": img, "text": txt}
+    out_dp = eval_step(replicate(mesh, state.params),
+                       shard_batch(mesh, batch))
+    out_1d = apply(state.params, batch)
+    # output stays batch-sharded over the mesh
+    assert any(
+        getattr(s, "spec", None) is not None
+        for s in [out_dp.sharding]
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_dp), np.asarray(out_1d), atol=1e-5
+    )
+
+
+def test_dp_eval_step_feeds_sweep():
+    """DP inference composes with the missing-modality sweep."""
+    from aecf_tpu.parallel import make_dp_eval_step
+    from aecf_tpu.train.sweeps import missing_modality_sweep
+
+    model, _, state, img, txt, lab = _setup(batch=32)
+    mesh = data_mesh(8)
+    params = replicate(mesh, state.params)
+
+    def apply(p, batch):
+        return model.apply(p, batch["image"], batch["text"], training=False)
+
+    eval_step = make_dp_eval_step(apply, mesh)
+
+    def predict(image, text):
+        return np.asarray(eval_step(
+            params, shard_batch(mesh, {"image": image, "text": text})
+        ))
+
+    res = missing_modality_sweep(
+        predict,
+        {"image": np.asarray(img), "text": np.asarray(txt)},
+        np.asarray(lab),
+        batch_size=32,
+    )
+    assert len(res) == 3  # (image,text), (image,), (text,)
+    for row in res.values():
+        assert np.isfinite(row["map"]) and 0.0 <= row["ece"] <= 1.0
