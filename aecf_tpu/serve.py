@@ -27,7 +27,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["FusionPredictor", "MicroBatcher", "pad_to_bucket"]
+__all__ = [
+    "FusionPredictor",
+    "ExportedFusionPredictor",
+    "MicroBatcher",
+    "pad_to_bucket",
+    "export_predictor",
+    "load_exported_predictor",
+]
 
 
 def pad_to_bucket(
@@ -138,10 +145,15 @@ class FusionPredictor:
                                      np.float32)]
                     )
                 mods.append(jnp.asarray(x))
-            out = np.asarray(self._jitted(self.params, *mods))
+            out = np.asarray(self._call_bucket(bucket, mods))
             outs.append(out[:chunk_n])
             start += chunk_n
         return np.concatenate(outs)
+
+    def _call_bucket(self, bucket: int, mods: List[jnp.ndarray]) -> Any:
+        """One device call at a padded bucket shape (overridden by
+        :class:`ExportedFusionPredictor`)."""
+        return self._jitted(self.params, *mods)
 
 
 class MicroBatcher:
@@ -248,3 +260,108 @@ class MicroBatcher:
             self._stopping = True
             self._cv.notify_all()
         self._worker.join(timeout=5)
+
+
+# ---------------------------------------------------------------------------
+# Frozen serving artifacts (jax.export)
+# ---------------------------------------------------------------------------
+
+
+def export_predictor(
+    predictor: FusionPredictor,
+    path: str,
+    *,
+    feature_dims: Dict[str, int] | None = None,
+    platforms: Sequence[str] | None = None,
+) -> None:
+    """Freeze a predictor into a self-contained serving artifact.
+
+    For every batch bucket, the eval forward is exported as a StableHLO
+    program (``jax.export``) with the parameters baked in as constants —
+    the artifact (one ``.npz``) is then servable with jax alone: no model
+    code, no parameter files, no retracing at load time.  The analogue of
+    the torch ecosystem's TorchScript/SavedModel deployment story.
+
+    Args:
+      feature_dims: ``{modality: feature_dim}``.  Inferred from the
+        predictor's call history when omitted (call it once with every
+        modality present first).
+      platforms: lowering targets (e.g. ``("tpu", "cpu")``); defaults to
+        the current backend.  Params are duplicated per bucket as program
+        constants — fine for fusion-pool-scale params (a few MB).
+    """
+    import json
+
+    from jax import export as jexport
+
+    dims = dict(feature_dims or predictor._dims)
+    missing = [k for k in predictor.modality_names if k not in dims]
+    if missing:
+        raise ValueError(
+            f"feature dims unknown for {missing}; pass feature_dims= or "
+            "call the predictor once with every modality present"
+        )
+
+    arrays: Dict[str, np.ndarray] = {}
+    for b in predictor.buckets:
+        args = [
+            jax.ShapeDtypeStruct((b, dims[k]), jnp.float32)
+            for k in predictor.modality_names
+        ]
+
+        def frozen(*mods):
+            return predictor._jitted(predictor.params, *mods)
+
+        exp = jexport.export(
+            jax.jit(frozen),
+            platforms=list(platforms) if platforms else None,
+        )(*args)
+        arrays[f"bucket_{b}"] = np.frombuffer(
+            exp.serialize(), dtype=np.uint8
+        )
+
+    config = {
+        "modality_names": list(predictor.modality_names),
+        "buckets": list(predictor.buckets),
+        "apply_sigmoid": predictor.apply_sigmoid,
+        "feature_dims": {k: int(v) for k, v in dims.items()},
+    }
+    arrays["config"] = np.frombuffer(
+        json.dumps(config).encode(), dtype=np.uint8
+    )
+    np.savez(path, **arrays)
+
+
+class ExportedFusionPredictor(FusionPredictor):
+    """A :class:`FusionPredictor` backed by frozen StableHLO programs —
+    same padding/bucketing/missing-modality front end, no Python model."""
+
+    def __init__(self, blobs: Dict[int, bytes], config: Dict[str, Any]):
+        from jax import export as jexport
+
+        self.params = None
+        self.modality_names = tuple(config["modality_names"])
+        self.buckets = tuple(sorted(config["buckets"]))
+        self.apply_sigmoid = bool(config["apply_sigmoid"])
+        self.calls = 0
+        self._dims = {k: int(v) for k, v in config["feature_dims"].items()}
+        self._exported = {
+            b: jexport.deserialize(blob) for b, blob in blobs.items()
+        }
+
+    def _call_bucket(self, bucket: int, mods: List[jnp.ndarray]) -> Any:
+        return self._exported[bucket].call(*mods)
+
+
+def load_exported_predictor(path: str) -> ExportedFusionPredictor:
+    """Load an :func:`export_predictor` artifact (no model code needed)."""
+    import json
+
+    with np.load(path) as data:
+        config = json.loads(bytes(data["config"]).decode())
+        blobs = {
+            int(name.split("_", 1)[1]): bytes(data[name])
+            for name in data.files
+            if name.startswith("bucket_")
+        }
+    return ExportedFusionPredictor(blobs, config)

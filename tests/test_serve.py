@@ -283,3 +283,56 @@ def test_http_server_with_microbatcher():
     finally:
         srv.stop()
         batcher.stop()
+
+
+class TestExportedPredictor:
+    """Frozen-artifact serving: export → load → identical outputs."""
+
+    def test_export_roundtrip(self, predictor, tmp_path):
+        from aecf_tpu.serve import export_predictor, load_exported_predictor
+
+        rng = np.random.default_rng(1)
+        img = rng.normal(size=(5, 32)).astype(np.float32)
+        txt = rng.normal(size=(5, 16)).astype(np.float32)
+        want = predictor(image=img, text=txt)  # also seeds _dims
+
+        path = str(tmp_path / "frozen.npz")
+        export_predictor(predictor, path)
+        frozen = load_exported_predictor(path)
+
+        got = frozen(image=img, text=txt)
+        np.testing.assert_allclose(got, want, atol=1e-6)
+        # missing-modality path works without ever seeing text (dims are
+        # stored in the artifact, no warm call needed)
+        np.testing.assert_allclose(
+            frozen(image=img), predictor(image=img), atol=1e-6
+        )
+        # chunking across the largest bucket
+        img_big = rng.normal(size=(70, 32)).astype(np.float32)
+        txt_big = rng.normal(size=(70, 16)).astype(np.float32)
+        np.testing.assert_allclose(
+            frozen(image=img_big, text=txt_big),
+            predictor(image=img_big, text=txt_big),
+            atol=1e-6,
+        )
+
+    def test_export_requires_dims(self, tmp_path):
+        from aecf_tpu.models import VisionLanguageModel
+        from aecf_tpu.serve import export_predictor
+
+        model = VisionLanguageModel(
+            img_dim=32, txt_dim=16, hidden_dim=8, num_classes=5
+        )
+        params = model.init(jax.random.key(0))
+        fresh = FusionPredictor(
+            lambda p, image, text: model.apply(p, image, text,
+                                               training=False),
+            params, modality_names=("image", "text"), buckets=(8,),
+        )
+        with pytest.raises(ValueError, match="feature dims"):
+            export_predictor(fresh, str(tmp_path / "x.npz"))
+        # explicit dims work without a warm call
+        export_predictor(
+            fresh, str(tmp_path / "x.npz"),
+            feature_dims={"image": 32, "text": 16},
+        )
