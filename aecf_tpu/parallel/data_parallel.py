@@ -92,6 +92,7 @@ def make_dp_train_step(
     loss_fn: Callable[
         [jax.Array, jax.Array], jax.Array
     ] = bce_with_logits_loss,
+    donate: bool = True,
 ) -> Callable:
     """Build a jitted data-parallel ``(state, images, texts, labels, rng) ->
     (state, loss, info)`` step.
@@ -144,4 +145,9 @@ def make_dp_train_step(
             info,
         )
 
-    return jax.jit(sharded_step, donate_argnums=(0,))
+    # donate=False keeps the caller's state buffers alive (e.g. fit() reuses
+    # init_params across runs; device_put may alias rather than copy, so a
+    # donated alias would delete the caller's arrays).
+    return jax.jit(
+        sharded_step, donate_argnums=(0,) if donate else ()
+    )

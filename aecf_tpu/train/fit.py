@@ -35,6 +35,7 @@ def fit(
     save_every: int = 100,
     log_every: int = 0,
     step_fn: Optional[Callable] = None,
+    mesh: Optional[Any] = None,
 ) -> Tuple[TrainState, Dict[str, list]]:
     """Train for ``num_steps`` with checkpoint/resume.
 
@@ -42,6 +43,12 @@ def fit(
     the step index (so a resumed run replays the same stream).  Returns the
     final state and a history dict.  If ``checkpoint_dir`` holds a previous
     run's checkpoints, training resumes after its latest step.
+
+    ``mesh=`` turns the loop data-parallel (preemptible-TPU pattern:
+    elastic checkpoints × DP): the default step becomes
+    :func:`aecf_tpu.parallel.make_dp_train_step`, the state is replicated
+    and every batch sharded over the ``'data'`` axis.  Resume parity holds
+    because per-shard RNG derives from (rng, step, shard index) only.
     """
     state = TrainState(
         init_params,
@@ -63,19 +70,28 @@ def fit(
             start_step = int(state.step)
 
     if step_fn is None:
-        step_fn = make_train_step(apply_fn, optimizer, donate=False)
+        if mesh is not None:
+            from ..parallel import make_dp_train_step
+
+            step_fn = make_dp_train_step(
+                apply_fn, optimizer, mesh, donate=False
+            )
+        else:
+            step_fn = make_train_step(apply_fn, optimizer, donate=False)
+    if mesh is not None:
+        from ..parallel import replicate, shard_batch
+
+        state = replicate(mesh, state)
 
     history: Dict[str, list] = {"loss": [], "step": []}
     for step_idx in range(start_step, num_steps):
         images, texts, labels = batch_fn(step_idx)
         step_rng = jax.random.fold_in(rng, step_idx)
-        state, loss, info = step_fn(
-            state,
-            jnp.asarray(images),
-            jnp.asarray(texts),
-            jnp.asarray(labels),
-            step_rng,
-        )
+        batch = (jnp.asarray(images), jnp.asarray(texts),
+                 jnp.asarray(labels))
+        if mesh is not None:
+            batch = shard_batch(mesh, batch)
+        state, loss, info = step_fn(state, *batch, step_rng)
         if manager is not None:
             manager.save(step_idx + 1, state)
         if log_every and (step_idx % log_every == 0):
