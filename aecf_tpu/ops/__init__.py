@@ -70,6 +70,11 @@ def fusion_pool(
     """
     B = kv.shape[0]
     E = query.shape[-1]
+    if not kv_grad:
+        # Before dispatch so every backend honors it (the generic per-row
+        # kernel has no kv_grad fast path; its d_kv is computed then
+        # dropped here, still correct).
+        kv = jax.lax.stop_gradient(kv)
     impl = implementation
     if impl == "auto":
         impl = (
@@ -120,8 +125,6 @@ def fusion_pool(
             key_padding_mask=key_padding_mask,
         )
 
-    if not kv_grad:
-        kv = jax.lax.stop_gradient(kv)
     q_full = (
         jnp.broadcast_to(query, (B, query.shape[1], E))
         if query.shape[0] == 1

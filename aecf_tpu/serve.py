@@ -329,6 +329,10 @@ def export_predictor(
     arrays["config"] = np.frombuffer(
         json.dumps(config).encode(), dtype=np.uint8
     )
+    # np.savez appends '.npz' when missing but np.load does not — normalize
+    # so export/load accept the identical path string.
+    if not str(path).endswith(".npz"):
+        path = f"{path}.npz"
     np.savez(path, **arrays)
 
 
@@ -356,7 +360,10 @@ class ExportedFusionPredictor(FusionPredictor):
 def load_exported_predictor(path: str) -> ExportedFusionPredictor:
     """Load an :func:`export_predictor` artifact (no model code needed)."""
     import json
+    import os
 
+    if not str(path).endswith(".npz") and not os.path.exists(path):
+        path = f"{path}.npz"
     with np.load(path) as data:
         config = json.loads(bytes(data["config"]).decode())
         blobs = {

@@ -87,10 +87,13 @@ def fit(
     for step_idx in range(start_step, num_steps):
         images, texts, labels = batch_fn(step_idx)
         step_rng = jax.random.fold_in(rng, step_idx)
-        batch = (jnp.asarray(images), jnp.asarray(texts),
-                 jnp.asarray(labels))
         if mesh is not None:
-            batch = shard_batch(mesh, batch)
+            # shard straight from host memory — staging the global batch on
+            # one device first would defeat batch-larger-than-a-chip DP
+            batch = shard_batch(mesh, (images, texts, labels))
+        else:
+            batch = (jnp.asarray(images), jnp.asarray(texts),
+                     jnp.asarray(labels))
         state, loss, info = step_fn(state, *batch, step_rng)
         if manager is not None:
             manager.save(step_idx + 1, state)

@@ -18,6 +18,7 @@ from typing import Callable, Dict, List, Sequence, Tuple
 import numpy as np
 
 from .metrics import (
+    _sigmoid,
     brier_score,
     calculate_metrics,
     expected_calibration_error,
@@ -67,7 +68,7 @@ def missing_modality_sweep(
             preds.append(np.asarray(predict_fn(**kwargs)))
         logits = np.concatenate(preds)
         m, f1, per_label = calculate_metrics(logits, labels, threshold)
-        probs = 1.0 / (1.0 + np.exp(-np.asarray(logits, dtype=np.float64)))
+        probs = _sigmoid(np.asarray(logits, dtype=np.float64))
         results[subset] = {
             "map": m,
             "macro_f1": f1,

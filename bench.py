@@ -111,11 +111,15 @@ def build_chunk(batch, modalities, embed, heads, impl, steps_per_call,
 
 
 def resolve_impl(heads: int, embed: int) -> str:
-    """Same auto-dispatch rule as ops.fusion_pool: the fused kernel on TPU
-    when it wins (H<=2 — XLA batches more heads better; E<=1024 — above
-    that the resident weight set exceeds VMEM)."""
+    """The library's own auto-dispatch rule (capability gate ∧ measured
+    perf preference), so bench numbers always reflect what ops.fusion_pool
+    actually runs."""
+    from aecf_tpu.kernels import prefers_fused, supports_fused
+
     return "pallas" if (
-        jax.default_backend() == "tpu" and embed <= 1024 and heads <= 2
+        jax.default_backend() == "tpu"
+        and supports_fused(tgt_len=1, num_heads=heads, embed_dim=embed)
+        and prefers_fused(num_heads=heads)
     ) else "xla"
 
 

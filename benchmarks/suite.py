@@ -292,11 +292,13 @@ def main():
         ("heads8_B4096_M3_E512", 4096, 3, 512, 8),
         ("large_B8192_M4_E1024", 8192, 4, 1024, 1),
     ]
+    results["impl_per_config"] = {}
     for name, B, M, E, H in configs:
         # per-config auto dispatch (heads8 routes to XLA — measured faster)
         impl = args.impl if args.impl != "auto" else resolve_impl(H, E)
         sps = throughput(B, M, E, H, impl, args.quick)
         results[name] = round(sps, 1)
+        results["impl_per_config"][name] = impl
         print(f"{name}: {sps:,.0f} samples/s ({impl})", flush=True)
 
     results["vlm_B256"] = round(vlm_throughput(args.quick), 1)

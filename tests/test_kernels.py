@@ -318,3 +318,26 @@ def test_shared_kernel_kv_grad_false_on_chip():
     )
     assert float(jnp.abs(g_slim[2]).max()) == 0.0
     assert float(jnp.abs(g_full[2]).max()) > 0.0
+
+
+def test_ops_kv_grad_false_generic_path_on_chip():
+    """kv_grad=False must zero feature grads on EVERY dispatch path,
+    including the generic per-row-query Pallas kernel (which has no
+    internal kv_grad fast path — ops stop-gradients kv before dispatch)."""
+    from aecf_tpu import ops
+
+    E, M, B = 128, 3, 32
+    params = init_attention_pool_params(jax.random.key(0), E)
+    q = jax.random.normal(jax.random.key(1), (B, 1, E))  # per-row query
+    kv = jax.random.normal(jax.random.key(2), (B, M, E))
+
+    def loss(x, grad_kv):
+        o, _, _, _ = ops.fusion_pool(
+            params, q, x, implementation="pallas", kv_grad=grad_kv
+        )
+        return (o * o).mean()
+
+    g_full = jax.grad(loss)(kv, True)
+    g_slim = jax.grad(loss)(kv, False)
+    assert float(jnp.abs(g_slim).max()) == 0.0
+    assert float(jnp.abs(g_full).max()) > 0.0
