@@ -346,9 +346,10 @@ def _forward(
 
     # Tile size vs the 16MB scoped-vmem budget.  The live set scales with
     # the kv tile (TB·M·E·4, double-buffered) plus per-head temporaries from
-    # the unrolled head loop (~H/2 extra (TB, E) buffers): TB=512 at
-    # E=512/H=1 overflows by ~0.1MB, TB=384 at H=8 by ~12MB (measured).
-    TB = 384 if E <= 512 else 192
+    # the unrolled head loop (~H/2 extra (TB, E) buffers).  With the
+    # flattened (TB, M·E) layout TB=512 fits at E=512 (+3% within-run over
+    # 384; pre-flattening it overflowed) and 256 edges 192 at E=1024.
+    TB = 512 if E <= 512 else 256
     import os as _os
 
     if _os.environ.get("AECF_FWD_TB"):
