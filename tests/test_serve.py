@@ -336,3 +336,35 @@ class TestExportedPredictor:
             fresh, str(tmp_path / "x.npz"),
             feature_dims={"image": 32, "text": 16},
         )
+
+
+def test_export_roundtrip_on_tpu():
+    """Frozen artifacts work against the live backend too (TPU-gated —
+    the CPU suite covers the same path on CPU)."""
+    if jax.default_backend() != "tpu":
+        import pytest as _pytest
+
+        _pytest.skip("needs a live TPU backend")
+    from aecf_tpu.serve import export_predictor, load_exported_predictor
+
+    model = VisionLanguageModel(
+        img_dim=32, txt_dim=16, hidden_dim=8, num_classes=5
+    )
+    params = model.init(jax.random.key(0))
+    pred = FusionPredictor(
+        lambda p, image, text: model.apply(p, image, text, training=False),
+        params, modality_names=("image", "text"), buckets=(8,),
+    )
+    rng = np.random.default_rng(0)
+    img = rng.normal(size=(4, 32)).astype(np.float32)
+    txt = rng.normal(size=(4, 16)).astype(np.float32)
+    want = pred(image=img, text=txt)
+
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/frozen"  # suffix-less: exercises the .npz normalizer
+        export_predictor(pred, path)
+        frozen = load_exported_predictor(path)
+        np.testing.assert_allclose(
+            frozen(image=img, text=txt), want, atol=1e-6
+        )
