@@ -78,6 +78,10 @@ def main():
             fused, w, mw, info = fusion_pool(
                 p["pool"], p["query"], modal,
                 rng=shard_rng, training=True, base_mask_prob=0.15,
+                # modal is input data (pre-extracted features), not an
+                # encoder output: skip the d_kv cotangent — a third of
+                # the fused backward's HBM traffic at this shape.
+                kv_grad=False,
             )
             z = linear(p["proj"], fused.squeeze(1))
             t = linear(p["target_proj"], target)
