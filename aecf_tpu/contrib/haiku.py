@@ -36,15 +36,22 @@ def _get_pool_params(embed_dim: int, bias: bool) -> AttentionPoolParams:
     """Register the packed attention params as individual hk parameters
     (haiku params must be arrays, not dataclass pytrees)."""
 
+    # One RNG draw, one template, shared by all four initializers — so a
+    # haiku-initialized pool seed-matches init_attention_pool_params(key, E)
+    # (and init work isn't quadrupled).  Built lazily: at apply time no
+    # initializer runs and no key is consumed.
+    cache: Dict[str, AttentionPoolParams] = {}
+
     def from_template(field):
         def init(shape, dtype):
-            key = hk.maybe_next_rng_key()
-            if key is None:  # apply-time: value comes from params, not init
-                key = jax.random.key(0)
-            template = init_attention_pool_params(
-                key, embed_dim, bias=bias
-            )
-            return getattr(template, field)
+            if "template" not in cache:
+                key = hk.maybe_next_rng_key()
+                if key is None:  # value comes from params, not init
+                    key = jax.random.key(0)
+                cache["template"] = init_attention_pool_params(
+                    key, embed_dim, bias=bias
+                )
+            return getattr(cache["template"], field)
 
         return init
 

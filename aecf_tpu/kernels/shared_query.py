@@ -44,6 +44,19 @@ from ..core.masking import EPS
 __all__ = ["fused_fusion_pool_shared", "quantize_features"]
 
 
+def _pick_tile(default: int, env: str, B: int, *, num_heads: int = 1) -> int:
+    """Batch-tile selection, shared by every launch site: measured default,
+    env override (``AECF_FWD_TB``/``AECF_BWD_TB`` for A/B sweeps), per-head
+    VMEM scaling (the unrolled head loop holds ~H/2 extra (TB, E)
+    temporaries), clamp to the padded batch."""
+    import os
+
+    tb = int(os.environ.get(env) or default)
+    if num_heads > 2:
+        tb = max(64, tb // (num_heads // 2))
+    return min(tb, _round_up(B, 8))
+
+
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
@@ -345,18 +358,13 @@ def _forward(
         )
 
     # Tile size vs the 16MB scoped-vmem budget.  The live set scales with
-    # the kv tile (TB·M·E·4, double-buffered) plus per-head temporaries from
-    # the unrolled head loop (~H/2 extra (TB, E) buffers).  With the
-    # flattened (TB, M·E) layout TB=512 fits at E=512 (+3% within-run over
-    # 384; pre-flattening it overflowed) and 256 edges 192 at E=1024.
-    TB = 512 if E <= 512 else 256
-    import os as _os
-
-    if _os.environ.get("AECF_FWD_TB"):
-        TB = int(_os.environ["AECF_FWD_TB"])
-    if num_heads > 2:
-        TB = max(64, TB // (num_heads // 2))
-    TB = min(TB, _round_up(B, 8))
+    # the kv tile (TB·M·E·4, double-buffered) plus per-head temporaries.
+    # With the flattened (TB, M·E) layout TB=512 fits at E=512 (+3%
+    # within-run over 384; pre-flattening it overflowed) and 256 edges 192
+    # at E=1024.
+    TB = _pick_tile(
+        512 if E <= 512 else 256, "AECF_FWD_TB", B, num_heads=num_heads
+    )
     B_pad = _round_up(B, TB)
     kv_flat = kv.reshape(B, M * E)  # lane-sliced in-kernel (see kernel doc)
     if B_pad != B:
@@ -455,14 +463,11 @@ def _forward_q8(
             key_padding_mask, jnp.float32(-1e30), jnp.float32(0.0)
         )
 
-    TB = 384 if E <= 512 else 192
-    import os as _os
-
-    if _os.environ.get("AECF_FWD_TB"):
-        TB = int(_os.environ["AECF_FWD_TB"])
-    if num_heads > 2:
-        TB = max(64, TB // (num_heads // 2))
-    TB = min(TB, _round_up(B, 8))
+    # int8 kv tiles are 4x smaller, but the f32 dequant temporaries match
+    # the f32 path's live set — keep the conservative default.
+    TB = _pick_tile(
+        384 if E <= 512 else 192, "AECF_FWD_TB", B, num_heads=num_heads
+    )
     B_pad = _round_up(B, TB)
     kv_flat = kv_q8.reshape(B, M * E)
     if B_pad != B:
@@ -849,14 +854,10 @@ def _bwd_pallas_mh(
     if d_w is None:
         d_w = jnp.zeros((B, M), f32)
 
-    import os as _os
-
-    TB = 128 if E <= 512 else 64
+    mh_default = 128 if E <= 512 else 64
     if H > 4:
-        TB = max(32, TB // 2)
-    if _os.environ.get("AECF_BWD_TB"):
-        TB = int(_os.environ["AECF_BWD_TB"])
-    TB = min(TB, _round_up(B, 8))
+        mh_default = max(32, mh_default // 2)
+    TB = _pick_tile(mh_default, "AECF_BWD_TB", B)
     B_pad = _round_up(B, TB)
     if B_pad != B:
         kv = jnp.pad(kv, ((0, B_pad - B), (0, 0), (0, 0)))
@@ -986,19 +987,14 @@ def _bwd_pallas(residuals, cots, *, precision, interpret, want_dkv=True):
     if d_w is None:
         d_w = jnp.zeros((B, M), f32)
 
-    import os as _os
-
     # Measured with flattened (TB, M*E) tiles: 192 beats 128 by ~5% at
     # E=1024 and 256 still exceeds VMEM (remote-compile failure).  Without
     # the d_kv output tile (want_dkv=False) the freed VMEM admits larger
     # tiles, measured within-run: 512 +6% at E=512, 256 +8% at E=1024.
     if want_dkv:
-        TB = 256 if E <= 512 else 192
+        TB = _pick_tile(256 if E <= 512 else 192, "AECF_BWD_TB", B)
     else:
-        TB = 512 if E <= 512 else 256
-    if _os.environ.get("AECF_BWD_TB"):
-        TB = int(_os.environ["AECF_BWD_TB"])
-    TB = min(TB, _round_up(B, 8))
+        TB = _pick_tile(512 if E <= 512 else 256, "AECF_BWD_TB", B)
     B_pad = _round_up(B, TB)
     kv_flat = kv.reshape(B, M * E)  # lane-sliced in-kernel
     if B_pad != B:
@@ -1304,6 +1300,13 @@ def fused_fusion_pool_shared(
             entropy_target=entropy_target,
         )
 
+    if kv_scales is not None:
+        # int8 without scales raises above; make the inverse misuse loud
+        # too instead of silently serving the unquantized path.
+        raise ValueError(
+            f"kv_scales passed with {kv.dtype} kv — quantized serving "
+            "needs int8 features (see quantize_features)"
+        )
     out, w, mw, ent, rate = _shared_core(
         params,
         query[0, 0, :],

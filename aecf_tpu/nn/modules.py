@@ -121,10 +121,13 @@ class CurriculumMasking:
     ) -> jax.typing.ArrayLike:
         """Effective mask prob: ``schedule(step)`` when scheduled, else
         ``base_mask_prob``.  Works with traced ``step`` scalars (no
-        recompilation across schedule values)."""
+        recompilation across schedule values).  Eval mode ignores the mask
+        prob entirely, so a scheduled module needs no ``step=`` there."""
         if self.schedule is None:
             return self.base_mask_prob
         if step is None:
+            if not self.training:
+                return self.base_mask_prob  # unused on the eval path
             raise ValueError(
                 "this CurriculumMasking has a schedule= — pass the current "
                 "`step=` at call time"

@@ -7,10 +7,15 @@ inserts the collectives (an ICI all-reduce on the out-projection's partial
 sums), no manual comm code:
 
 * ``in_proj_weight (3E, E)`` sharded on axis 0 (output features): each
-  device owns a contiguous slice of the packed Q/K/V projection rows.  When
-  ``model_parallelism`` divides ``num_heads`` (and hence E), device slices
-  align with head boundaries and the score/context contractions stay fully
-  local per device.
+  device owns a contiguous slice of the packed Q/K/V projection rows.
+  Because the layout is torch-packed (Q, K, V stacked — kept for
+  checkpoint parity), a contiguous split only aligns with the Q/K/V
+  sub-matrices when the model-axis size is a multiple of 3 (e.g. 3
+  devices ⇒ exactly one sub-matrix each); otherwise a shard straddles a
+  boundary and XLA inserts resharding around the ``jnp.split`` — values
+  are correct either way (GSPMD), the collectives just aren't zero.  At
+  AECF scale (E ≤ 1024) this costs little; a layout with separate Q/K/V
+  leaves would trade checkpoint parity for strict locality.
 * ``out_proj_weight (E, E)`` sharded on axis 1 (the contraction dim, torch
   ``x @ W.T`` convention): each device contracts its local context slice and
   the partial outputs are psum'd by XLA.

@@ -105,6 +105,12 @@ class FusionPredictor:
                 f"unknown modalities {sorted(unknown)}; expected "
                 f"{self.modality_names}"
             )
+        for k, v in provided.items():
+            if v.ndim != 2:
+                raise ValueError(
+                    f"modality {k!r} must be (batch, features), got "
+                    f"shape {v.shape}"
+                )
         n = next(iter(provided.values())).shape[0]
         for k, v in provided.items():
             if v.shape[0] != n:
@@ -202,6 +208,15 @@ class MicroBatcher:
         }
         if not mods:
             raise ValueError("At least one modality must be provided")
+        # Validate shape HERE, in the caller's thread: a malformed array
+        # reaching the worker's window loop would kill the daemon thread
+        # and wedge every pending and future request forever.
+        for k, v in mods.items():
+            if v.ndim != 2:
+                raise ValueError(
+                    f"modality {k!r} must be (batch, features), got "
+                    f"shape {v.shape}"
+                )
         fut: Future = Future()
         keyset = tuple(sorted(mods))
         with self._cv:

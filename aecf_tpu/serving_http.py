@@ -114,6 +114,13 @@ class PredictionServer:
                         )
                     else:
                         payload = json.loads(raw)
+                        if not isinstance(payload, dict):
+                            # a malformed CLIENT request is a 400, not a
+                            # 500 (keeps 5xx alerting honest)
+                            raise ValueError(
+                                "request body must be a JSON object of "
+                                f"modalities, got {type(payload).__name__}"
+                            )
                         mods = {
                             k: np.asarray(v, np.float32)
                             for k, v in payload.items()

@@ -118,3 +118,42 @@ def test_single_modality_trains_without_crash():
     params = f.init(jax.random.key(1), mods, training=True)
     out = f.apply(params, jax.random.key(2), mods, training=True)
     assert out.shape == (4, 16)
+
+
+def test_haiku_init_seed_matches_core_init():
+    """All four pool params come from ONE template built with ONE rng draw,
+    so a haiku init is reproducible against the pure-core initializer."""
+    import haiku as hk
+
+    from aecf_tpu.contrib.haiku import MultimodalAttentionPool
+
+    E = 32
+
+    def fwd(q, kv):
+        return MultimodalAttentionPool(E, name="pool")(q, kv)
+
+    f = hk.transform(fwd)
+    q = jnp.zeros((2, 1, E))
+    kv = jnp.zeros((2, 3, E))
+    params = f.init(jax.random.key(7), q, kv)
+    leaves = params["pool"]
+    # deterministic: re-running init reproduces every leaf
+    params2 = f.init(jax.random.key(7), q, kv)["pool"]
+    for k in leaves:
+        np.testing.assert_array_equal(leaves[k], params2[k])
+    # direct invariant: the template is built exactly once per init
+    import aecf_tpu.contrib.haiku as hk_mod
+
+    calls = []
+    orig = hk_mod.init_attention_pool_params
+
+    def counting(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    hk_mod.init_attention_pool_params = counting
+    try:
+        f.init(jax.random.key(9), q, kv)
+    finally:
+        hk_mod.init_attention_pool_params = orig
+    assert len(calls) == 1, f"template built {len(calls)}x, want 1"

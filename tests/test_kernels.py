@@ -341,3 +341,36 @@ def test_ops_kv_grad_false_generic_path_on_chip():
     g_slim = jax.grad(loss)(kv, False)
     assert float(jnp.abs(g_slim).max()) == 0.0
     assert float(jnp.abs(g_full).max()) > 0.0
+
+
+@pytest.mark.parametrize("E", [192, 320])
+def test_shared_kernel_non_128_multiple_embed(E):
+    """The flattened (TB, M*E) layout slices kv lanes at offsets m*E, which
+    are NOT 128-lane-aligned for these dims — Mosaic handles the relayout;
+    this pins that values stay exact (fwd) / 1e-4 (grads) on hardware."""
+    from aecf_tpu.kernels import fused_fusion_pool_shared
+
+    M, B = 3, 64
+    params = init_attention_pool_params(jax.random.key(0), E)
+    query = init_fusion_query(jax.random.key(1), E)
+    kv = jax.random.normal(jax.random.key(2), (B, M, E))
+
+    out_k, w_k, _, _ = fused_fusion_pool_shared(
+        params, query, kv, training=False, precision="highest"
+    )
+    out_o, w_o = _oracle(
+        params, jnp.broadcast_to(query, (B, 1, E)), kv, 1
+    )
+    np.testing.assert_allclose(out_k, out_o, atol=1e-5)
+    np.testing.assert_allclose(w_k, w_o, atol=1e-5)
+
+    g = jax.grad(lambda p: fused_fusion_pool_shared(
+        p, query, kv, training=False, precision="highest")[0].sum()
+    )(params)
+    with jax.default_matmul_precision("highest"):
+        go = jax.grad(lambda p: attention_pool_core(
+            p, jnp.broadcast_to(query, (B, 1, E)), kv, kv, num_heads=1
+        )[0].sum())(params)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, atol=1e-4), g, go
+    )

@@ -382,3 +382,22 @@ class TestKvGradSkip:
             gp_full,
             gp_slim,
         )
+
+
+def test_kv_scales_with_float_kv_raises():
+    """Scales without int8 kv must be loud, not silently unquantized."""
+    from aecf_tpu.core.init import (
+        init_attention_pool_params,
+        init_fusion_query,
+    )
+    from aecf_tpu.kernels import fused_fusion_pool_shared
+
+    E, M, B = 64, 3, 8
+    params = init_attention_pool_params(jax.random.key(0), E)
+    query = init_fusion_query(jax.random.key(1), E)
+    kv = jax.random.normal(jax.random.key(2), (B, M, E))
+    with pytest.raises(ValueError, match="int8"):
+        fused_fusion_pool_shared(
+            params, query, kv, kv_scales=jnp.ones((B, M)),
+            training=False, interpret=True,
+        )

@@ -430,3 +430,48 @@ class TestMaskProbSchedule:
         assert float(early["mask_rate"].mean()) < float(
             late["mask_rate"].mean()
         )
+
+
+def test_scheduled_module_eval_needs_no_step():
+    """Train-then-evaluate with a schedule= must not demand step= at eval
+    (mask prob is unused on the eval path)."""
+    import jax
+    import jax.numpy as jnp
+
+    from aecf_tpu.nn import CurriculumMasking, create_fusion_pool
+
+    sched = lambda step: 0.1 + 0.01 * jnp.asarray(step, jnp.float32)  # noqa: E731
+    cm = CurriculumMasking(schedule=sched).train()
+    w = jax.nn.softmax(
+        jax.random.normal(jax.random.key(0), (4, 1, 3)), axis=-1
+    )
+    cm(w, rng=jax.random.key(1), step=7)  # train path needs step
+    cm.eval()
+    masked, info = cm(w)  # eval: no step, no rng — must not raise
+    assert jnp.allclose(masked, w)
+
+    # end-to-end through the pool module
+    query, pool = create_fusion_pool(32, 3, key=jax.random.key(2))
+    pool.curriculum_masking.schedule = sched
+    pool.train()
+    kv = jax.random.normal(jax.random.key(3), (4, 3, 32))
+    pool(jnp.broadcast_to(query, (4, 1, 32)), kv,
+         rng=jax.random.key(4), step=3)
+    pool.eval()
+    out = pool(jnp.broadcast_to(query, (4, 1, 32)), kv)  # no step
+    assert out.shape == (4, 1, 32)
+
+
+def test_scheduled_module_training_still_requires_step():
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from aecf_tpu.nn import CurriculumMasking
+
+    cm = CurriculumMasking(schedule=lambda s: 0.1).train()
+    w = jax.nn.softmax(
+        jax.random.normal(jax.random.key(0), (4, 1, 3)), axis=-1
+    )
+    with pytest.raises(ValueError, match="step"):
+        cm(w, rng=jax.random.key(1))

@@ -158,6 +158,21 @@ class TestHTTPServing:
             urllib.request.urlopen(req, timeout=10)
         assert e.value.code == 400
 
+    def test_non_object_json_is_400_not_500(self, server):
+        import urllib.error
+        import urllib.request
+
+        srv, _ = server
+        for body in (b"[1, 2, 3]", b'"text"', b"not json at all"):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{srv.port}/v1/predict",
+                data=body,
+                headers={"Content-Type": "application/json"},
+            )
+            with pytest.raises(urllib.error.HTTPError) as e:
+                urllib.request.urlopen(req, timeout=10)
+            assert e.value.code == 400, body
+
 
 class TestMicroBatcher:
     """Request coalescing: many concurrent small requests → few device
@@ -368,3 +383,29 @@ def test_export_roundtrip_on_tpu():
         np.testing.assert_allclose(
             frozen(image=img, text=txt), want, atol=1e-6
         )
+
+
+def test_microbatcher_rejects_malformed_without_wedging(predictor):
+    """A 0-d/1-d modality must raise in the CALLER's thread — before the
+    worker sees it — and the batcher must keep serving afterwards."""
+    from aecf_tpu.serve import MicroBatcher
+
+    batcher = MicroBatcher(predictor, max_batch=8, max_wait_ms=1.0)
+    try:
+        with pytest.raises(ValueError, match="batch, features"):
+            batcher(image=np.float32(3.0))
+        with pytest.raises(ValueError, match="batch, features"):
+            batcher(image=np.zeros(32, np.float32))
+        rng = np.random.default_rng(0)
+        out = batcher(
+            image=rng.normal(size=(2, 32)).astype(np.float32),
+            text=rng.normal(size=(2, 16)).astype(np.float32),
+        )
+        assert out.shape == (2, 5)  # worker alive and serving
+    finally:
+        batcher.stop()
+
+
+def test_predictor_rejects_non_2d(predictor):
+    with pytest.raises(ValueError, match="batch, features"):
+        predictor(image=np.zeros(32, np.float32))
