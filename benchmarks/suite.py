@@ -213,6 +213,67 @@ def kv_grad_ab(quick, B=4096, M=3, E=512, H=1):
     }
 
 
+def eval_forward_ab(quick, B=8192, M=4, E=1024):
+    """Serving-path throughput: eval forward, f32 vs int8-quantized kv,
+    within-run alternating windows at the memory-bound config."""
+    import statistics
+
+    from aecf_tpu.core.init import (
+        init_attention_pool_params,
+        init_fusion_query,
+    )
+    from aecf_tpu.kernels import fused_fusion_pool_shared, quantize_features
+
+    params = init_attention_pool_params(jax.random.key(0), E)
+    query = init_fusion_query(jax.random.key(1), E)
+    kv = jax.random.normal(jax.random.key(2), (B, M, E))
+    q8, scales = quantize_features(kv)
+
+    K = 20 if quick else 80
+    rounds = 3 if quick else 5
+
+    def chunk_for(feats, fscales):
+        def one(acc, _):
+            out, _, _, _ = fused_fusion_pool_shared(
+                params, query, feats, training=False, kv_scales=fscales
+            )
+            # sequential carry so XLA can't hoist the body out of the scan
+            return acc + out[:1, 0, :1].sum(), 0.0
+
+        @jax.jit
+        def chunk(acc):
+            acc, _ = jax.lax.scan(one, acc, jnp.arange(K))
+            return acc
+
+        return chunk
+
+    chunks = {
+        "f32": (chunk_for(kv, None), jnp.float32(0)),
+        "int8": (chunk_for(q8, scales), jnp.float32(0)),
+    }
+    for m, (c, acc) in chunks.items():
+        acc = c(acc)
+        float(acc)  # value fetch: reliable sync through the tunnel
+        chunks[m] = (c, acc)
+
+    res = {m: [] for m in chunks}
+    for _ in range(rounds):
+        for m in chunks:
+            c, acc = chunks[m]
+            t0 = time.perf_counter()
+            acc = c(acc)
+            float(acc)
+            res[m].append(B * K / _net(time.perf_counter() - t0))
+            chunks[m] = (c, acc)
+    med = {m: statistics.median(v) for m, v in res.items()}
+    return {
+        "config": f"B={B},M={M},E={E},H=1 eval fwd",
+        "f32_median_sps": round(med["f32"], 1),
+        "int8_median_sps": round(med["int8"], 1),
+        "int8_speedup_median": round(med["int8"] / med["f32"], 3),
+    }
+
+
 def vlm_throughput(quick):
     """Config #4: full VisionLanguageModel train step."""
     import optax
@@ -312,6 +373,8 @@ def main():
         print(f"bwd A/B: {results['shared_bwd_ab_large']}", flush=True)
         results["kv_grad_ab_north_star"] = kv_grad_ab(args.quick)
         print(f"kv_grad A/B: {results['kv_grad_ab_north_star']}", flush=True)
+        results["eval_fwd_ab_large"] = eval_forward_ab(args.quick)
+        print(f"eval fwd A/B: {results['eval_fwd_ab_large']}", flush=True)
 
     if args.json:
         with open(args.json, "w") as f:
