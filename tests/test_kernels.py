@@ -374,3 +374,65 @@ def test_shared_kernel_non_128_multiple_embed(E):
     jax.tree.map(
         lambda a, b: np.testing.assert_allclose(a, b, atol=1e-4), g, go
     )
+
+
+# Deterministic config corpus spanning the supported space: odd batches
+# (padding path), varying M, non-128-multiple E, bias off, key padding.
+_FUZZ_CONFIGS = [
+    # (B,   M, E,   bias,  pad)
+    (17,   2, 64,   True,  False),
+    (40,   4, 128,  False, True),
+    (130,  3, 256,  True,  True),
+    (64,   6, 384,  True,  False),
+    (33,   5, 512,  False, False),
+]
+
+
+@pytest.mark.parametrize("B,M,E,bias,pad", _FUZZ_CONFIGS)
+def test_shared_kernel_config_sweep(B, M, E, bias, pad):
+    """Forward + gradient parity vs the oracle across a corpus of shapes
+    the targeted tests don't cover (odd batches, M up to 6, bias off)."""
+    from aecf_tpu.kernels import fused_fusion_pool_shared
+
+    params = init_attention_pool_params(jax.random.key(0), E, bias=bias)
+    query = init_fusion_query(jax.random.key(1), E)
+    kv = jax.random.normal(jax.random.key(2), (B, M, E))
+    kpm = (
+        jax.random.uniform(jax.random.key(3), (B, M)) < 0.25 if pad else None
+    )
+    if kpm is not None:
+        # keep at least one unpadded slot per row (all-padded is degenerate)
+        kpm = kpm.at[:, 0].set(False)
+
+    out_k, w_k, _, _ = fused_fusion_pool_shared(
+        params, query, kv, training=False, key_padding_mask=kpm,
+        precision="highest",
+    )
+    with jax.default_matmul_precision("highest"):
+        out_o, w_o = attention_pool_core(
+            params, jnp.broadcast_to(query, (B, 1, E)), kv, kv,
+            num_heads=1, key_padding_mask=kpm, need_weights=True,
+        )
+    np.testing.assert_allclose(out_k, out_o, atol=2e-5)
+    np.testing.assert_allclose(w_k, w_o, atol=2e-5)
+
+    def loss_k(p, qq, x):
+        o, w, _, _ = fused_fusion_pool_shared(
+            p, qq, x, training=False, key_padding_mask=kpm,
+            precision="highest",
+        )
+        return (o * o).mean() + (w * w).sum()
+
+    def loss_o(p, qq, x):
+        o, w = attention_pool_core(
+            p, jnp.broadcast_to(qq, (B, 1, E)), x, x, num_heads=1,
+            key_padding_mask=kpm, need_weights=True,
+        )
+        return (o * o).mean() + (w * w).sum()
+
+    gk = jax.grad(loss_k, argnums=(0, 1, 2))(params, query, kv)
+    with jax.default_matmul_precision("highest"):
+        go = jax.grad(loss_o, argnums=(0, 1, 2))(params, query, kv)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, atol=2e-4), gk, go
+    )
