@@ -100,6 +100,10 @@ def fit(
         if log_every and (step_idx % log_every == 0):
             history["loss"].append(float(loss))
             history["step"].append(step_idx)
+            # Harvest the info-dict observability contract (entropy,
+            # mask_rate, …) the way the reference's harness does per epoch.
+            for k, v in (info or {}).items():
+                history.setdefault(k, []).append(float(jnp.mean(v)))
             print(f"step {step_idx}: loss={float(loss):.4f}", flush=True)
 
     if manager is not None:

@@ -109,3 +109,16 @@ def test_dp_fit_resume_matches_uninterrupted(tmp_path):
         full_state.params,
         resumed_state.params,
     )
+
+
+def test_fit_history_carries_info_metrics():
+    apply_fn, opt, params, batch_fn = setup()
+    _, history = fit(
+        apply_fn, opt, params, batch_fn,
+        num_steps=4, rng=jax.random.key(1), log_every=2,
+    )
+    assert history["step"] == [0, 2]
+    assert len(history["loss"]) == 2
+    # the info-dict observability contract surfaces in history
+    assert "entropy" in history and "mask_rate" in history
+    assert all(np.isfinite(v) for v in history["entropy"])
