@@ -6,7 +6,12 @@ VisionLanguageModel predictor, issues JSON and binary-npz requests against
 it (including a missing-modality request), and prints the results.  Pass
 ``--keep-serving`` to leave the server up for external clients.
 
-Run:  python examples/serve_http.py [--port 8000] [--keep-serving]
+``--frozen`` demonstrates the full production deployment story: the
+predictor is exported to a self-contained StableHLO artifact
+(``export_predictor``), re-loaded (as a deployment host with no model code
+would), and the SERVER runs on the frozen programs.
+
+Run:  python examples/serve_http.py [--port 8000] [--keep-serving] [--frozen]
 """
 
 from __future__ import annotations
@@ -25,6 +30,8 @@ def main():
     ap.add_argument("--port", type=int, default=0)
     ap.add_argument("--platform", default=None)
     ap.add_argument("--keep-serving", action="store_true")
+    ap.add_argument("--frozen", action="store_true",
+                    help="export → reload → serve the frozen artifact")
     args = ap.parse_args()
 
     import jax
@@ -46,6 +53,23 @@ def main():
         apply_fn, params, modality_names=("image", "text"),
         buckets=(32, 256),
     )
+    if args.frozen:
+        import tempfile
+
+        from aecf_tpu.serve import (
+            export_predictor,
+            load_exported_predictor,
+        )
+
+        path = os.path.join(tempfile.mkdtemp(), "fusion_frozen.npz")
+        export_predictor(
+            predictor, path,
+            feature_dims={"image": 2048, "text": 768},
+        )
+        size_mb = os.path.getsize(path) / 1e6
+        predictor = load_exported_predictor(path)
+        print(f"serving FROZEN artifact {path} ({size_mb:.1f} MB, "
+              "no model code on the serving path)")
     server = PredictionServer(predictor, port=args.port).start()
     url = f"http://127.0.0.1:{server.port}"
     print(f"serving on {url}")
