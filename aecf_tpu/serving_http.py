@@ -32,12 +32,12 @@ import io
 import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Dict, Optional
+from typing import Optional
 
 import contextlib
 import numpy as np
 
-from .serve import FusionPredictor, MicroBatcher
+from .serve import MicroBatcher
 
 __all__ = ["PredictionServer", "predict_remote"]
 

@@ -54,8 +54,6 @@ def build_clip(model_name: str, random_init: bool):
         try:
             processor = CLIPProcessor.from_pretrained(model_name)
         except Exception:
-            from transformers import CLIPImageProcessor, CLIPTokenizerFast
-
             # Fully offline: stock image-processor defaults + a minimal
             # byte-level tokenizer stand-in is NOT available without files,
             # so fall back to a whitespace bag-of-words hash (documented

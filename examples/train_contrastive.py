@@ -16,7 +16,6 @@ Run (virtual 8-device mesh on CPU):
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import os
 import sys
 
