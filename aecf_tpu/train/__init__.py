@@ -8,6 +8,7 @@ from .metrics import (
     calculate_metrics,
     expected_calibration_error,
     macro_map,
+    recall_at_k,
 )
 from .sweeps import missing_modality_sweep, modality_subsets
 from .trainer import (
@@ -29,6 +30,7 @@ __all__ = [
     "calculate_metrics",
     "expected_calibration_error",
     "brier_score",
+    "recall_at_k",
     "macro_map",
     "missing_modality_sweep",
     "modality_subsets",

@@ -26,6 +26,7 @@ __all__ = [
     "calculate_metrics",
     "expected_calibration_error",
     "brier_score",
+    "recall_at_k",
 ]
 
 
@@ -118,6 +119,48 @@ def expected_calibration_error(
             continue
         ece += (n / p.size) * abs(t[sel].mean() - p[sel].mean())
     return float(ece)
+
+
+def recall_at_k(
+    query_emb: np.ndarray,
+    target_emb: np.ndarray,
+    ks: "Tuple[int, ...]" = (1, 5, 10),
+) -> dict:
+    """Retrieval recall@K for paired embeddings (row i matches row i).
+
+    The protocol of the reference's deleted COCO experiments
+    (reference README.md:284-296, removed per PYPI_READY.md:50-59):
+    embed queries and targets, rank all targets per query by cosine
+    similarity, and report the fraction of queries whose true pair ranks
+    in the top K.  Ties broken by index (deterministic).
+
+    Args:
+      query_emb: (N, D) — e.g. fused multimodal embeddings.
+      target_emb: (N, D) — e.g. the paired caption/image embeddings.
+    Returns: ``{k: recall}`` for each requested K.
+    """
+    q = np.asarray(query_emb, dtype=np.float64)
+    t = np.asarray(target_emb, dtype=np.float64)
+    if q.shape != t.shape:
+        raise ValueError(
+            f"query/target shape mismatch: {q.shape} vs {t.shape}"
+        )
+    n = q.shape[0]
+    if n == 0:
+        return {int(k): 0.0 for k in ks}
+    q = q / (np.linalg.norm(q, axis=1, keepdims=True) + 1e-12)
+    t = t / (np.linalg.norm(t, axis=1, keepdims=True) + 1e-12)
+    sim = q @ t.T  # (N, N)
+    # rank of the true pair: number of targets strictly more similar
+    true_sim = np.diag(sim)
+    better = (sim > true_sim[:, None]).sum(axis=1)
+    # index tie-break: equal-similarity targets with a smaller index win
+    ties_before = (
+        (np.abs(sim - true_sim[:, None]) < 1e-12)
+        & (np.arange(n)[None, :] < np.arange(n)[:, None])
+    ).sum(axis=1)
+    rank = better + ties_before  # 0-based
+    return {int(k): float((rank < k).mean()) for k in ks}
 
 
 def brier_score(y_prob: np.ndarray, y_true: np.ndarray) -> float:

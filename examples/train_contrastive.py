@@ -146,6 +146,25 @@ def main():
                 f"mask_rate={float(info['mask_rate']):.4f}",
                 flush=True,
             )
+
+    # Retrieval eval — the deleted COCO experiments' protocol
+    # (recall@K of fused embedding vs its paired target projection).
+    from aecf_tpu.ops import fusion_pool as _fp
+    from aecf_tpu.train import recall_at_k
+
+    n_eval = min(1024, B)
+    fused_eval, _, _, _ = _fp(
+        jax.device_get(params["pool"]), jax.device_get(params["query"]),
+        jnp.asarray(modal_np[:n_eval]), training=False,
+    )
+    z = linear(jax.device_get(params["proj"]), fused_eval.squeeze(1))
+    t_emb = linear(
+        jax.device_get(params["target_proj"]),
+        jnp.asarray(target_np[:n_eval]),
+    )
+    r = recall_at_k(np.asarray(z), np.asarray(t_emb))
+    print("retrieval recall@K (fused → paired target, "
+          f"N={n_eval}): " + "  ".join(f"R@{k}={v:.3f}" for k, v in r.items()))
     print("done")
 
 

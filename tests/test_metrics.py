@@ -151,3 +151,46 @@ class TestCalibration:
         for subset, row in res.items():
             assert {"map", "macro_f1", "per_label_f1", "ece", "brier"} <= set(row)
             assert 0.0 <= row["ece"] <= 1.0
+
+
+class TestRecallAtK:
+    """Retrieval recall@K — the deleted COCO experiments' protocol."""
+
+    def test_perfect_retrieval(self):
+        from aecf_tpu.train.metrics import recall_at_k
+
+        rng = np.random.default_rng(0)
+        emb = rng.normal(size=(32, 16))
+        r = recall_at_k(emb, emb)  # identical pairs → rank 0 everywhere
+        assert r[1] == 1.0 and r[5] == 1.0
+
+    def test_hand_computed_ranks(self):
+        from aecf_tpu.train.metrics import recall_at_k
+
+        # targets on axes; queries 0 and 2 sit on their pair's axis
+        # (rank 0); query 1 points mostly at target 2's axis, so its true
+        # pair t1 ranks SECOND (behind t2) → top-1 miss, top-2 hit.
+        q = np.array([[1.0, 0.0, 0.0],
+                      [0.0, 0.1, 0.9],
+                      [0.0, 0.0, 1.0]])
+        t = np.eye(3)
+        r = recall_at_k(q, t, ks=(1, 2))
+        assert r[1] == pytest.approx(2 / 3)
+        assert r[2] == 1.0
+
+    def test_noisy_pairs_monotone_in_k(self):
+        from aecf_tpu.train.metrics import recall_at_k
+
+        rng = np.random.default_rng(1)
+        t = rng.normal(size=(128, 32))
+        q = t + 1.2 * rng.normal(size=t.shape)  # noisy match
+        r = recall_at_k(q, t, ks=(1, 5, 10))
+        assert r[1] <= r[5] <= r[10]
+        assert r[10] > 2 * 10 / 128  # far better than chance
+
+    def test_validation_and_empty(self):
+        from aecf_tpu.train.metrics import recall_at_k
+
+        assert recall_at_k(np.zeros((0, 4)), np.zeros((0, 4)))[1] == 0.0
+        with np.testing.assert_raises(ValueError):
+            recall_at_k(np.zeros((2, 4)), np.zeros((3, 4)))
