@@ -364,6 +364,13 @@ class ExportedFusionPredictor(FusionPredictor):
         self.apply_sigmoid = bool(config["apply_sigmoid"])
         self.calls = 0
         self._dims = {k: int(v) for k, v in config["feature_dims"].items()}
+        missing = [b for b in self.buckets if b not in blobs]
+        if missing:
+            raise ValueError(
+                f"artifact is missing programs for buckets {missing} "
+                f"(config declares {list(self.buckets)}) — truncated or "
+                "mismatched export"
+            )
         self._exported = {
             b: jexport.deserialize(blob) for b, blob in blobs.items()
         }

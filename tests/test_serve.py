@@ -409,3 +409,28 @@ def test_microbatcher_rejects_malformed_without_wedging(predictor):
 def test_predictor_rejects_non_2d(predictor):
     with pytest.raises(ValueError, match="batch, features"):
         predictor(image=np.zeros(32, np.float32))
+
+
+def test_truncated_artifact_fails_loud(predictor, tmp_path):
+    """A frozen artifact missing a bucket's program must fail at LOAD with
+    a clear message, not with a KeyError at request time."""
+    import json
+
+    from aecf_tpu.serve import export_predictor, load_exported_predictor
+
+    rng = np.random.default_rng(0)
+    predictor(image=rng.normal(size=(2, 32)).astype(np.float32),
+              text=rng.normal(size=(2, 16)).astype(np.float32))
+    path = str(tmp_path / "frozen.npz")
+    export_predictor(predictor, path)
+
+    with np.load(path) as data:
+        arrays = {k: data[k] for k in data.files}
+    # drop one bucket's program
+    victim = next(k for k in arrays if k.startswith("bucket_"))
+    del arrays[victim]
+    trunc = str(tmp_path / "truncated.npz")
+    np.savez(trunc, **arrays)
+
+    with pytest.raises(ValueError, match="missing programs"):
+        load_exported_predictor(trunc)
