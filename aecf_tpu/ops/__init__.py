@@ -68,6 +68,11 @@ def fusion_pool(
     CLIP-style inputs): the fused backward skips the ``(B, M, E)`` d_kv
     write — a third of its HBM traffic — and ``kv`` is stop-gradiented.
     """
+    if implementation not in ("auto", "xla", "pallas"):
+        raise ValueError(
+            f"unknown implementation {implementation!r} "
+            "(expected 'auto', 'xla', or 'pallas')"
+        )
     B = kv.shape[0]
     E = query.shape[-1]
     if not kv_grad:

@@ -121,3 +121,19 @@ def test_masked_weights_match_core_masking(setup):
     )
     np.testing.assert_allclose(mw, mw_ref, atol=1e-7)
     np.testing.assert_allclose(info["entropy"], info_ref["entropy"], atol=1e-7)
+
+
+def test_unknown_implementation_raises():
+    import pytest
+
+    from aecf_tpu import ops
+    from aecf_tpu.core.init import (
+        init_attention_pool_params,
+        init_fusion_query,
+    )
+
+    params = init_attention_pool_params(jax.random.key(0), 32)
+    query = init_fusion_query(jax.random.key(1), 32)
+    kv = jax.random.normal(jax.random.key(2), (4, 3, 32))
+    with pytest.raises(ValueError, match="unknown implementation"):
+        ops.fusion_pool(params, query, kv, implementation="typo")
