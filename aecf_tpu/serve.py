@@ -387,6 +387,11 @@ def load_exported_predictor(path: str) -> ExportedFusionPredictor:
     if not str(path).endswith(".npz") and not os.path.exists(path):
         path = f"{path}.npz"
     with np.load(path) as data:
+        if "config" not in data.files:
+            raise ValueError(
+                f"{path} is not an export_predictor artifact "
+                "(no 'config' entry)"
+            )
         config = json.loads(bytes(data["config"]).decode())
         blobs = {
             int(name.split("_", 1)[1]): bytes(data[name])

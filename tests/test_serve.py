@@ -434,3 +434,12 @@ def test_truncated_artifact_fails_loud(predictor, tmp_path):
 
     with pytest.raises(ValueError, match="missing programs"):
         load_exported_predictor(trunc)
+
+
+def test_non_artifact_npz_fails_loud(tmp_path):
+    from aecf_tpu.serve import load_exported_predictor
+
+    path = str(tmp_path / "random.npz")
+    np.savez(path, foo=np.zeros(3))
+    with pytest.raises(ValueError, match="not an export_predictor artifact"):
+        load_exported_predictor(path)
