@@ -96,7 +96,12 @@ def main():
 
     # Graceful missing-modality inference: any subset works.
     val = slice(0, 256)
-    from aecf_tpu.train.metrics import calculate_metrics
+    from aecf_tpu.train.metrics import (
+        _sigmoid,
+        brier_score,
+        calculate_metrics,
+        expected_calibration_error,
+    )
 
     combos = [
         ("image+lab+clinical", dict(
@@ -112,7 +117,11 @@ def main():
             state.params, **{k: jnp.asarray(v) for k, v in kwargs.items()}
         )
         m, f1, _ = calculate_metrics(np.asarray(logits), labels[val])
-        print(f"  {name:20s} mAP={m:.4f} macroF1={f1:.4f}")
+        probs = _sigmoid(np.asarray(logits, np.float64))
+        ece = expected_calibration_error(probs, labels[val])
+        br = brier_score(probs, labels[val])
+        print(f"  {name:20s} mAP={m:.4f} macroF1={f1:.4f} "
+              f"ECE={ece:.4f} Brier={br:.4f}")
 
 
 if __name__ == "__main__":
