@@ -443,3 +443,32 @@ def test_non_artifact_npz_fails_loud(tmp_path):
     np.savez(path, foo=np.zeros(3))
     with pytest.raises(ValueError, match="not an export_predictor artifact"):
         load_exported_predictor(path)
+
+
+def test_full_stack_frozen_batcher_http(predictor, tmp_path):
+    """The complete deployment composition: frozen artifact → MicroBatcher
+    → HTTP server → remote client."""
+    from aecf_tpu.serve import (
+        MicroBatcher,
+        export_predictor,
+        load_exported_predictor,
+    )
+    from aecf_tpu.serving_http import PredictionServer, predict_remote
+
+    rng = np.random.default_rng(0)
+    img = rng.normal(size=(3, 32)).astype(np.float32)
+    txt = rng.normal(size=(3, 16)).astype(np.float32)
+    want = predictor(image=img, text=txt)
+
+    path = str(tmp_path / "frozen.npz")
+    export_predictor(predictor, path)
+    frozen = load_exported_predictor(path)
+    batcher = MicroBatcher(frozen, max_batch=16, max_wait_ms=1.0)
+    srv = PredictionServer(batcher, port=0).start()
+    try:
+        url = f"http://127.0.0.1:{srv.port}"
+        got = predict_remote(url, image=img, text=txt)
+        np.testing.assert_allclose(got, want, atol=1e-6)
+    finally:
+        srv.stop()
+        batcher.stop()
