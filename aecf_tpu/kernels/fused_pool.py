@@ -42,6 +42,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..core.attention import AttentionPoolParams
 from ..core.masking import EPS
+from .shared_query import _draw_seed_words
 
 __all__ = ["fused_fusion_pool", "supports_fused"]
 
@@ -57,14 +58,30 @@ def supports_fused(
     embed_dim: int,
     dropout: float = 0.0,
     has_masks: bool = False,
+    shared_query: bool = False,
 ) -> bool:
-    """Config gate for the fused kernel; unsupported shapes use the XLA path."""
+    """Config gate for the fused kernels; unsupported shapes use the XLA
+    path.
+
+    The resident-weight kernels keep (E, E) context weights in VMEM and
+    cap at E=1024.  The shared-query H==1 path additionally has a
+    streamed split (Pallas one-pass-over-kv + XLA E×E GEMMs, no (E, E)
+    matrix in VMEM) lifting the cap to E=8192 — pass ``shared_query=True``
+    when the query is the unexpanded ``(1, 1, E)`` fusion parameter.
+    """
+    from .shared_query import _RESIDENT_E_CAP, _STREAMED_E_CAP
+
+    e_cap = (
+        _STREAMED_E_CAP
+        if shared_query and num_heads == 1
+        else _RESIDENT_E_CAP
+    )
     return (
         tgt_len == 1
         and dropout == 0.0
         and not has_masks
         and embed_dim % num_heads == 0
-        and embed_dim <= 1024
+        and embed_dim <= e_cap
     )
 
 
@@ -88,7 +105,7 @@ def prefers_fused(*, num_heads: int) -> bool:
 
 def _fusion_kernel(
     # scalar-prefetch operands (SMEM)
-    seed_ref,  # (1,) int32
+    seed_ref,  # (2,) int32 seed words
     mask_prob_ref,  # (1,) float32
     # tensor operands (VMEM)
     q_ref,  # (TB, E)
@@ -175,7 +192,13 @@ def _fusion_kernel(
         keep_prob = jnp.clip(
             1.0 - mask_prob_ref[0] * norm_entropy, 0.0, 1.0
         )  # (TB, 1)
-        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        # Tile id folded into both seed words with distinct odd
+        # multipliers (Mosaic caps prng_seed at two words): independent
+        # per-(step, tile) streams (see shared_query._draw_seed_words).
+        pid = pl.program_id(0)
+        w0 = seed_ref[0] + pid * jnp.int32(-1640531527)
+        w1 = seed_ref[1] ^ (pid * jnp.int32(-2048144789))
+        pltpu.prng_seed(w0, w1)
         bits = pltpu.bitcast(
             pltpu.prng_random_bits((TB, M)), jnp.uint32
         )
@@ -328,7 +351,7 @@ def _forward_pallas(
         ),
         interpret=interpret,
     )(
-        seed.reshape(1).astype(jnp.int32),
+        seed.reshape(2).astype(jnp.int32),
         mask_prob.reshape(1).astype(jnp.float32),
         query2d,
         kv,
@@ -391,10 +414,20 @@ def _fused_fwd(
         training=training,
         interpret=interpret,
     )
-    return outs, (params, query2d, kv, key_padding_mask)
+    # outs[1] (head-averaged weights) rides along so the backward can fold
+    # an entropy cotangent into d_w — eval entropy is not detached in the
+    # reference (AECFLayer.py:150-156).
+    return outs, (params, query2d, kv, key_padding_mask, outs[1])
 
 
 def _fused_bwd(num_heads, min_active, training, interpret, residuals, cots):
+    from .shared_query import _fold_entropy_cotangent
+
+    params, q, kv, key_padding_mask, w_res = residuals
+    residuals = (params, q, kv, key_padding_mask)
+    d_out, d_w, _d_mw, _d_ent, _d_rate = cots
+    d_w = _fold_entropy_cotangent(d_w, _d_ent, w_res, kv.shape[1])
+    cots = (d_out, d_w, _d_mw, None, _d_rate)
     # f32 MXU passes throughout: the fused forward runs at HIGHEST precision,
     # and mixed-precision fwd/bwd would silently degrade gradient parity
     # with the fp32 oracle to ~1e-3.
@@ -534,12 +567,7 @@ def fused_fusion_pool(
         raise ValueError(
             "fused_fusion_pool(training=True) needs an `rng=` key"
         )
-    if rng is not None:
-        seed = jax.random.randint(
-            rng, (), minval=0, maxval=2**31 - 1, dtype=jnp.int32
-        )
-    else:
-        seed = jnp.zeros((), jnp.int32)
+    seed = _draw_seed_words(rng)
 
     out, w, mw, ent, rate = _fused_core(
         params,

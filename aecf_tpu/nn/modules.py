@@ -486,7 +486,17 @@ class MultimodalAttentionPool:
             and mask_override is None
             and value is key
             and query.dtype == jnp.float32
-            and self.embed_dim <= 1024
+            # Resident-weight kernels cap at E=1024; the shared-query
+            # H==1 dispatch (query.shape[0] == 1) has a streamed split
+            # that lifts the cap (kernels/shared_query._STREAMED_E_CAP).
+            and (
+                self.embed_dim <= 1024
+                or (
+                    query.shape[0] == 1
+                    and self.num_heads == 1
+                    and self.embed_dim <= 8192
+                )
+            )
             and not self.apply_masking_to_output
             # detach_info=False (trainable entropy) needs the XLA path: the
             # fused kernels stop_gradient their entropy output, which would

@@ -87,7 +87,8 @@ def fusion_pool(
             if (
                 jax.default_backend() == "tpu"
                 and supports_fused(
-                    tgt_len=query.shape[1], num_heads=num_heads, embed_dim=E
+                    tgt_len=query.shape[1], num_heads=num_heads, embed_dim=E,
+                    shared_query=query.shape[0] == 1,
                 )
                 # Measured perf boundary: XLA batches H>2 heads better
                 # than the per-head kernel GEMMs (see prefers_fused).

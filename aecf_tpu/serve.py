@@ -119,8 +119,7 @@ class FusionPredictor:
                 )
 
         self.calls += 1  # device-call counter (micro-batching observability)
-        for k, v in provided.items():
-            self._dims[k] = v.shape[1]
+        self._update_dims(provided)
         missing = [
             k for k in self.modality_names
             if k not in provided
@@ -155,6 +154,23 @@ class FusionPredictor:
             outs.append(out[:chunk_n])
             start += chunk_n
         return np.concatenate(outs)
+
+    def _update_dims(self, provided: Dict[str, np.ndarray]) -> None:
+        """Record feature dims from a request (used to zero-fill absent
+        modalities later).  A width that contradicts an already-learned
+        dim is rejected up front: the jitted model has fixed feature
+        widths, so it would fail anyway — but accepting it first would
+        corrupt the zero-fill width for later requests omitting that
+        modality.  :class:`ExportedFusionPredictor` overrides this — its
+        dims are fixed by the exported programs' config."""
+        for k, v in provided.items():
+            prev = self._dims.get(k)
+            if prev is not None and v.shape[1] != prev:
+                raise ValueError(
+                    f"modality {k!r} has feature dim {v.shape[1]}, but "
+                    f"this predictor previously saw {prev}"
+                )
+            self._dims[k] = v.shape[1]
 
     def _call_bucket(self, bucket: int, mods: List[jnp.ndarray]) -> Any:
         """One device call at a padded bucket shape (overridden by
@@ -218,7 +234,11 @@ class MicroBatcher:
                     f"shape {v.shape}"
                 )
         fut: Future = Future()
-        keyset = tuple(sorted(mods))
+        # Group key includes per-modality feature dims: two requests with
+        # the same modality key-set but different widths must not share a
+        # np.concatenate (one malformed request would fail its whole
+        # group, well-formed neighbors included).
+        keyset = tuple(sorted((k, v.shape[1]) for k, v in mods.items()))
         with self._cv:
             if self._stopping:
                 raise RuntimeError("MicroBatcher is stopped")
@@ -257,7 +277,7 @@ class MicroBatcher:
                 try:
                     stacked = {
                         k: np.concatenate([m[k] for m, _ in items])
-                        for k in keyset
+                        for k, _dim in keyset
                     }
                     out = self.predictor(**stacked)
                     start = 0
@@ -374,6 +394,19 @@ class ExportedFusionPredictor(FusionPredictor):
         self._exported = {
             b: jexport.deserialize(blob) for b, blob in blobs.items()
         }
+
+    def _update_dims(self, provided: Dict[str, np.ndarray]) -> None:
+        # The exported programs' input shapes are frozen — config dims are
+        # authoritative.  Accepting a request's width here would corrupt
+        # the zero-fill width for later requests omitting that modality;
+        # reject mismatches at the request boundary instead.
+        for k, v in provided.items():
+            want = self._dims[k]
+            if v.shape[1] != want:
+                raise ValueError(
+                    f"modality {k!r} has feature dim {v.shape[1]}, but the "
+                    f"exported artifact expects {want}"
+                )
 
     def _call_bucket(self, bucket: int, mods: List[jnp.ndarray]) -> Any:
         return self._exported[bucket].call(*mods)

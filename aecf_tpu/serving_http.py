@@ -103,8 +103,18 @@ class PredictionServer:
                     raw = self.rfile.read(length)
                     ctype = self.headers.get("Content-Type", "")
                     if ctype.startswith("application/x-npz"):
-                        blob = np.load(io.BytesIO(raw))
-                        mods = {k: np.asarray(blob[k]) for k in blob.files}
+                        try:
+                            blob = np.load(io.BytesIO(raw))
+                            mods = {
+                                k: np.asarray(blob[k]) for k in blob.files
+                            }
+                        except Exception as e:  # noqa: BLE001
+                            # zipfile.BadZipFile / pickle rejection / ...:
+                            # a malformed CLIENT payload is a 400, not a
+                            # 500 (keeps 5xx alerting honest)
+                            raise ValueError(
+                                f"invalid .npz payload: {e}"
+                            ) from None
                         with outer._lock:
                             probs = outer.predictor(**mods)
                         buf = io.BytesIO()

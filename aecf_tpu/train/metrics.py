@@ -107,6 +107,11 @@ def expected_calibration_error(
     t = np.asarray(y_true, dtype=np.float64).ravel()
     if p.size == 0:
         return 0.0
+    # NaN compares False against both bounds, slips past the range check,
+    # falls outside every bin, yet still counts in p.size — silently
+    # deflating the reported ECE.  Reject non-finite inputs explicitly.
+    if not np.isfinite(p).all():
+        raise ValueError("y_prob must be finite probabilities in [0, 1]")
     if p.min() < 0.0 or p.max() > 1.0:
         raise ValueError("y_prob must be probabilities in [0, 1]")
     # Bin by confidence; right-closed bins, p=0 lands in bin 0.

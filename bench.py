@@ -110,6 +110,66 @@ def build_chunk(batch, modalities, embed, heads, impl, steps_per_call,
     return chunk, params, opt_state
 
 
+# TPU v5e (the bench chip) peak specs, for roofline/MFU reporting.
+# 197 TFLOP/s bf16 MXU, 819 GB/s HBM BW (public v5e datasheet numbers).
+V5E_PEAK_FLOPS = 197e12
+V5E_PEAK_HBM_BYTES = 819e9
+
+
+def step_cost_model(batch, modalities, embed, heads, *, kv_grad,
+                    feat_bytes=4):
+    """Analytic (flops, hbm_bytes) per full train step on the fused path.
+
+    Model of what actually executes per step (shared-query kernel fwd +
+    fused bwd + XLA loss/optimizer glue); used to turn measured samples/s
+    into MFU and HBM-bandwidth fractions so "is it actually fast" is a
+    number in every bench artifact, not a docs aside.
+
+    FLOPs (MACs × 2):
+      fwd GEMMs: 2·B·E² (H=1: one fused W_vo GEMM) or 4·B·E² (H>1: Wv + Wo)
+      bwd GEMMs: 2× the forward GEMM cost (d_mix and accumulator GEMMs)
+      VPU scores/softmax/entropy/mask chains: ~14·B·M·E fwd+bwd combined
+    HBM bytes (the usual bottleneck at these shapes):
+      kv read twice (fwd + bwd): 2·B·M·E·feat_bytes
+      d_kv write (only when kv_grad): B·M·E·feat_bytes
+      out write+read, d_out write+read: 4·B·E·4
+      side outputs w/mw/ent/rate + d_w: ~(5M+4)·B·4
+      resident weights per kernel launch ≈ 2·E²·4 each (fwd, bwd)
+      optimizer: read params+grads, write params: 3 × 4E² × 4
+    """
+    gemm = 1 if heads == 1 else 2
+    fwd_gemm_flops = 2 * batch * embed * embed * gemm
+    flops = 3 * fwd_gemm_flops + 14 * batch * modalities * embed
+    kv_bytes = batch * modalities * embed * feat_bytes
+    bytes_accessed = (
+        2 * kv_bytes
+        + (kv_bytes if kv_grad else 0)
+        + 4 * batch * embed * 4
+        + (5 * modalities + 4) * batch * 4
+        + 2 * (2 * embed * embed * 4)
+        + 3 * (4 * embed * embed) * 4
+    )
+    return flops, bytes_accessed
+
+
+def roofline(samples_per_sec, batch, modalities, embed, heads, *,
+             kv_grad, feat_bytes=4):
+    """{'mfu': ..., 'hbm_frac': ...} at a measured throughput (v5e peaks)."""
+    flops, bytes_accessed = step_cost_model(
+        batch, modalities, embed, heads,
+        kv_grad=kv_grad, feat_bytes=feat_bytes,
+    )
+    steps_per_sec = samples_per_sec / batch
+    return {
+        "mfu": round(flops * steps_per_sec / V5E_PEAK_FLOPS, 4),
+        "hbm_frac": round(
+            bytes_accessed * steps_per_sec / V5E_PEAK_HBM_BYTES, 4
+        ),
+        "flops_per_step": flops,
+        "hbm_bytes_per_step": bytes_accessed,
+    }
+
+
 def resolve_impl(heads: int, embed: int) -> str:
     """The library's own auto-dispatch rule (capability gate ∧ measured
     perf preference), so bench numbers always reflect what ops.fusion_pool
@@ -118,7 +178,9 @@ def resolve_impl(heads: int, embed: int) -> str:
 
     return "pallas" if (
         jax.default_backend() == "tpu"
-        and supports_fused(tgt_len=1, num_heads=heads, embed_dim=embed)
+        and supports_fused(
+            tgt_len=1, num_heads=heads, embed_dim=embed, shared_query=True
+        )
         and prefers_fused(num_heads=heads)
     ) else "xla"
 
@@ -245,6 +307,15 @@ def main():
             ),
         },
     }
+    if jax.default_backend() == "tpu":
+        # Roofline/MFU at the measured throughput — "is it actually fast"
+        # as a number: fraction of v5e bf16 peak FLOP/s and of HBM
+        # bandwidth implied by the analytic per-step cost model.
+        result["roofline"] = roofline(
+            samples_per_sec, batch, modalities, embed, heads,
+            kv_grad=args.kv_grad,
+            feat_bytes=2 if args.features_dtype == "bfloat16" else 4,
+        )
     print(json.dumps(result))
     return 0
 

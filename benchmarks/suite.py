@@ -216,6 +216,45 @@ def kv_grad_ab(quick, B=4096, M=3, E=512, H=1):
     }
 
 
+def streamed_e2048_ab(quick, B=4096, M=4, E=2048, H=1):
+    """Within-run A/B at E=2048 (beyond the resident-weight kernels' VMEM
+    cap): the streamed split (Pallas one-pass-over-kv + XLA E×E GEMMs) vs
+    the full XLA fallback.  Round-2 verdict Next #3's 'done' gate."""
+    import statistics
+
+    from bench import build_chunk
+
+    K = 20 if quick else 60
+    rounds = 3 if quick else 5
+
+    chunks = {}
+    for impl in ("xla", "pallas"):
+        c, p, s = build_chunk(B, M, E, H, impl, K, kv_grad=False)
+        p, s, loss = c(p, s, jnp.int32(0))
+        float(loss)  # value fetch: reliable sync through the tunnel
+        chunks[impl] = (c, p, s)
+
+    res = {m: [] for m in chunks}
+    for r in range(1, rounds + 1):
+        for m in chunks:
+            c, p, s = chunks[m]
+            t0 = time.perf_counter()
+            p, s, loss = c(p, s, jnp.int32(r * K))
+            float(loss)  # value fetch: reliable sync through the tunnel
+            res[m].append(B * K / _net(time.perf_counter() - t0))
+            chunks[m] = (c, p, s)
+    med = {m: statistics.median(v) for m, v in res.items()}
+    return {
+        "config": f"B={B},M={M},E={E},H={H},kv_grad=False",
+        "xla_median_sps": round(med["xla"], 1),
+        "streamed_median_sps": round(med["pallas"], 1),
+        "xla_best_sps": round(max(res["xla"]), 1),
+        "streamed_best_sps": round(max(res["pallas"]), 1),
+        "speedup_median": round(med["pallas"] / med["xla"], 3),
+        "speedup_best": round(max(res["pallas"]) / max(res["xla"]), 3),
+    }
+
+
 def eval_forward_ab(quick, B=8192, M=4, E=1024):
     """Serving-path throughput: eval forward, f32 vs int8-quantized kv,
     within-run alternating windows at the memory-bound config."""
@@ -357,6 +396,7 @@ def main():
         ("large_B8192_M4_E1024", 8192, 4, 1024, 1),
     ]
     results["impl_per_config"] = {}
+    results["roofline_per_config"] = {}
     for name, B, M, E, H in configs:
         # per-config auto dispatch (heads8 routes to XLA — measured faster)
         impl = args.impl if args.impl != "auto" else resolve_impl(H, E)
@@ -364,6 +404,14 @@ def main():
         results[name] = round(sps, 1)
         results["impl_per_config"][name] = impl
         print(f"{name}: {sps:,.0f} samples/s ({impl})", flush=True)
+        if jax.default_backend() == "tpu":
+            # MFU + HBM-bandwidth fraction at the measured throughput
+            # (bench.step_cost_model; suite throughput runs kv_grad=False)
+            from bench import roofline
+
+            results["roofline_per_config"][name] = roofline(
+                sps, B, M, E, H, kv_grad=False
+            )
 
     results["vlm_B256"] = round(vlm_throughput(args.quick), 1)
     print(f"vlm_B256: {results['vlm_B256']:,.0f} samples/s", flush=True)
@@ -378,6 +426,8 @@ def main():
         print(f"kv_grad A/B: {results['kv_grad_ab_north_star']}", flush=True)
         results["eval_fwd_ab_large"] = eval_forward_ab(args.quick)
         print(f"eval fwd A/B: {results['eval_fwd_ab_large']}", flush=True)
+        results["streamed_e2048_ab"] = streamed_e2048_ab(args.quick)
+        print(f"E=2048 A/B: {results['streamed_e2048_ab']}", flush=True)
 
     if args.json:
         with open(args.json, "w") as f:

@@ -243,6 +243,52 @@ def test_kernel_prng_reproducibility():
     assert abs(rate_a.mean() - rate_c.mean()) < 0.08
 
 
+def test_kernel_prng_tile_decorrelation():
+    """Adjacent step seeds must not share tile streams (round-2 verdict):
+    the old ``seed + program_id`` tile seeding made seed s+1's tile i
+    reuse seed s's tile i+1 stream.  With multi-word hash seeding, masks
+    drawn under seeds s and s+1 are decorrelated tile-by-tile."""
+    from aecf_tpu.kernels import shared_query
+
+    E, M = 128, 3
+    TB = 512
+    n_tiles = 4
+    B = TB * n_tiles
+    params = init_attention_pool_params(jax.random.key(0), E)
+    query = init_fusion_query(jax.random.key(1), E)
+    # near-uniform weights → entropy ≈ ln M → keep_prob ≈ 1-0.9: dense,
+    # high-entropy masks so identical streams would be unmistakable.
+    kv = 0.01 * jax.random.normal(jax.random.key(2), (B, M, E))
+
+    def masks(seed_words):
+        _, w, mw, _, _ = shared_query._forward(
+            params, query[0, 0, :], kv,
+            jnp.asarray(seed_words, jnp.int32),
+            jnp.float32(0.5), None,
+            num_heads=1, min_active=1, training=True, precision="highest",
+        )
+        # recover the binary keep decision per element: mask==0 ⇔ mw==0
+        return (np.asarray(mw) == 0.0).reshape(n_tiles, TB, M)
+
+    s = 12345
+    a = masks([s, 777])
+    b = masks([s + 1, 777])
+    c = masks([s, 777])
+    np.testing.assert_array_equal(a, c)  # determinism
+    # every (tile of a) × (tile of b) pair must differ — in particular the
+    # shifted alignment a[i+1] == b[i] of the old additive scheme
+    for i in range(n_tiles):
+        for j in range(n_tiles):
+            assert not np.array_equal(a[i], b[j]), (i, j)
+    # and tiles within one draw are mutually distinct streams
+    for i in range(n_tiles):
+        for j in range(i + 1, n_tiles):
+            assert not np.array_equal(a[i], a[j]), (i, j)
+    # varying the second seed word alone must also change the draw
+    d = masks([s, 778])
+    assert not np.array_equal(a, d)
+
+
 def test_supports_fused_gate():
     assert supports_fused(tgt_len=1, num_heads=1, embed_dim=512)
     assert not supports_fused(tgt_len=2, num_heads=1, embed_dim=512)
@@ -253,6 +299,52 @@ def test_supports_fused_gate():
         tgt_len=1, num_heads=1, embed_dim=512, has_masks=True
     )
     assert not supports_fused(tgt_len=1, num_heads=1, embed_dim=2048)
+
+
+def test_streamed_e2048_on_chip():
+    """E=2048 shared-query path on real hardware (streamed split): eval
+    parity vs the oracle, and training-mode masking draws from the TPU
+    PRNG with sane statistics.  Round-2 verdict Next #3."""
+    from aecf_tpu.kernels import fused_fusion_pool_shared
+
+    E, M, B = 2048, 3, 512
+    params = init_attention_pool_params(jax.random.key(0), E)
+    query = init_fusion_query(jax.random.key(1), E)
+    kv = jax.random.normal(jax.random.key(2), (B, M, E))
+
+    out_k, w_k, mw, info = fused_fusion_pool_shared(
+        params, query, kv, training=False, precision="highest"
+    )
+    out_o, w_o = _oracle(params, jnp.broadcast_to(query, (B, 1, E)), kv, 1)
+    np.testing.assert_allclose(out_k, out_o, atol=2e-3)
+    np.testing.assert_allclose(w_k, w_o, atol=1e-5)
+
+    # training: grads vs oracle + the in-kernel Bernoulli draw
+    def loss_k(p, x):
+        o, w, _, inf = fused_fusion_pool_shared(
+            p, query, x, training=True, rng=jax.random.key(7),
+            base_mask_prob=0.9, precision="highest",
+        )
+        return (o * o).mean() + (w * w).sum(), inf
+
+    (_, inf), gk = jax.value_and_grad(loss_k, argnums=(0, 1), has_aux=True)(
+        params, kv
+    )
+    rate = float(np.asarray(inf["mask_rate"]).mean())
+    assert 0.0 < rate < 1.0, rate
+
+    def loss_o(p, x):
+        o, w = _oracle(p, jnp.broadcast_to(query, (B, 1, E)), x, 1)
+        return (o * o).mean() + (w * w).sum()
+
+    go = jax.grad(loss_o, argnums=(0, 1))(params, kv)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-3, rtol=1e-3
+        ),
+        gk,
+        go,
+    )
 
 
 def test_quantized_kv_on_chip():

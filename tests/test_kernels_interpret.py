@@ -141,6 +141,196 @@ class TestPallasBackwardInterpret:
         )
 
 
+class TestStreamedE2048Interpret:
+    """E > 1024 shared-query path (streamed split: Pallas one-pass-over-kv
+    + XLA E×E GEMMs) — round-2 verdict Next #3.  Hermetic at E=2048 with
+    a small batch; on-chip parity + A/B live in tests/test_kernels.py and
+    benchmarks/suite.py."""
+
+    E = 2048
+
+    def _setup(self, B=16, M=3):
+        params = init_attention_pool_params(jax.random.key(0), self.E)
+        query = init_fusion_query(jax.random.key(1), self.E)
+        kv = jax.random.normal(jax.random.key(2), (B, M, self.E))
+        return params, query, kv
+
+    def test_eval_forward_matches_oracle(self):
+        from aecf_tpu.kernels import fused_fusion_pool_shared
+
+        params, query, kv = self._setup()
+        B = kv.shape[0]
+        out_k, w_k, mw, info = fused_fusion_pool_shared(
+            params, query, kv, training=False, interpret=True,
+            precision="highest",
+        )
+        with jax.default_matmul_precision("highest"):
+            out_o, w_o = attention_pool_core(
+                params, jnp.broadcast_to(query, (B, 1, self.E)), kv, kv,
+                num_heads=1, need_weights=True,
+            )
+        np.testing.assert_allclose(out_k, out_o, atol=2e-4)
+        np.testing.assert_allclose(w_k, w_o, atol=1e-5)
+        np.testing.assert_allclose(mw, w_k, atol=1e-7)
+
+    def test_padding(self):
+        from aecf_tpu.kernels import fused_fusion_pool_shared
+
+        params, query, kv = self._setup()
+        B, M = kv.shape[:2]
+        kpm = jnp.zeros((B, M), bool).at[:, 2].set(True)
+        _, w_k, _, _ = fused_fusion_pool_shared(
+            params, query, kv, training=False, key_padding_mask=kpm,
+            interpret=True,
+        )
+        np.testing.assert_allclose(np.asarray(w_k[:, :, 2]), 0.0, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(w_k.sum(-1)), 1.0, rtol=1e-5)
+
+    @pytest.mark.parametrize("kv_grad", [True, False])
+    def test_end_to_end_grads_match_oracle(self, kv_grad):
+        from aecf_tpu.kernels import fused_fusion_pool_shared
+
+        params, query, kv = self._setup(B=12)
+        B = kv.shape[0]
+
+        def loss_k(p, qq, x):
+            o, w, _, _ = fused_fusion_pool_shared(
+                p, qq, x, training=False, interpret=True,
+                precision="highest", kv_grad=kv_grad,
+            )
+            return (o * o).mean() + (w * w).sum()
+
+        def loss_o(p, qq, x):
+            with jax.default_matmul_precision("highest"):
+                o, w = attention_pool_core(
+                    p, jnp.broadcast_to(qq, (B, 1, self.E)), x, x,
+                    num_heads=1, need_weights=True,
+                )
+            return (o * o).mean() + (w * w).sum()
+
+        gk = jax.grad(loss_k, argnums=(0, 1, 2))(params, query, kv)
+        go = jax.grad(loss_o, argnums=(0, 1, 2))(params, query, kv)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-4
+            ),
+            (gk[0], gk[1]),
+            (go[0], go[1]),
+        )
+        if kv_grad:
+            np.testing.assert_allclose(
+                np.asarray(gk[2]), np.asarray(go[2]), atol=2e-4
+            )
+        else:
+            np.testing.assert_allclose(np.asarray(gk[2]), 0.0, atol=0)
+
+    def test_training_mode_interpret_has_no_prng_lowering(self):
+        # The streamed kernel draws the in-kernel TPU PRNG in training;
+        # interpret mode has no lowering for it (same as the resident
+        # path) — this pins that the eval/grad coverage above is the
+        # hermetic boundary, and training E=2048 is TPU-gated.
+        from aecf_tpu.kernels import fused_fusion_pool_shared
+
+        params, query, kv = self._setup(B=8)
+        with pytest.raises(Exception):
+            jax.block_until_ready(
+                fused_fusion_pool_shared(
+                    params, query, kv, training=True,
+                    rng=jax.random.key(0), interpret=True,
+                )[0]
+            )
+
+    def test_supports_fused_streamed_gate(self):
+        from aecf_tpu.kernels import supports_fused
+
+        assert supports_fused(
+            tgt_len=1, num_heads=1, embed_dim=2048, shared_query=True
+        )
+        assert not supports_fused(tgt_len=1, num_heads=1, embed_dim=2048)
+        assert not supports_fused(
+            tgt_len=1, num_heads=2, embed_dim=2048, shared_query=True
+        )
+        assert not supports_fused(
+            tgt_len=1, num_heads=1, embed_dim=16384, shared_query=True
+        )
+
+
+class TestEvalEntropyGradient:
+    """Round-2 verdict Weak #2: eval-mode ``info['entropy']`` is NOT
+    detached in the reference (AECFLayer.py:150-156); gradients through it
+    must agree between the fused kernels and the XLA oracle instead of
+    silently vanishing on the kernel path."""
+
+    def _setup(self):
+        E, M, B = 64, 3, 24
+        params = init_attention_pool_params(jax.random.key(0), E)
+        query = init_fusion_query(jax.random.key(1), E)
+        kv = jax.random.normal(jax.random.key(2), (B, M, E))
+        return E, M, B, params, query, kv
+
+    def _oracle_grads(self, params, query, kv, B, E):
+        from aecf_tpu.core.masking import compute_entropy
+
+        def loss_o(p, qq, x):
+            with jax.default_matmul_precision("highest"):
+                _, w = attention_pool_core(
+                    p, jnp.broadcast_to(qq, (B, 1, E)), x, x,
+                    num_heads=1, need_weights=True,
+                )
+            return (compute_entropy(w) ** 2).mean()
+
+        return jax.grad(loss_o, argnums=(0, 1, 2))(params, query, kv)
+
+    @pytest.mark.parametrize("bwd", ["pallas", "xla"])
+    def test_shared_eval_entropy_grad_matches_oracle(self, bwd, monkeypatch):
+        from aecf_tpu.kernels import fused_fusion_pool_shared
+
+        monkeypatch.setenv("AECF_SHARED_BWD", bwd)
+        E, M, B, params, query, kv = self._setup()
+
+        def loss_k(p, qq, x):
+            _, _, _, info = fused_fusion_pool_shared(
+                p, qq, x, training=False, interpret=True,
+                precision="highest",
+            )
+            return (info["entropy"] ** 2).mean()
+
+        gk = jax.grad(loss_k, argnums=(0, 1, 2))(params, query, kv)
+        go = self._oracle_grads(params, query, kv, B, E)
+        # the gradient must be nonzero (the old behavior was silent zero)
+        assert float(jnp.abs(gk[2]).max()) > 0
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-5
+            ),
+            gk,
+            go,
+        )
+
+    def test_generic_eval_entropy_grad_matches_oracle(self):
+        from aecf_tpu.kernels import fused_fusion_pool
+
+        E, M, B, params, query, kv = self._setup()
+        q_full = jnp.broadcast_to(query, (B, 1, E))
+
+        def loss_k(p, x):
+            _, _, _, info = fused_fusion_pool(
+                p, q_full, x, training=False, interpret=True
+            )
+            return (info["entropy"] ** 2).mean()
+
+        gk = jax.grad(loss_k, argnums=(0, 1))(params, kv)
+        go = self._oracle_grads(params, query, kv, B, E)
+        assert float(jnp.abs(gk[1]).max()) > 0
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-5
+            ),
+            (gk[0], gk[1]),
+            (go[0], go[2]),
+        )
+
+
 class TestQuantizedFeaturesInterpret:
     """int8 kv serving path: quantize → fused kernel → near-oracle output."""
 
@@ -382,6 +572,23 @@ class TestKvGradSkip:
             gp_full,
             gp_slim,
         )
+
+
+def test_pick_tile_env_validation(monkeypatch):
+    """AECF_FWD_TB/AECF_BWD_TB misuse must fail loudly naming the variable,
+    not ZeroDivisionError in the grid computation (round-2 advisor)."""
+    from aecf_tpu.kernels.shared_query import _pick_tile
+
+    monkeypatch.setenv("AECF_FWD_TB", "0")
+    with pytest.raises(ValueError, match="AECF_FWD_TB"):
+        _pick_tile(512, "AECF_FWD_TB", 1024)
+    monkeypatch.setenv("AECF_FWD_TB", "banana")
+    with pytest.raises(ValueError, match="AECF_FWD_TB"):
+        _pick_tile(512, "AECF_FWD_TB", 1024)
+    monkeypatch.setenv("AECF_FWD_TB", "256")
+    assert _pick_tile(512, "AECF_FWD_TB", 1024) == 256
+    monkeypatch.delenv("AECF_FWD_TB")
+    assert _pick_tile(512, "AECF_FWD_TB", 1024) == 512
 
 
 def test_kv_scales_with_float_kv_raises():

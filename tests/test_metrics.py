@@ -125,6 +125,16 @@ class TestCalibration:
         assert expected_calibration_error(np.zeros(0), np.zeros(0)) == 0.0
         with np.testing.assert_raises(ValueError):
             expected_calibration_error(np.array([1.5]), np.array([1.0]))
+        # NaN slips past range checks (comparisons are False) and would
+        # silently deflate ECE — must be rejected loudly instead.
+        with np.testing.assert_raises(ValueError):
+            expected_calibration_error(
+                np.array([0.5, np.nan]), np.array([1.0, 0.0])
+            )
+        with np.testing.assert_raises(ValueError):
+            expected_calibration_error(
+                np.array([0.5, np.inf]), np.array([1.0, 0.0])
+            )
 
     def test_brier(self):
         from aecf_tpu.train.metrics import brier_score

@@ -173,6 +173,90 @@ class TestHTTPServing:
                 urllib.request.urlopen(req, timeout=10)
             assert e.value.code == 400, body
 
+    def test_malformed_npz_is_400_not_500(self, server):
+        """Fuzz pass (round-2 verdict Next #8): garbage bytes, truncated
+        zips, and non-float payloads under the binary content type are
+        CLIENT errors — 400, never 500, and never a wedged server."""
+        import io
+        import urllib.error
+        import urllib.request
+
+        srv, _ = server
+        # a real npz, truncated mid-stream
+        buf = io.BytesIO()
+        np.savez(buf, image=np.zeros((1, 32), np.float32))
+        truncated = buf.getvalue()[: len(buf.getvalue()) // 2]
+        bodies = [
+            b"not a zip at all",
+            b"",
+            b"PK\x03\x04 almost a zip",
+            truncated,
+        ]
+        for body in bodies:
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{srv.port}/v1/predict",
+                data=body,
+                headers={"Content-Type": "application/x-npz"},
+            )
+            with pytest.raises(urllib.error.HTTPError) as e:
+                urllib.request.urlopen(req, timeout=10)
+            assert e.value.code == 400, body[:20]
+        # server still healthy afterwards
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/healthz", timeout=10
+        ) as resp:
+            assert resp.status == 200
+
+    def test_fuzz_mixed_valid_invalid_concurrent(self, server):
+        """Random mix of well-formed and malformed concurrent requests:
+        every request gets a definite response, well-formed ones are
+        bit-identical to a direct predictor call."""
+        import concurrent.futures as cf
+        import urllib.error
+        import urllib.request
+
+        from aecf_tpu.serving_http import predict_remote
+
+        srv, pred = server
+        url = f"http://127.0.0.1:{srv.port}"
+        rng = np.random.default_rng(7)
+        img = rng.normal(size=(2, 32)).astype(np.float32)
+        txt = rng.normal(size=(2, 16)).astype(np.float32)
+        expected = pred(image=img, text=txt)
+
+        def good():
+            return ("good", predict_remote(url, image=img, text=txt))
+
+        def bad_width():
+            try:
+                predict_remote(url, image=rng.normal(size=(2, 7)).astype(
+                    np.float32), text=txt)
+                return ("bad", "no-error")
+            except urllib.error.HTTPError as e:
+                return ("bad", e.code)
+
+        def bad_bytes():
+            req = urllib.request.Request(
+                f"{url}/v1/predict", data=b"\x00\xff garbage",
+                headers={"Content-Type": "application/x-npz"},
+            )
+            try:
+                urllib.request.urlopen(req, timeout=10)
+                return ("bytes", "no-error")
+            except urllib.error.HTTPError as e:
+                return ("bytes", e.code)
+
+        jobs = [good, bad_width, bad_bytes] * 4
+        rng.shuffle(jobs)
+        with cf.ThreadPoolExecutor(max_workers=6) as ex:
+            results = [f.result(timeout=60) for f in
+                       [ex.submit(j) for j in jobs]]
+        for kind, val in results:
+            if kind == "good":
+                np.testing.assert_allclose(val, expected, atol=1e-6)
+            else:
+                assert val in (400, 500), (kind, val)
+
 
 class TestMicroBatcher:
     """Request coalescing: many concurrent small requests → few device
@@ -241,10 +325,87 @@ class TestMicroBatcher:
         )
         np.testing.assert_allclose(o2, pred(image=img), atol=1e-6)
 
+    def test_wrong_width_request_cannot_fail_neighbors(self, batcher):
+        """Round-2 advisor: grouping is by (keyset, feature dims) — a
+        malformed-width request must not poison the np.concatenate of
+        well-formed requests sharing its modality key-set."""
+        import concurrent.futures as cf
+
+        b, pred = batcher
+        rng = np.random.default_rng(2)
+        img = rng.normal(size=(1, 32)).astype(np.float32)
+        txt = rng.normal(size=(1, 16)).astype(np.float32)
+        bad_img = rng.normal(size=(1, 7)).astype(np.float32)  # wrong width
+        pred(image=img, text=txt)
+        with cf.ThreadPoolExecutor(max_workers=4) as ex:
+            f_good = ex.submit(b, image=img, text=txt)
+            f_bad = ex.submit(b, image=bad_img, text=txt)
+            good = f_good.result(timeout=30)
+            with pytest.raises(Exception):
+                f_bad.result(timeout=30)
+        np.testing.assert_allclose(
+            good, pred(image=img, text=txt), atol=1e-6
+        )
+
     def test_error_propagates_to_caller(self, batcher):
         b, _ = batcher
         with pytest.raises(ValueError):
             b(bogus=np.zeros((1, 4), np.float32))
+
+    def test_stop_with_in_flight_requests_resolves_all(self, batcher):
+        """Shutdown semantics (round-2 verdict Next #8): every future
+        enqueued before stop() must resolve (result or exception) — never
+        hang — and the worker must drain the queue before exiting."""
+        import concurrent.futures as cf
+        import threading
+        import time
+
+        from aecf_tpu.serve import MicroBatcher
+
+        _, pred = batcher
+
+        class SlowPredictor:
+            """Delay each device call so stop() races in-flight work."""
+
+            def __init__(self, inner):
+                self._inner = inner
+                self.modality_names = inner.modality_names
+
+            def __call__(self, **mods):
+                time.sleep(0.05)
+                return self._inner(**mods)
+
+        b = MicroBatcher(
+            SlowPredictor(pred), max_batch=4, max_wait_ms=30.0
+        )
+        rng = np.random.default_rng(3)
+        img = rng.normal(size=(1, 32)).astype(np.float32)
+        txt = rng.normal(size=(1, 16)).astype(np.float32)
+        pred(image=img, text=txt)  # warm jit
+
+        with cf.ThreadPoolExecutor(max_workers=8) as ex:
+            futs = [
+                ex.submit(b, image=img, text=txt) for _ in range(8)
+            ]
+            time.sleep(0.01)  # let some enqueue
+            stopper = threading.Thread(target=b.stop)
+            stopper.start()
+            # every caller must get a definite outcome within the timeout
+            resolved = 0
+            for f in futs:
+                try:
+                    out = f.result(timeout=30)
+                    np.testing.assert_allclose(
+                        out, pred(image=img, text=txt), atol=1e-6
+                    )
+                    resolved += 1
+                except RuntimeError:
+                    # enqueued after stop flipped — a definite error is
+                    # an acceptable outcome; a hang is not
+                    resolved += 1
+            stopper.join(timeout=30)
+            assert not stopper.is_alive()
+            assert resolved == 8
 
     def test_stopped_batcher_rejects(self, batcher):
         from aecf_tpu.serve import MicroBatcher
