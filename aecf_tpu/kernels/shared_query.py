@@ -936,282 +936,17 @@ def _bwd_kernel(
     )
 
 
-def _bwd_kernel_mh(
-    kv_ref,  # (TB, M, E)
-    dout_ref,  # (TB, E)
-    dw_ref,  # (TB, M)
-    pad_ref,  # (TB, M)  additive pad bias only (c is per-head, separate)
-    u_ref,  # (H, E)
-    c_ref,  # (1, H)
-    wv_ref,  # (E, E)
-    wo_ref,  # (E, E)
-    bv_ref,  # (1, E)
-    # out refs: [dkv_ref (TB, M, E) when want_dkv] + dwo/dwv/du/daux accums
-    *out_refs,
-    num_heads: int,
-    mxu_precision,
-    want_dkv: bool = True,
-):
-    """Fused multi-head backward: one kv read per tile; recomputes the
-    per-head softmax/mix from the precomputed score vectors, accumulates
-    dWo/dWv/du/dc on-chip, and writes d_kv.  More GEMM groups than the
-    H==1 kernel (no W_vo fusion), but still a single pass over kv versus
-    the XLA backward's repeated reads."""
-    if want_dkv:
-        dkv_ref, dwo_ref, dwv_ref, du_ref, daux_ref = out_refs
-    else:
-        dwo_ref, dwv_ref, du_ref, daux_ref = out_refs
-        dkv_ref = None
-    TB, M, E = kv_ref.shape
-    H = num_heads
-    Dh = E // H
-    f32 = jnp.float32
-    i = pl.program_id(0)
-
-    @pl.when(i == 0)
-    def _():
-        dwo_ref[:] = jnp.zeros((E, E), f32)
-        dwv_ref[:] = jnp.zeros((E, E), f32)
-        du_ref[:] = jnp.zeros((H, E), f32)
-        daux_ref[:] = jnp.zeros((H + 1, E), f32)
-
-    kv_slices = [kv_ref[:, m, :].astype(f32) for m in range(M)]
-    d_out = dout_ref[:]
-    col = lax.broadcasted_iota(jnp.int32, (TB, M), 1)
-
-    def mixed(a):
-        acc = a[:, 0:1] * kv_slices[0]
-        for m in range(1, M):
-            acc = acc + a[:, m : m + 1] * kv_slices[m]
-        return acc
-
-    # ---- recompute per-head softmax + mix ------------------------------------
-    heads = []
-    mixes = []
-    for h in range(H):
-        u_h = u_ref[h, :]
-        s = jnp.zeros((TB, M), f32)
-        for m, kv_m in enumerate(kv_slices):
-            s_m = (kv_m * u_h).sum(axis=-1, keepdims=True)
-            s = s + jnp.where(col == m, s_m, 0.0)
-        s = s + c_ref[0, h] + pad_ref[:]
-        smax = s.max(axis=-1, keepdims=True)
-        e = jnp.exp(s - smax)
-        a = e / e.sum(axis=-1, keepdims=True)
-        heads.append(a)
-        mixes.append(mixed(a))  # (TB, E)
-
-    # ---- ctx (fwd recompute) + the out-proj pair ------------------------------
-    ctx_parts = []
-    for h in range(H):
-        wv_h = wv_ref[h * Dh : (h + 1) * Dh, :]  # (Dh, E)
-        ctx_parts.append(
-            jnp.dot(
-                mixes[h], wv_h.T,
-                preferred_element_type=f32, precision=mxu_precision,
-            )
-        )
-    ctx = jnp.concatenate(ctx_parts, axis=-1) + bv_ref[0, :]  # (TB, E)
-    dwo_ref[:] += lax.dot_general(
-        d_out, ctx,
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=f32, precision=mxu_precision,
-    )
-    d_ctx = jnp.dot(
-        d_out, wo_ref[:],
-        preferred_element_type=f32, precision=mxu_precision,
-    )  # (TB, E)
-
-    # ---- per-head value/score backward ----------------------------------------
-    d_kv_acc = [jnp.zeros((TB, E), f32) for _ in range(M)]
-    dc_rows = []
-    for h in range(H):
-        wv_h = wv_ref[h * Dh : (h + 1) * Dh, :]
-        d_ctx_h = d_ctx[:, h * Dh : (h + 1) * Dh]  # (TB, Dh)
-        d_mix = jnp.dot(
-            d_ctx_h, wv_h,
-            preferred_element_type=f32, precision=mxu_precision,
-        )  # (TB, E)
-        dwv_ref[h * Dh : (h + 1) * Dh, :] += lax.dot_general(
-            d_ctx_h, mixes[h],
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=f32, precision=mxu_precision,
-        )
-
-        a = heads[h]
-        d_a = jnp.zeros((TB, M), f32)
-        for m, kv_m in enumerate(kv_slices):
-            da_m = (d_mix * kv_m).sum(axis=-1, keepdims=True)
-            d_a = d_a + jnp.where(col == m, da_m, 0.0)
-        d_a = d_a + dw_ref[:] * (1.0 / H)
-        d_s = a * (d_a - (a * d_a).sum(axis=-1, keepdims=True))
-
-        u_h = u_ref[h, :]
-        du_acc = jnp.zeros((1, E), f32)
-        for m, kv_m in enumerate(kv_slices):
-            ds_m = d_s[:, m : m + 1]
-            if want_dkv:
-                d_kv_acc[m] = (
-                    d_kv_acc[m] + a[:, m : m + 1] * d_mix + ds_m * u_h
-                )
-            du_acc = du_acc + (ds_m * kv_m).sum(axis=0, keepdims=True)
-        du_ref[h, :] += du_acc[0, :]
-        dc_rows.append(d_s.sum())
-
-    if want_dkv:
-        for m in range(M):
-            dkv_ref[:, m, :] = d_kv_acc[m]
-
-    # daux: row 0 ← Σ d_out; row 1+h, col 0 ← dc_h (broadcast-select —
-    # Mosaic cannot concat offset-mismatched vectors).
-    row = lax.broadcasted_iota(jnp.int32, (H + 1, E), 0)
-    colE = lax.broadcasted_iota(jnp.int32, (H + 1, E), 1)
-    upd = jnp.where(
-        row == 0,
-        d_out.sum(axis=0, keepdims=True),
-        jnp.zeros((1, E), f32),
-    )
-    for h in range(H):
-        upd = upd + jnp.where(
-            (row == h + 1) & (colE == 0), dc_rows[h], 0.0
-        )
-    daux_ref[:] += upd
-
-
-def _bwd_pallas_mh(
-    residuals, cots, *, num_heads, precision, interpret, want_dkv=True
-):
-    """Pallas backward for H > 1 pools (e.g. the medical model's H=8)."""
-    params, qrow, kv, key_padding_mask = residuals
-    d_out, d_w, _d_mw, _d_ent, _d_rate = cots
-    B, M, E = kv.shape
-    H = num_heads
-    Dh = E // H
-    kv_dtype = kv.dtype
-    f32 = jnp.float32
-
-    wq, wk, wv = jnp.split(params.in_proj_weight, 3, axis=0)
-    has_bias = params.in_proj_bias is not None
-    if has_bias:
-        bq, bk, bv = jnp.split(params.in_proj_bias, 3)
-    else:
-        bq = bk = bv = jnp.zeros((E,), f32)
-    wo = params.out_proj_weight
-    scale = Dh ** -0.5
-
-    qp = qrow @ wq.T + bq
-    qph = qp.reshape(H, Dh)
-    wkh = wk.reshape(H, Dh, E)
-    u = scale * jnp.einsum("hd,hde->he", qph, wkh)  # (H, E)
-    c = scale * (qph * bk.reshape(H, Dh)).sum(-1)  # (H,)
-
-    pad = jnp.zeros((B, M), f32)
-    if key_padding_mask is not None:
-        pad = jnp.where(key_padding_mask, jnp.float32(-1e30), pad)
-    if d_w is None:
-        d_w = jnp.zeros((B, M), f32)
-
-    mh_default = 128 if E <= 512 else 64
-    if H > 4:
-        mh_default = max(32, mh_default // 2)
-    TB = _pick_tile(mh_default, "AECF_BWD_TB", B)
-    B_pad = _round_up(B, TB)
-    if B_pad != B:
-        kv = jnp.pad(kv, ((0, B_pad - B), (0, 0), (0, 0)))
-        d_out = jnp.pad(d_out, ((0, B_pad - B), (0, 0)))
-        d_w = jnp.pad(d_w, ((0, B_pad - B), (0, 0)))
-        pad = jnp.pad(pad, ((0, B_pad - B), (0, 0)))
-
-    prec = lax.Precision.HIGHEST if precision == "highest" else None
-    kernel = functools.partial(
-        _bwd_kernel_mh, num_heads=H, mxu_precision=prec, want_dkv=want_dkv
-    )
-    tile = lambda i: (i, 0)  # noqa: E731
-    whole = lambda i: (0, 0)  # noqa: E731
-    dkv_specs = (
-        [pl.BlockSpec((TB, M, E), lambda i: (i, 0, 0),
-                      memory_space=pltpu.VMEM)]
-        if want_dkv else []
-    )
-    dkv_shapes = (
-        [jax.ShapeDtypeStruct((B_pad, M, E), f32)] if want_dkv else []
-    )
-    outs = pl.pallas_call(
-        kernel,
-        grid=(B_pad // TB,),
-        in_specs=[
-            pl.BlockSpec((TB, M, E), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, E), tile, memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, M), tile, memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, M), tile, memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, E), whole, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H), whole, memory_space=pltpu.VMEM),
-            pl.BlockSpec((E, E), whole, memory_space=pltpu.VMEM),
-            pl.BlockSpec((E, E), whole, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, E), whole, memory_space=pltpu.VMEM),
-        ],
-        out_specs=dkv_specs + [
-            pl.BlockSpec((E, E), whole, memory_space=pltpu.VMEM),
-            pl.BlockSpec((E, E), whole, memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, E), whole, memory_space=pltpu.VMEM),
-            pl.BlockSpec((H + 1, E), whole, memory_space=pltpu.VMEM),
-        ],
-        out_shape=tuple(dkv_shapes) + (
-            jax.ShapeDtypeStruct((E, E), f32),
-            jax.ShapeDtypeStruct((E, E), f32),
-            jax.ShapeDtypeStruct((H, E), f32),
-            jax.ShapeDtypeStruct((H + 1, E), f32),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=10 * B_pad * E * E + 12 * B_pad * M * E * H // H,
-            bytes_accessed=4 * ((2 if want_dkv else 1) * B_pad * M * E
-                                + 2 * B_pad * E + 4 * E * E),
-            transcendentals=B_pad * M * H,
-        ),
-        interpret=interpret,
-    )(
-        kv, d_out, d_w, pad, u, c.reshape(1, H), wv, wo,
-        bv.reshape(1, E),
-    )
-
-    if want_dkv:
-        d_kv, dWo, dWv, du, daux = outs
-        d_kv = d_kv[:B]
-    else:
-        dWo, dWv, du, daux = outs
-        d_kv = jnp.zeros((B, M, E), f32)
-    dsum_out = daux[0]
-    dc = daux[1:, 0]  # (H,)
-
-    with jax.default_matmul_precision(
-        "highest" if precision == "highest" else "default"
-    ):
-        d_bv = dsum_out @ wo
-        dbo = dsum_out if params.out_proj_bias is not None else None
-
-        d_qph = scale * (
-            jnp.einsum("he,hde->hd", du, wkh)
-            + dc[:, None] * bk.reshape(H, Dh)
-        )
-        dWk = (scale * jnp.einsum("hd,he->hde", qph, du)).reshape(E, E)
-        d_bk = (scale * dc[:, None] * qph).reshape(E) if has_bias else None
-
-        d_qp = d_qph.reshape(E)
-        dWq = jnp.outer(d_qp, qrow)
-        d_qrow = d_qp @ wq
-
-    d_in_proj_weight = jnp.concatenate([dWq, dWk, dWv], axis=0)
-    d_in_proj_bias = (
-        jnp.concatenate([d_qp, d_bk, d_bv]) if has_bias else None
-    )
-    d_params = AttentionPoolParams(
-        in_proj_weight=d_in_proj_weight,
-        out_proj_weight=dWo,
-        in_proj_bias=d_in_proj_bias,
-        out_proj_bias=dbo,
-    )
-    return d_params, d_qrow, d_kv.astype(kv_dtype), None, None, None
+# The H > 1 Pallas backward (_bwd_kernel_mh/_bwd_pallas_mh, ~330 LoC) was
+# implemented, value-verified, and DELETED after within-run A/B measured it
+# slower than the XLA einsum backward at every head count on v5e
+# (B=4096, M=3, E=512, RTT-subtracted windows, round 3):
+#   H=2: 0.71x   H=4: 0.58x   H=8: 0.80x (round-2 artifact)
+# XLA batches the per-head GEMMs better than the per-tile kernel at these
+# shapes, and at H=2 (Dh=256, no MXU underfill) the kernel still loses to
+# VMEM-pressure-limited tiles — the deficit is structural, not underfill.
+# A framework should not carry a kernel that never dispatches; git history
+# (round 2) has the implementation if larger-Dh shapes ever warrant a
+# re-evaluation.
 
 
 def _bwd_pallas(residuals, cots, *, precision, interpret, want_dkv=True):
@@ -1554,12 +1289,11 @@ def _shared_bwd(
     # H == 1 (every reference flow; north-star + large configs): fused
     # Pallas backward — one kv read, two per-tile GEMMs, measured 1.46x the
     # XLA backward at E=1024/M=4 (docs/artifacts/bench_suite.json).
-    # H > 1 defaults to the XLA einsum backward: the per-head Pallas
-    # variant (_bwd_pallas_mh) is value-correct but measured SLOWER (0.8x
-    # at heads8 — H small-Dh GEMMs underfill the 128x128 MXU while XLA
-    # batches them); it stays available via AECF_SHARED_BWD=pallas for
-    # re-evaluation on other shapes.  Interpret mode runs the Pallas paths
-    # hermetically on CPU.  AECF_SHARED_BWD=xla|pallas overrides (A/B).
+    # H > 1 uses the XLA einsum backward — a Pallas mh variant was built,
+    # verified, measured slower at EVERY head count, and deleted (see the
+    # measurement note above _bwd_pallas).  Interpret mode runs the Pallas
+    # paths hermetically on CPU.  AECF_SHARED_BWD=xla|pallas overrides
+    # (A/B; 'pallas' applies to H == 1 only).
     import os
 
     params, qrow, kv, key_padding_mask, w_res, mix_res = residuals
@@ -1583,16 +1317,11 @@ def _shared_bwd(
     if override == "xla":
         use_pallas = False
     elif override == "pallas":
-        use_pallas = True
+        use_pallas = num_heads == 1
     if use_pallas:
-        if num_heads == 1:
-            return _bwd_pallas(
-                residuals, cots, precision=precision, interpret=interpret,
-                want_dkv=kv_grad,
-            )
-        return _bwd_pallas_mh(
-            residuals, cots, num_heads=num_heads, precision=precision,
-            interpret=interpret, want_dkv=kv_grad,
+        return _bwd_pallas(
+            residuals, cots, precision=precision, interpret=interpret,
+            want_dkv=kv_grad,
         )
     ctx_prec = "highest" if precision == "highest" else "default"
     with jax.default_matmul_precision(ctx_prec):

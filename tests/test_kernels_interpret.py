@@ -383,80 +383,6 @@ class TestQuantizedFeaturesInterpret:
             )
 
 
-class TestMultiHeadPallasBackward:
-    """The H>1 fused backward vs the XLA einsum backward (interpret)."""
-
-    @pytest.mark.parametrize("num_heads,mask", [(2, False), (4, True),
-                                                (8, False)])
-    def test_mh_bwd_matches_xla_impl(self, num_heads, mask):
-        from aecf_tpu.kernels import shared_query as sq
-
-        E, M, B = 64, 3, 40
-        params = init_attention_pool_params(jax.random.key(0), E)
-        qrow = init_fusion_query(jax.random.key(1), E)[0, 0]
-        kv = jax.random.normal(jax.random.key(2), (B, M, E))
-        kpm = (
-            jax.random.uniform(jax.random.key(5), (B, M)) < 0.2
-            if mask else None
-        )
-        cots = (
-            jax.random.normal(jax.random.key(3), (B, E)),
-            jax.random.normal(jax.random.key(4), (B, M)) * 0.1,
-            jnp.zeros((B, M)),
-            jnp.zeros((B,)),
-            jnp.zeros((B,)),
-        )
-        residuals = (params, qrow, kv, kpm)
-        ref = sq._shared_bwd_impl(num_heads, residuals, cots)
-        got = sq._bwd_pallas_mh(
-            residuals, cots, num_heads=num_heads, precision="highest",
-            interpret=True,
-        )
-        jax.tree.map(
-            lambda a, b: np.testing.assert_allclose(
-                np.asarray(a), np.asarray(b), rtol=3e-5, atol=3e-5
-            ),
-            ref[:3],
-            got[:3],
-        )
-
-    def test_mh_end_to_end_grads_match_oracle(self, monkeypatch):
-        # H>1 defaults to the XLA backward (the mh Pallas kernel measured
-        # slower); force it here to keep the kernel covered end-to-end.
-        monkeypatch.setenv("AECF_SHARED_BWD", "pallas")
-        from aecf_tpu.kernels import fused_fusion_pool_shared
-
-        E, M, B, H = 64, 3, 24, 4
-        params = init_attention_pool_params(jax.random.key(0), E)
-        query = init_fusion_query(jax.random.key(1), E)
-        kv = jax.random.normal(jax.random.key(2), (B, M, E))
-
-        def loss_k(p, qq, x):
-            o, w, _, _ = fused_fusion_pool_shared(
-                p, qq, x, num_heads=H, training=False, interpret=True,
-                precision="highest",
-            )
-            return (o * o).mean() + (w * w).sum()
-
-        def loss_o(p, qq, x):
-            with jax.default_matmul_precision("highest"):
-                o, w = attention_pool_core(
-                    p, jnp.broadcast_to(qq, (B, 1, E)), x, x, num_heads=H,
-                    need_weights=True,
-                )
-            return (o * o).mean() + (w * w).sum()
-
-        gk = jax.grad(loss_k, argnums=(0, 1, 2))(params, query, kv)
-        go = jax.grad(loss_o, argnums=(0, 1, 2))(params, query, kv)
-        jax.tree.map(
-            lambda a, b: np.testing.assert_allclose(
-                np.asarray(a), np.asarray(b), atol=2e-5
-            ),
-            gk,
-            go,
-        )
-
-
 class TestKvGradSkip:
     """kv_grad=False: the fused backward skips the d_kv write (a third of
     its HBM traffic) without touching any other cotangent."""
@@ -496,27 +422,6 @@ class TestKvGradSkip:
         )
         assert float(jnp.abs(slim[2]).max()) == 0.0
         assert float(jnp.abs(full[2]).max()) > 0.0
-
-    def test_bwd_pallas_mh_no_dkv_matches_param_grads(self):
-        from aecf_tpu.kernels import shared_query as sq
-
-        residuals, cots = self._setup()
-        full = sq._bwd_pallas_mh(
-            residuals, cots, num_heads=4, precision="highest",
-            interpret=True,
-        )
-        slim = sq._bwd_pallas_mh(
-            residuals, cots, num_heads=4, precision="highest",
-            interpret=True, want_dkv=False,
-        )
-        jax.tree.map(
-            lambda a, b: np.testing.assert_allclose(
-                np.asarray(a), np.asarray(b), atol=1e-6
-            ),
-            full[:2],
-            slim[:2],
-        )
-        assert float(jnp.abs(slim[2]).max()) == 0.0
 
     def test_end_to_end_kv_grad_false_param_grads_unchanged(self):
         """jax.grad over params/query through the public entry with
