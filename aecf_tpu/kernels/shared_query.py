@@ -400,8 +400,11 @@ def _prep(
             params.out_proj_weight, wv, precision=prec
         )  # W_vo (E, E)
         bctx = params.out_proj_weight @ bv + bo
-        wo = jnp.zeros((E, E), jnp.float32)
-        bo_k = jnp.zeros((1, E), jnp.float32)
+        # wo/bo are unused for H == 1 (fused into W_vo) — pass minimal
+        # dummy tiles, NOT (E, E) zeros: a zeros (E, E) block still
+        # occupies E²·4 of VMEM (4MB at E=1024) as a resident input.
+        wo = jnp.zeros((8, 128), jnp.float32)
+        bo_k = jnp.zeros((1, 128), jnp.float32)
     else:
         wctx = wv
         bctx = bv
@@ -444,7 +447,9 @@ def _forward(
     # the kv tile (TB·M·E·4, double-buffered) plus per-head temporaries.
     # With the flattened (TB, M·E) layout TB=512 fits at E=512 (+3%
     # within-run over 384; pre-flattening it overflowed) and 256 edges 192
-    # at E=1024.
+    # at E=1024.  Dropping the dummy (E, E) wo block (round 3) freed 4MB:
+    # TB=384 now compiles at E=1024 but measures even with 256 within-run
+    # (16.4M both, B=8192/M=4), so 256 stays the default.
     TB = _pick_tile(
         512 if E <= 512 else 256, "AECF_FWD_TB", B, num_heads=num_heads
     )
@@ -476,9 +481,12 @@ def _forward(
             pl.BlockSpec((1, num_heads), whole, memory_space=pltpu.VMEM),
             pl.BlockSpec((TB, M), tile, memory_space=pltpu.VMEM),
             pl.BlockSpec((E, E), whole, memory_space=pltpu.VMEM),
-            pl.BlockSpec((E, E), whole, memory_space=pltpu.VMEM),
+            # wo/bo shapes follow the arrays: dummy (8, 128)/(1, 128)
+            # tiles for H == 1 (unused — fused into W_vo), real (E, E)/
+            # (1, E) blocks for H > 1.
+            pl.BlockSpec(wo.shape, whole, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, E), whole, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, E), whole, memory_space=pltpu.VMEM),
+            pl.BlockSpec(bo_k.shape, whole, memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((TB, E), tile, memory_space=pltpu.VMEM),
@@ -709,9 +717,12 @@ def _forward_q8(
             pl.BlockSpec((1, num_heads), whole, memory_space=pltpu.VMEM),
             pl.BlockSpec((TB, M), tile, memory_space=pltpu.VMEM),
             pl.BlockSpec((E, E), whole, memory_space=pltpu.VMEM),
-            pl.BlockSpec((E, E), whole, memory_space=pltpu.VMEM),
+            # wo/bo shapes follow the arrays: dummy (8, 128)/(1, 128)
+            # tiles for H == 1 (unused — fused into W_vo), real (E, E)/
+            # (1, E) blocks for H > 1.
+            pl.BlockSpec(wo.shape, whole, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, E), whole, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, E), whole, memory_space=pltpu.VMEM),
+            pl.BlockSpec(bo_k.shape, whole, memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((TB, E), tile, memory_space=pltpu.VMEM),
