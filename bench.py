@@ -132,7 +132,9 @@ def step_cost_model(batch, modalities, embed, heads, *, kv_grad,
     HBM bytes (the usual bottleneck at these shapes):
       kv read twice (fwd + bwd): 2·B·M·E·feat_bytes
       d_kv write (only when kv_grad): B·M·E·feat_bytes
-      out write+read, d_out write+read: 4·B·E·4
+      out write (fwd) + out read (loss bwd): 2·B·E·4 — the quadratic
+        loss's d_out is fused by XLA into the backward's input read, so
+        it does not round-trip HBM separately
       side outputs w/mw/ent/rate + d_w: ~(5M+4)·B·4
       resident weights per kernel launch ≈ 2·E²·4 each (fwd, bwd)
       optimizer: read params+grads, write params: 3 × 4E² × 4
@@ -144,7 +146,7 @@ def step_cost_model(batch, modalities, embed, heads, *, kv_grad,
     bytes_accessed = (
         2 * kv_bytes
         + (kv_bytes if kv_grad else 0)
-        + 4 * batch * embed * 4
+        + 2 * batch * embed * 4
         + (5 * modalities + 4) * batch * 4
         + 2 * (2 * embed * embed * 4)
         + 3 * (4 * embed * embed) * 4

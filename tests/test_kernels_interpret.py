@@ -141,13 +141,16 @@ class TestPallasBackwardInterpret:
         )
 
 
+@pytest.mark.parametrize("E_streamed", [2048, 4096], scope="class")
 class TestStreamedE2048Interpret:
     """E > 1024 shared-query path (streamed split: Pallas one-pass-over-kv
-    + XLA E×E GEMMs) — round-2 verdict Next #3.  Hermetic at E=2048 with
-    a small batch; on-chip parity + A/B live in tests/test_kernels.py and
-    benchmarks/suite.py."""
+    + XLA E×E GEMMs) — round-2 verdict Next #3.  Hermetic at E=2048/4096
+    with a small batch; on-chip parity + A/B live in tests/test_kernels.py
+    and benchmarks/suite.py."""
 
-    E = 2048
+    @pytest.fixture(autouse=True)
+    def _set_e(self, E_streamed):
+        self.E = E_streamed
 
     def _setup(self, B=16, M=3):
         params = init_attention_pool_params(jax.random.key(0), self.E)
