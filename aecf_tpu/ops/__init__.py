@@ -139,6 +139,13 @@ def fusion_pool(
     # Honor the requested matmul precision on the fallback too: on TPU, f32
     # dots otherwise default to bf16 MXU passes, which would make
     # implementation='xla' silently less precise than the pallas path.
+    # NOTE (round 3): an algebraically-restructured shared-query XLA path
+    # (u-vector scores ± mix-before-V-projection — the Pallas kernel's
+    # rewrites as einsums, halving GEMM FLOPs at H=8) was built, verified,
+    # measured 0.74-0.78x the naive path at H=8 within-run, and deleted:
+    # the rewrite's skinny (N=H·M / N=Dh) contractions underfill the MXU
+    # worse than the naive path's fat E×E projections, and fewer FLOPs
+    # lose to lower utilization.  H > 2 stays on attention_pool_core.
     with jax.default_matmul_precision(precision):
         out, weights = attention_pool_core(
             params,
