@@ -347,6 +347,24 @@ def test_streamed_e2048_on_chip():
     )
 
 
+def test_streamed_e4096_eval_parity_on_chip():
+    """E=4096 streamed forward on real hardware — the upper half of the
+    streamed range gets at least one on-chip parity point (training +
+    grads are covered at E=2048 and hermetically at 4096)."""
+    from aecf_tpu.kernels import fused_fusion_pool_shared
+
+    E, M, B = 4096, 3, 256
+    params = init_attention_pool_params(jax.random.key(0), E)
+    query = init_fusion_query(jax.random.key(1), E)
+    kv = jax.random.normal(jax.random.key(2), (B, M, E))
+    out_k, w_k, _, _ = fused_fusion_pool_shared(
+        params, query, kv, training=False, precision="highest"
+    )
+    out_o, w_o = _oracle(params, jnp.broadcast_to(query, (B, 1, E)), kv, 1)
+    np.testing.assert_allclose(out_k, out_o, atol=5e-3)
+    np.testing.assert_allclose(w_k, w_o, atol=1e-5)
+
+
 def test_quantized_kv_on_chip():
     """int8 kv path on real hardware: near-oracle outputs, renormalized
     weights, and training-mode masking still draws from the TPU PRNG."""
