@@ -590,8 +590,12 @@ def _forward_streamed(
     # No (E, E) block in VMEM — the working set is the double-buffered kv
     # tile (TB·M·E·4) plus the (TB, E) mix output.  TB=256 exceeds VMEM
     # at E=2048/M=3 (remote-compile failure); 128 fits and passes
-    # on-chip, halving with E from there.
-    TB = _pick_tile(max(32, (1 << 18) // E), "AECF_FWD_TB", B)
+    # on-chip, halving with E from there.  Non-power-of-two E would give
+    # odd defaults (E=1536 → 170): align down to the (8, 128) f32
+    # sublane tile.
+    TB = _pick_tile(
+        max(32, (1 << 18) // E // 8 * 8), "AECF_FWD_TB", B
+    )
     B_pad = _round_up(B, TB)
     kv_flat = kv.reshape(B, M * E)
     if B_pad != B:
@@ -1205,10 +1209,11 @@ def _bwd_streamed(residuals, cots, mix, *, precision, interpret,
 
     # Working set: kv tile + (TB, E) d_mix in, d_kv tile out (when
     # requested), all double-buffered.  TB=128 with d_kv exceeds VMEM at
-    # E=2048/M=3; 64 fits and passes on-chip.
+    # E=2048/M=3; 64 fits and passes on-chip.  Defaults aligned to the
+    # 8-row sublane tile (see the forward's note).
     TB = _pick_tile(
-        max(32, (1 << 18) // E) if not want_dkv
-        else max(32, (1 << 17) // E),
+        max(32, (1 << 18) // E // 8 * 8) if not want_dkv
+        else max(32, (1 << 17) // E // 8 * 8),
         "AECF_BWD_TB", B,
     )
     B_pad = _round_up(B, TB)

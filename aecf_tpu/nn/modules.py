@@ -486,17 +486,10 @@ class MultimodalAttentionPool:
             and mask_override is None
             and value is key
             and query.dtype == jnp.float32
-            # Resident-weight kernels cap at E=1024; the shared-query
-            # H==1 dispatch (query.shape[0] == 1) has a streamed split
-            # that lifts the cap (kernels/shared_query._STREAMED_E_CAP).
-            and (
-                self.embed_dim <= 1024
-                or (
-                    query.shape[0] == 1
-                    and self.num_heads == 1
-                    and self.embed_dim <= 8192
-                )
-            )
+            # Resident-weight kernels cap at _RESIDENT_E_CAP; the
+            # shared-query H==1 dispatch (query.shape[0] == 1) has a
+            # streamed split that lifts the cap to _STREAMED_E_CAP.
+            and self._embed_dim_supported(query)
             and not self.apply_masking_to_output
             # detach_info=False (trainable entropy) needs the XLA path: the
             # fused kernels stop_gradient their entropy output, which would
@@ -505,6 +498,22 @@ class MultimodalAttentionPool:
                 self.curriculum_masking is None
                 or self.curriculum_masking.detach_info
             )
+        )
+
+    def _embed_dim_supported(self, query) -> bool:
+        """Kernel E-cap check, sourced from the kernels' own constants so
+        module dispatch cannot drift from ops.fusion_pool's."""
+        from ..kernels.shared_query import (
+            _RESIDENT_E_CAP,
+            _STREAMED_E_CAP,
+        )
+
+        if self.embed_dim <= _RESIDENT_E_CAP:
+            return True
+        return (
+            query.shape[0] == 1
+            and self.num_heads == 1
+            and self.embed_dim <= _STREAMED_E_CAP
         )
 
     def _pallas_forward(

@@ -119,7 +119,7 @@ class FusionPredictor:
                 )
 
         self.calls += 1  # device-call counter (micro-batching observability)
-        self._update_dims(provided)
+        self._check_dims(provided)
         missing = [
             k for k in self.modality_names
             if k not in provided
@@ -153,16 +153,21 @@ class FusionPredictor:
             out = np.asarray(self._call_bucket(bucket, mods))
             outs.append(out[:chunk_n])
             start += chunk_n
+        # Commit dims only AFTER every device call succeeded: recording a
+        # request's width up front would let one bad-width first request
+        # permanently poison the predictor (its width stored, the call
+        # failing, every later correct-width request rejected against the
+        # stale record).
+        self._commit_dims(provided)
         return np.concatenate(outs)
 
-    def _update_dims(self, provided: Dict[str, np.ndarray]) -> None:
-        """Record feature dims from a request (used to zero-fill absent
-        modalities later).  A width that contradicts an already-learned
-        dim is rejected up front: the jitted model has fixed feature
-        widths, so it would fail anyway — but accepting it first would
-        corrupt the zero-fill width for later requests omitting that
-        modality.  :class:`ExportedFusionPredictor` overrides this — its
-        dims are fixed by the exported programs' config."""
+    def _check_dims(self, provided: Dict[str, np.ndarray]) -> None:
+        """Reject widths that contradict an already-committed dim: the
+        jitted model has fixed feature widths, so the device call would
+        fail anyway — failing here gives a clear message and keeps the
+        zero-fill width for absent modalities trustworthy.
+        :class:`ExportedFusionPredictor` overrides this — its dims are
+        fixed by the exported programs' config."""
         for k, v in provided.items():
             prev = self._dims.get(k)
             if prev is not None and v.shape[1] != prev:
@@ -170,6 +175,9 @@ class FusionPredictor:
                     f"modality {k!r} has feature dim {v.shape[1]}, but "
                     f"this predictor previously saw {prev}"
                 )
+
+    def _commit_dims(self, provided: Dict[str, np.ndarray]) -> None:
+        for k, v in provided.items():
             self._dims[k] = v.shape[1]
 
     def _call_bucket(self, bucket: int, mods: List[jnp.ndarray]) -> Any:
@@ -395,10 +403,10 @@ class ExportedFusionPredictor(FusionPredictor):
             b: jexport.deserialize(blob) for b, blob in blobs.items()
         }
 
-    def _update_dims(self, provided: Dict[str, np.ndarray]) -> None:
+    def _check_dims(self, provided: Dict[str, np.ndarray]) -> None:
         # The exported programs' input shapes are frozen — config dims are
-        # authoritative.  Accepting a request's width here would corrupt
-        # the zero-fill width for later requests omitting that modality;
+        # authoritative.  Accepting a request's width would corrupt the
+        # zero-fill width for later requests omitting that modality;
         # reject mismatches at the request boundary instead.
         for k, v in provided.items():
             want = self._dims[k]
@@ -407,6 +415,9 @@ class ExportedFusionPredictor(FusionPredictor):
                     f"modality {k!r} has feature dim {v.shape[1]}, but the "
                     f"exported artifact expects {want}"
                 )
+
+    def _commit_dims(self, provided: Dict[str, np.ndarray]) -> None:
+        pass  # config dims are authoritative and never updated
 
     def _call_bucket(self, bucket: int, mods: List[jnp.ndarray]) -> Any:
         return self._exported[bucket].call(*mods)

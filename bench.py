@@ -118,7 +118,10 @@ V5E_PEAK_HBM_BYTES = 819e9
 
 def step_cost_model(batch, modalities, embed, heads, *, kv_grad,
                     feat_bytes=4):
-    """Analytic (flops, hbm_bytes) per full train step on the fused path.
+    """Analytic (flops, hbm_bytes) per full train step on the FUSED path.
+
+    Only valid for pallas-dispatched configs — the XLA path's per-sample
+    K/V projection GEMMs cost ~(4M+4)·B·E² fwd, ~3.5x this model.
 
     Model of what actually executes per step (shared-query kernel fwd +
     fused bwd + XLA loss/optimizer glue); used to turn measured samples/s
@@ -309,10 +312,11 @@ def main():
             ),
         },
     }
-    if jax.default_backend() == "tpu":
+    if jax.default_backend() == "tpu" and impl == "pallas":
         # Roofline/MFU at the measured throughput — "is it actually fast"
         # as a number: fraction of v5e bf16 peak FLOP/s and of HBM
-        # bandwidth implied by the analytic per-step cost model.
+        # bandwidth implied by the analytic per-step cost model (which
+        # models the fused path; XLA-dispatched runs skip the field).
         result["roofline"] = roofline(
             samples_per_sec, batch, modalities, embed, heads,
             kv_grad=args.kv_grad,

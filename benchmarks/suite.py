@@ -404,14 +404,20 @@ def main():
         results[name] = round(sps, 1)
         results["impl_per_config"][name] = impl
         print(f"{name}: {sps:,.0f} samples/s ({impl})", flush=True)
-        if jax.default_backend() == "tpu":
-            # MFU + HBM-bandwidth fraction at the measured throughput
-            # (bench.step_cost_model; suite throughput runs kv_grad=False)
+        if jax.default_backend() == "tpu" and impl == "pallas":
+            # MFU + HBM-bandwidth fraction at the measured throughput.
+            # step_cost_model models the FUSED path only — XLA-dispatched
+            # configs (heads8) would get numbers for a path that never
+            # ran, so they are skipped with a note instead.
             from bench import roofline
 
             results["roofline_per_config"][name] = roofline(
                 sps, B, M, E, H, kv_grad=False
             )
+        elif jax.default_backend() == "tpu":
+            results["roofline_per_config"][name] = {
+                "skipped": f"impl={impl} — fused-path cost model n/a"
+            }
 
     results["vlm_B256"] = round(vlm_throughput(args.quick), 1)
     print(f"vlm_B256: {results['vlm_B256']:,.0f} samples/s", flush=True)

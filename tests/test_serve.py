@@ -567,6 +567,35 @@ def test_microbatcher_rejects_malformed_without_wedging(predictor):
         batcher.stop()
 
 
+def test_bad_width_first_request_does_not_poison(predictor):
+    """Dims commit only after a successful device call: a wrong-width
+    FIRST request for a modality must not leave its width recorded, or
+    every later correct-width request would be rejected until restart."""
+    model = VisionLanguageModel(
+        img_dim=32, txt_dim=16, hidden_dim=8, num_classes=5
+    )
+    params = model.init(jax.random.key(0))
+
+    def apply_fn(p, image, text):
+        return model.apply(p, image, text, training=False)
+
+    pred = FusionPredictor(
+        apply_fn, params, modality_names=("image", "text"), buckets=(8,)
+    )
+    rng = np.random.default_rng(0)
+    bad = rng.normal(size=(1, 7)).astype(np.float32)  # model expects 32
+    good = rng.normal(size=(1, 32)).astype(np.float32)
+    txt = rng.normal(size=(1, 16)).astype(np.float32)
+    with pytest.raises(Exception):
+        pred(image=bad, text=txt)
+    out = pred(image=good, text=txt)  # must NOT raise "previously saw 7"
+    assert out.shape == (1, 5)
+    # and the committed dim is the one that actually worked
+    assert pred._dims["image"] == 32
+    with pytest.raises(ValueError, match="previously saw 32"):
+        pred(image=bad, text=txt)
+
+
 def test_predictor_rejects_non_2d(predictor):
     with pytest.raises(ValueError, match="batch, features"):
         predictor(image=np.zeros(32, np.float32))
