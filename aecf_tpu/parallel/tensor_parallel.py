@@ -120,6 +120,7 @@ def make_tp_train_step(
     loss_fn: Callable[
         [jax.Array, jax.Array], jax.Array
     ] = bce_with_logits_loss,
+    donate: bool = True,
 ) -> Callable:
     """Build a jitted GSPMD ``(state, images, texts, labels, rng) ->
     (state, loss, info)`` train step for TP (optionally TP × DP) params.
@@ -133,13 +134,17 @@ def make_tp_train_step(
     ``apply_fn(params, images, texts, rng) -> (logits, info)`` sees the
     global (logical) batch — unlike the shard_map DP step there is no
     per-shard view, so loss scaling and RNG folding need no special care.
+
+    ``donate=False`` keeps the input state buffers alive — required when
+    an ASYNC checkpoint save may still be reading them while the next
+    step runs (the :func:`aecf_tpu.train.fit` elastic loop).
     """
     if data_axis is not None and data_axis in mesh.axis_names:
         batch_sharding = NamedSharding(mesh, P(data_axis))
     else:
         batch_sharding = None
 
-    @partial(jax.jit, donate_argnums=(0,))
+    @partial(jax.jit, donate_argnums=(0,) if donate else ())
     def tp_step(state, images, texts, labels, rng):
         if batch_sharding is not None:
             images, texts, labels = (

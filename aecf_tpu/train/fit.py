@@ -49,12 +49,40 @@ def fit(
     :func:`aecf_tpu.parallel.make_dp_train_step`, the state is replicated
     and every batch sharded over the ``'data'`` axis.  Resume parity holds
     because per-shard RNG derives from (rng, step, shard index) only.
+
+    A mesh with a ``'model'`` axis runs DP × TP instead (elastic
+    checkpoints × tensor parallelism): params are head-sharded via
+    :func:`aecf_tpu.parallel.shard_params_tp`, the step is
+    :func:`make_tp_train_step`, and checkpoints restore straight into
+    the sharded layout (the abstract restore tree carries shardings).
     """
+    tp = mesh is not None and "model" in getattr(mesh, "axis_names", ())
+    if tp:
+        from ..parallel.tensor_parallel import shard_params_tp
+
+        # Shard BEFORE optimizer.init so the optimizer state inherits the
+        # same layout (zeros_like preserves shardings).
+        init_params = shard_params_tp(mesh, init_params)
     state = TrainState(
         init_params,
         optimizer.init(init_params),
         jnp.zeros((), jnp.int32),
     )
+    if tp:
+        # optimizer.init's zeros_like leaves inherit the params'
+        # shardings, but freshly created scalars (e.g. adamw's `count`)
+        # are committed to a single device — mixing them with 8-device
+        # params in one jit is an error.  Replicate every leaf that is
+        # not already laid out on this mesh.
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        def _commit(x):
+            sh = getattr(x, "sharding", None)
+            if isinstance(sh, NamedSharding) and sh.mesh == mesh:
+                return x
+            return jax.device_put(x, NamedSharding(mesh, PartitionSpec()))
+
+        state = jax.tree.map(_commit, state)
     manager = None
     start_step = 0
     if checkpoint_dir is not None:
@@ -62,7 +90,10 @@ def fit(
             checkpoint_dir, save_interval_steps=save_every
         )
         abstract = jax.tree.map(
-            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state
+            lambda x: jax.ShapeDtypeStruct(
+                x.shape, x.dtype, sharding=getattr(x, "sharding", None)
+            ),
+            state,
         )
         restored = manager.restore(abstract)
         if restored is not None:
@@ -70,7 +101,15 @@ def fit(
             start_step = int(state.step)
 
     if step_fn is None:
-        if mesh is not None:
+        if tp:
+            from ..parallel.tensor_parallel import make_tp_train_step
+
+            # donate=False: async checkpoint saves may still read the
+            # previous state's buffers while the next step runs.
+            step_fn = make_tp_train_step(
+                apply_fn, optimizer, mesh, donate=False
+            )
+        elif mesh is not None:
             from ..parallel import make_dp_train_step
 
             step_fn = make_dp_train_step(
@@ -78,7 +117,7 @@ def fit(
             )
         else:
             step_fn = make_train_step(apply_fn, optimizer, donate=False)
-    if mesh is not None:
+    if mesh is not None and not tp:
         from ..parallel import replicate, shard_batch
 
         state = replicate(mesh, state)
@@ -87,11 +126,13 @@ def fit(
     for step_idx in range(start_step, num_steps):
         images, texts, labels = batch_fn(step_idx)
         step_rng = jax.random.fold_in(rng, step_idx)
-        if mesh is not None:
+        if mesh is not None and not tp:
             # shard straight from host memory — staging the global batch on
             # one device first would defeat batch-larger-than-a-chip DP
             batch = shard_batch(mesh, (images, texts, labels))
         else:
+            # TP path: the jitted step's with_sharding_constraint shards
+            # the batch over 'data' on the way in (GSPMD, no shard_map)
             batch = (jnp.asarray(images), jnp.asarray(texts),
                      jnp.asarray(labels))
         state, loss, info = step_fn(state, *batch, step_rng)
