@@ -559,6 +559,34 @@ def _mix_kernel(
     mix_ref[:] = acc
 
 
+def _mix_kernel_q8(
+    seed_ref, mask_prob_ref,
+    kv_ref,  # (TB, M*E) int8, flattened
+    scales_ref,  # (TB, M) f32 per-(row, modality) dequant scales
+    u_ref, c_ref, pad_ref,
+    mix_ref, w_ref, mw_ref, ent_ref, rate_ref,
+    **static_kw,
+):
+    """int8-feature variant of :func:`_mix_kernel` (streamed path): kv
+    dequantizes per slice in VMEM, everything downstream identical."""
+    TB, M = pad_ref.shape
+    E = kv_ref.shape[1] // M
+    kv_slices = [
+        kv_ref[:, m * E : (m + 1) * E].astype(jnp.float32)
+        * scales_ref[:, m : m + 1]
+        for m in range(M)
+    ]
+    heads = _weights_entropy_mask(
+        kv_slices, seed_ref, mask_prob_ref, u_ref, c_ref, pad_ref,
+        w_ref, mw_ref, ent_ref, rate_ref, num_heads=1, **static_kw,
+    )
+    a = heads[0]
+    acc = a[:, 0:1] * kv_slices[0]
+    for m in range(1, M):
+        acc = acc + a[:, m : m + 1] * kv_slices[m]
+    mix_ref[:] = acc
+
+
 def _forward_streamed(
     params,
     qrow,  # (E,)
@@ -571,11 +599,14 @@ def _forward_streamed(
     training,
     precision,
     interpret=False,
+    kv_scales=None,  # (B, M) f32 — int8 kv dequant scales (q8 path)
 ):
     """H == 1 forward for E beyond the resident-weight kernel's VMEM cap.
 
     Returns ``(out, w, mw, ent, rate, mix)`` — ``mix`` is also an output
     so the backward can form ``G = d_outᵀ @ mix`` without re-reading kv.
+    With int8 ``kv`` + ``kv_scales`` the kernel dequantizes in VMEM
+    (inference path; the q8 entry has no vjp).
     """
     B, M, E = kv.shape
     u, c, wctx, _wo, bctx, _bo = _prep(params, qrow, 1, precision)
@@ -598,23 +629,30 @@ def _forward_streamed(
     )
     B_pad = _round_up(B, TB)
     kv_flat = kv.reshape(B, M * E)
+    q8 = kv_scales is not None
     if B_pad != B:
         kv_flat = jnp.pad(kv_flat, ((0, B_pad - B), (0, 0)))
         pad_bias = jnp.pad(pad_bias, ((0, B_pad - B), (0, 0)))
+        if q8:
+            kv_scales = jnp.pad(kv_scales, ((0, B_pad - B), (0, 0)))
 
     kernel = functools.partial(
-        _mix_kernel,
+        _mix_kernel_q8 if q8 else _mix_kernel,
         min_active=min_active,
         training=training,
         seq_len=M,
     )
     tile = lambda i, *_: (i, 0)  # noqa: E731
     whole = lambda i, *_: (0, 0)  # noqa: E731
+    scales_specs = (
+        [pl.BlockSpec((TB, M), tile, memory_space=pltpu.VMEM)] if q8 else []
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B_pad // TB,),
         in_specs=[
             pl.BlockSpec((TB, M * E), tile, memory_space=pltpu.VMEM),
+        ] + scales_specs + [
             pl.BlockSpec((1, E), whole, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), whole, memory_space=pltpu.VMEM),
             pl.BlockSpec((TB, M), tile, memory_space=pltpu.VMEM),
@@ -627,6 +665,7 @@ def _forward_streamed(
             pl.BlockSpec((TB, 1), tile, memory_space=pltpu.VMEM),
         ],
     )
+    operands = [kv_flat] + ([kv_scales] if q8 else []) + [u, c, pad_bias]
     mix, w, mw, ent, rate = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -646,10 +685,7 @@ def _forward_streamed(
     )(
         seed.reshape(2).astype(jnp.int32),
         mask_prob.reshape(1).astype(jnp.float32),
-        kv_flat,
-        u,
-        c,
-        pad_bias,
+        *operands,
     )
     mix = mix[:B]
     # Context GEMM in XLA (it tiles E×E GEMMs optimally at any size).
@@ -1492,10 +1528,29 @@ def fused_fusion_pool_shared(
                 "int8 kv requires kv_scales (see quantize_features)"
             )
         if kv.shape[-1] > _RESIDENT_E_CAP:
-            raise ValueError(
-                f"int8 kv path supports E <= {_RESIDENT_E_CAP} (the "
-                "resident-weight kernel); dequantize to f32/bf16 for the "
-                "streamed E range"
+            # Streamed split (H == 1): int8 dequant in the mix kernel,
+            # E×E GEMM in XLA — same structure as the f32 streamed path.
+            if num_heads != 1:
+                raise ValueError(
+                    f"int8 kv above E={_RESIDENT_E_CAP} needs num_heads=1 "
+                    "(the streamed split); dequantize to f32 for H > 1"
+                )
+            out, w, mw, ent, rate, _mix = _forward_streamed(
+                params,
+                query[0, 0, :],
+                kv,
+                seed,
+                jnp.asarray(base_mask_prob, jnp.float32),
+                key_padding_mask,
+                min_active=min_active,
+                training=training,
+                precision=precision,
+                interpret=interpret,
+                kv_scales=kv_scales,
+            )
+            return _package_outputs(
+                out, w, mw, ent, rate, training=training, M=M,
+                entropy_target=entropy_target,
             )
         out, w, mw, ent, rate = _forward_q8(
             params,

@@ -371,6 +371,51 @@ class TestQuantizedFeaturesInterpret:
         np.testing.assert_allclose(np.asarray(w_q.sum(-1)), 1.0, rtol=1e-5)
         assert set(info) == {"entropy", "mask_rate"}
 
+    def test_q8_streamed_e2048_matches_oracle(self):
+        """int8 kv above the resident cap routes through the streamed
+        split (dequant in the mix kernel, E×E GEMM in XLA)."""
+        from aecf_tpu.kernels import (
+            fused_fusion_pool_shared,
+            quantize_features,
+        )
+
+        E, M, B = 2048, 3, 12
+        params = init_attention_pool_params(jax.random.key(0), E)
+        query = init_fusion_query(jax.random.key(1), E)
+        kv = jax.random.normal(jax.random.key(2), (B, M, E))
+        q8, scales = quantize_features(kv)
+        out_q, w_q, mw_q, info = fused_fusion_pool_shared(
+            params, query, q8, kv_scales=scales, training=False,
+            interpret=True, precision="highest",
+        )
+        with jax.default_matmul_precision("highest"):
+            out_o, w_o = attention_pool_core(
+                params, jnp.broadcast_to(query, (B, 1, E)), kv, kv,
+                num_heads=1, need_weights=True,
+            )
+        assert float(jnp.abs(out_q - out_o).max()) < 0.3  # quant noise @E=2048
+        assert float(jnp.abs(w_q - w_o).max()) < 0.02
+        np.testing.assert_allclose(np.asarray(w_q.sum(-1)), 1.0, rtol=1e-5)
+        assert set(info) == {"entropy", "mask_rate"}
+
+    def test_q8_streamed_h_gt1_raises(self):
+        from aecf_tpu.kernels import (
+            fused_fusion_pool_shared,
+            quantize_features,
+        )
+
+        E, M, B = 2048, 3, 8
+        params = init_attention_pool_params(jax.random.key(0), E)
+        query = init_fusion_query(jax.random.key(1), E)
+        q8, scales = quantize_features(
+            jax.random.normal(jax.random.key(2), (B, M, E))
+        )
+        with pytest.raises(ValueError, match="num_heads=1"):
+            fused_fusion_pool_shared(
+                params, query, q8, kv_scales=scales, num_heads=2,
+                training=False, interpret=True,
+            )
+
     def test_int8_requires_scales(self):
         from aecf_tpu.kernels import fused_fusion_pool_shared, quantize_features
 
