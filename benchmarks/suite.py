@@ -432,6 +432,12 @@ def main():
         print(f"kv_grad A/B: {results['kv_grad_ab_north_star']}", flush=True)
         results["eval_fwd_ab_large"] = eval_forward_ab(args.quick)
         print(f"eval fwd A/B: {results['eval_fwd_ab_large']}", flush=True)
+        # serving beyond the resident cap: int8 through the streamed split
+        results["eval_fwd_ab_e2048"] = eval_forward_ab(
+            args.quick, B=4096, M=4, E=2048
+        )
+        print(f"eval fwd A/B E=2048: {results['eval_fwd_ab_e2048']}",
+              flush=True)
         results["streamed_e2048_ab"] = streamed_e2048_ab(args.quick)
         print(f"E=2048 A/B: {results['streamed_e2048_ab']}", flush=True)
 
