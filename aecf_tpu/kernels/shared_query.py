@@ -530,10 +530,9 @@ def _forward(
 
 def _mix_kernel(
     seed_ref, mask_prob_ref,
-    kv_ref,  # (TB, M*E) f32 or bf16, flattened (see _shared_kernel doc)
-    u_ref, c_ref, pad_ref,
-    mix_ref,  # (TB, E)  Σ_m a[b,m]·kv[b,m,:]
-    w_ref, mw_ref, ent_ref, rate_ref,
+    kv_ref,  # (TB, M*E) f32/bf16 — or int8 when ``quantized`` (flattened)
+    *refs,  # [scales_ref (TB, M) when quantized] + u, c, pad + 5 outputs
+    quantized: bool = False,
     **static_kw,
 ):
     """Streamed-path kernel (H == 1, E > 1024): everything that needs the
@@ -541,39 +540,21 @@ def _mix_kernel(
     mix — in one pass, WITHOUT any (E, E) matrix in VMEM.  The context
     GEMM ``out = mix @ W_voᵀ + b`` runs in XLA afterwards, which tiles
     large GEMMs optimally; streaming W_vo chunks per batch tile in-kernel
-    would re-read E²·4 bytes per tile instead."""
+    would re-read E²·4 bytes per tile instead.  ``quantized`` adds a
+    per-(row, modality) dequant multiply on the int8 kv slices — one
+    kernel body so the two paths cannot diverge."""
+    if quantized:
+        (scales_ref, u_ref, c_ref, pad_ref,
+         mix_ref, w_ref, mw_ref, ent_ref, rate_ref) = refs
+    else:
+        scales_ref = None
+        (u_ref, c_ref, pad_ref,
+         mix_ref, w_ref, mw_ref, ent_ref, rate_ref) = refs
     TB, M = pad_ref.shape
     E = kv_ref.shape[1] // M
     kv_slices = [
         kv_ref[:, m * E : (m + 1) * E].astype(jnp.float32)
-        for m in range(M)
-    ]
-    heads = _weights_entropy_mask(
-        kv_slices, seed_ref, mask_prob_ref, u_ref, c_ref, pad_ref,
-        w_ref, mw_ref, ent_ref, rate_ref, num_heads=1, **static_kw,
-    )
-    a = heads[0]
-    acc = a[:, 0:1] * kv_slices[0]
-    for m in range(1, M):
-        acc = acc + a[:, m : m + 1] * kv_slices[m]
-    mix_ref[:] = acc
-
-
-def _mix_kernel_q8(
-    seed_ref, mask_prob_ref,
-    kv_ref,  # (TB, M*E) int8, flattened
-    scales_ref,  # (TB, M) f32 per-(row, modality) dequant scales
-    u_ref, c_ref, pad_ref,
-    mix_ref, w_ref, mw_ref, ent_ref, rate_ref,
-    **static_kw,
-):
-    """int8-feature variant of :func:`_mix_kernel` (streamed path): kv
-    dequantizes per slice in VMEM, everything downstream identical."""
-    TB, M = pad_ref.shape
-    E = kv_ref.shape[1] // M
-    kv_slices = [
-        kv_ref[:, m * E : (m + 1) * E].astype(jnp.float32)
-        * scales_ref[:, m : m + 1]
+        * (scales_ref[:, m : m + 1] if quantized else 1.0)
         for m in range(M)
     ]
     heads = _weights_entropy_mask(
@@ -637,7 +618,8 @@ def _forward_streamed(
             kv_scales = jnp.pad(kv_scales, ((0, B_pad - B), (0, 0)))
 
     kernel = functools.partial(
-        _mix_kernel_q8 if q8 else _mix_kernel,
+        _mix_kernel,
+        quantized=q8,
         min_active=min_active,
         training=training,
         seq_len=M,

@@ -130,9 +130,19 @@ def fit(
             # shard straight from host memory — staging the global batch on
             # one device first would defeat batch-larger-than-a-chip DP
             batch = shard_batch(mesh, (images, texts, labels))
+        elif tp:
+            # shard over 'data' straight from host memory — jnp.asarray
+            # would stage the whole global batch on one device first,
+            # defeating batch-larger-than-a-chip DP (same reasoning as
+            # the shard_map branch above)
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            sh = NamedSharding(mesh, PartitionSpec("data"))
+            batch = tuple(
+                jax.device_put(np.asarray(x), sh)
+                for x in (images, texts, labels)
+            )
         else:
-            # TP path: the jitted step's with_sharding_constraint shards
-            # the batch over 'data' on the way in (GSPMD, no shard_map)
             batch = (jnp.asarray(images), jnp.asarray(texts),
                      jnp.asarray(labels))
         state, loss, info = step_fn(state, *batch, step_rng)

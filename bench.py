@@ -312,11 +312,20 @@ def main():
             ),
         },
     }
-    if jax.default_backend() == "tpu" and impl == "pallas":
+    from aecf_tpu.kernels.shared_query import _RESIDENT_E_CAP
+
+    if (
+        jax.default_backend() == "tpu"
+        and impl == "pallas"
+        and embed <= _RESIDENT_E_CAP
+    ):
         # Roofline/MFU at the measured throughput — "is it actually fast"
         # as a number: fraction of v5e bf16 peak FLOP/s and of HBM
-        # bandwidth implied by the analytic per-step cost model (which
-        # models the fused path; XLA-dispatched runs skip the field).
+        # bandwidth implied by the analytic per-step cost model.  The
+        # model describes the RESIDENT fused path only: XLA-dispatched
+        # runs and the streamed E>cap split (whose mix/d_mix HBM
+        # round-trips and E³ weight-grad GEMMs it omits) skip the field
+        # rather than publish numbers for a path that never ran.
         result["roofline"] = roofline(
             samples_per_sec, batch, modalities, embed, heads,
             kv_grad=args.kv_grad,

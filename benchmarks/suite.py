@@ -404,7 +404,11 @@ def main():
         results[name] = round(sps, 1)
         results["impl_per_config"][name] = impl
         print(f"{name}: {sps:,.0f} samples/s ({impl})", flush=True)
-        if jax.default_backend() == "tpu" and impl == "pallas":
+        if (
+            jax.default_backend() == "tpu"
+            and impl == "pallas"
+            and E <= 1024  # resident path only (see bench.roofline note)
+        ):
             # MFU + HBM-bandwidth fraction at the measured throughput.
             # step_cost_model models the FUSED path only — XLA-dispatched
             # configs (heads8) would get numbers for a path that never
