@@ -64,7 +64,7 @@ def supports_fused(
     path.
 
     The resident-weight kernels keep (E, E) context weights in VMEM and
-    cap at E=1024.  The shared-query H==1 path additionally has a
+    cap at E=1024.  The shared-query H≤2 path additionally has a
     streamed split (Pallas one-pass-over-kv + XLA E×E GEMMs, no (E, E)
     matrix in VMEM) lifting the cap to E=8192 — pass ``shared_query=True``
     when the query is the unexpanded ``(1, 1, E)`` fusion parameter.
@@ -73,7 +73,7 @@ def supports_fused(
 
     e_cap = (
         _STREAMED_E_CAP
-        if shared_query and num_heads == 1
+        if shared_query and num_heads <= 2
         else _RESIDENT_E_CAP
     )
     return (

@@ -428,11 +428,12 @@ def _forward(
     interpret=False,
 ):
     B, M, E = kv.shape
-    if num_heads == 1 and E > _RESIDENT_E_CAP:
+    if num_heads <= 2 and E > _RESIDENT_E_CAP:
         return _forward_streamed(
             params, qrow, kv, seed, mask_prob, key_padding_mask,
             min_active=min_active, training=training,
             precision=precision, interpret=interpret,
+            num_heads=num_heads,
         )[:5]
     u, c, wctx, wo, bctx, bo_k = _prep(params, qrow, num_heads, precision)
 
@@ -533,16 +534,19 @@ def _mix_kernel(
     kv_ref,  # (TB, M*E) f32/bf16 — or int8 when ``quantized`` (flattened)
     *refs,  # [scales_ref (TB, M) when quantized] + u, c, pad + 5 outputs
     quantized: bool = False,
+    num_heads: int = 1,
     **static_kw,
 ):
-    """Streamed-path kernel (H == 1, E > 1024): everything that needs the
-    kv tile — scores, softmax, entropy, Bernoulli mask, and the attention
-    mix — in one pass, WITHOUT any (E, E) matrix in VMEM.  The context
-    GEMM ``out = mix @ W_voᵀ + b`` runs in XLA afterwards, which tiles
-    large GEMMs optimally; streaming W_vo chunks per batch tile in-kernel
-    would re-read E²·4 bytes per tile instead.  ``quantized`` adds a
-    per-(row, modality) dequant multiply on the int8 kv slices — one
-    kernel body so the two paths cannot diverge."""
+    """Streamed-path kernel (E > 1024): everything that needs the kv tile
+    — scores, softmax, entropy, Bernoulli mask, and the attention mix —
+    in one pass, WITHOUT any (E, E) matrix in VMEM.  The context GEMM(s)
+    (``out = mix @ W_voᵀ + b`` for H == 1; per-head V-proj + out-proj for
+    H == 2) run in XLA afterwards, which tiles large GEMMs optimally;
+    streaming weight chunks per batch tile in-kernel would re-read E²·4
+    bytes per tile instead.  For H > 1 the per-head mixes land lane-sliced
+    in a (TB, H·E) output.  ``quantized`` adds a per-(row, modality)
+    dequant multiply on the int8 kv slices — one kernel body so the two
+    paths cannot diverge."""
     if quantized:
         (scales_ref, u_ref, c_ref, pad_ref,
          mix_ref, w_ref, mw_ref, ent_ref, rate_ref) = refs
@@ -559,13 +563,13 @@ def _mix_kernel(
     ]
     heads = _weights_entropy_mask(
         kv_slices, seed_ref, mask_prob_ref, u_ref, c_ref, pad_ref,
-        w_ref, mw_ref, ent_ref, rate_ref, num_heads=1, **static_kw,
+        w_ref, mw_ref, ent_ref, rate_ref, num_heads=num_heads, **static_kw,
     )
-    a = heads[0]
-    acc = a[:, 0:1] * kv_slices[0]
-    for m in range(1, M):
-        acc = acc + a[:, m : m + 1] * kv_slices[m]
-    mix_ref[:] = acc
+    for h, a in enumerate(heads):
+        acc = a[:, 0:1] * kv_slices[0]
+        for m in range(1, M):
+            acc = acc + a[:, m : m + 1] * kv_slices[m]
+        mix_ref[:, h * E : (h + 1) * E] = acc
 
 
 def _forward_streamed(
@@ -581,16 +585,19 @@ def _forward_streamed(
     precision,
     interpret=False,
     kv_scales=None,  # (B, M) f32 — int8 kv dequant scales (q8 path)
+    num_heads=1,
 ):
-    """H == 1 forward for E beyond the resident-weight kernel's VMEM cap.
+    """Forward for E beyond the resident-weight kernel's VMEM cap (H ≤ 2).
 
     Returns ``(out, w, mw, ent, rate, mix)`` — ``mix`` is also an output
-    so the backward can form ``G = d_outᵀ @ mix`` without re-reading kv.
-    With int8 ``kv`` + ``kv_scales`` the kernel dequantizes in VMEM
-    (inference path; the q8 entry has no vjp).
+    so the H == 1 backward can form ``G = d_outᵀ @ mix`` without
+    re-reading kv (H == 2 uses the XLA backward; its ``mix`` residual is
+    dropped).  With int8 ``kv`` + ``kv_scales`` the kernel dequantizes in
+    VMEM (inference path; the q8 entry has no vjp).
     """
     B, M, E = kv.shape
-    u, c, wctx, _wo, bctx, _bo = _prep(params, qrow, 1, precision)
+    H = num_heads
+    u, c, wctx, wo, bctx, bo_k = _prep(params, qrow, H, precision)
 
     if key_padding_mask is None:
         pad_bias = jnp.zeros((B, M), jnp.float32)
@@ -600,13 +607,14 @@ def _forward_streamed(
         )
 
     # No (E, E) block in VMEM — the working set is the double-buffered kv
-    # tile (TB·M·E·4) plus the (TB, E) mix output.  TB=256 exceeds VMEM
+    # tile (TB·M·E·4) plus the (TB, H·E) mix output.  TB=256 exceeds VMEM
     # at E=2048/M=3 (remote-compile failure); 128 fits and passes
-    # on-chip, halving with E from there.  Non-power-of-two E would give
-    # odd defaults (E=1536 → 170): align down to the (8, 128) f32
-    # sublane tile.
+    # on-chip, halving with E from there.  H == 2 doubles the mix tile, so
+    # its default halves again.  Non-power-of-two E would give odd
+    # defaults (E=1536 → 170): align down to the (8, 128) f32 sublane
+    # tile.
     TB = _pick_tile(
-        max(32, (1 << 18) // E // 8 * 8), "AECF_FWD_TB", B
+        max(32, (1 << 18) // (E * H) // 8 * 8), "AECF_FWD_TB", B
     )
     B_pad = _round_up(B, TB)
     kv_flat = kv.reshape(B, M * E)
@@ -620,6 +628,7 @@ def _forward_streamed(
     kernel = functools.partial(
         _mix_kernel,
         quantized=q8,
+        num_heads=H,
         min_active=min_active,
         training=training,
         seq_len=M,
@@ -635,12 +644,12 @@ def _forward_streamed(
         in_specs=[
             pl.BlockSpec((TB, M * E), tile, memory_space=pltpu.VMEM),
         ] + scales_specs + [
-            pl.BlockSpec((1, E), whole, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), whole, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, E), whole, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H), whole, memory_space=pltpu.VMEM),
             pl.BlockSpec((TB, M), tile, memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((TB, E), tile, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, H * E), tile, memory_space=pltpu.VMEM),
             pl.BlockSpec((TB, M), tile, memory_space=pltpu.VMEM),
             pl.BlockSpec((TB, M), tile, memory_space=pltpu.VMEM),
             pl.BlockSpec((TB, 1), tile, memory_space=pltpu.VMEM),
@@ -652,15 +661,15 @@ def _forward_streamed(
         kernel,
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((B_pad, E), jnp.float32),
+            jax.ShapeDtypeStruct((B_pad, H * E), jnp.float32),
             jax.ShapeDtypeStruct((B_pad, M), jnp.float32),
             jax.ShapeDtypeStruct((B_pad, M), jnp.float32),
             jax.ShapeDtypeStruct((B_pad, 1), jnp.float32),
             jax.ShapeDtypeStruct((B_pad, 1), jnp.float32),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=8 * B_pad * M * E,
-            bytes_accessed=B_pad * E * (M * kv.dtype.itemsize + 4),
+            flops=(6 + 2 * H) * B_pad * M * E,
+            bytes_accessed=B_pad * E * (M * kv.dtype.itemsize + 4 * H),
             transcendentals=B_pad * M * 2,
         ),
         interpret=interpret,
@@ -670,12 +679,29 @@ def _forward_streamed(
         *operands,
     )
     mix = mix[:B]
-    # Context GEMM in XLA (it tiles E×E GEMMs optimally at any size).
+    # Context GEMM(s) in XLA (it tiles E×E GEMMs optimally at any size).
     prec = lax.Precision.HIGHEST if precision == "highest" else None
-    out = (
-        jnp.matmul(mix, wctx.T, precision=prec, preferred_element_type=jnp.float32)
-        + bctx[0]
-    )
+    if H == 1:
+        out = (
+            jnp.matmul(mix, wctx.T, precision=prec,
+                       preferred_element_type=jnp.float32)
+            + bctx[0]
+        )
+    else:
+        # wctx = Wv; per-head V-proj on the mixed tensor, then out-proj.
+        Dh = E // H
+        ctx = jnp.einsum(
+            "bhe,hde->bhd",
+            mix.reshape(B, H, E),
+            wctx.reshape(H, Dh, E),
+            precision=prec,
+            preferred_element_type=jnp.float32,
+        ).reshape(B, E) + bctx[0]
+        out = (
+            jnp.matmul(ctx, wo.T, precision=prec,
+                       preferred_element_type=jnp.float32)
+            + bo_k[0]
+        )
     return out, w[:B], mw[:B], ent[:B, 0], rate[:B, 0], mix
 
 
@@ -809,14 +835,18 @@ def _shared_fwd(
     # must carry gradient on the kernel path too.  (B, M) f32: negligible
     # next to the (B, M, E) kv residual.  The streamed path (E > cap)
     # additionally saves its mix output for the backward's G GEMM.
-    if num_heads == 1 and kv.shape[-1] > _RESIDENT_E_CAP:
+    if num_heads <= 2 and kv.shape[-1] > _RESIDENT_E_CAP:
         *outs, mix = _forward_streamed(
             params, qrow, kv, seed, mask_prob, key_padding_mask,
             min_active=min_active, training=training,
             precision=precision, interpret=interpret,
+            num_heads=num_heads,
         )
+        # H == 2 streamed uses the XLA einsum backward (mix residual not
+        # needed there; the H == 1 streamed backward's G GEMM is).
         return tuple(outs), (
-            params, qrow, kv, key_padding_mask, outs[1], mix
+            params, qrow, kv, key_padding_mask, outs[1],
+            mix if num_heads == 1 else None,
         )
     outs = _forward(
         params, qrow, kv, seed, mask_prob, key_padding_mask,

@@ -275,7 +275,128 @@ def generate_torch_ckpt_golden():
     print(f"wrote {out_path}; export round-trip through torch verified")
 
 
+def generate_random_pool_goldens(n_cases: int = 20):
+    """Randomized config sweep vs the live reference (round-3 verdict
+    Next #6): N pool configs spanning H ∈ {1,2,4,8}, bias on/off,
+    batch_first both, M ∈ 2-6, odd batches, with/without key_padding_mask,
+    value≠key, train (injected Bernoulli mask) and eval — each with the
+    reference's exact outputs recorded.  The fixed goldens above pin one
+    corner (H=4, bias on); a systematic torch-vs-JAX divergence hiding in
+    any other corner gets caught here.  Contract anchor: the reference
+    forward, AECFLayer.py:409-547.
+    """
+    import json
+
+    from aecf import CurriculumMasking as RefMasking
+    from aecf import MultimodalAttentionPool as RefPool
+
+    out_path = os.path.join(
+        os.path.dirname(__file__), "pool_random_golden.npz"
+    )
+    rng = np.random.default_rng(20260817)
+    blob = {}
+    case_meta = []
+    for i in range(n_cases):
+        H = int(rng.choice([1, 2, 4, 8]))
+        Dh = int(rng.choice([4, 8, 16]))
+        E = H * Dh
+        M = int(rng.integers(2, 7))
+        B = int(rng.choice([3, 5, 7, 9, 11, 13, 17]))
+        bias = bool(rng.random() < 0.5)
+        batch_first = bool(rng.random() < 0.5)
+        use_pad = bool(rng.random() < 0.4)
+        sep_value = bool(rng.random() < 0.25)
+        training = bool(rng.random() < 0.8)
+        base_mask_prob = float(np.round(rng.uniform(0.1, 0.9), 3))
+        entropy_target = float(np.round(rng.uniform(0.4, 0.9), 3))
+        min_active = int(rng.integers(1, min(M, 2) + 1))
+
+        torch.manual_seed(1000 + i)  # torch's own init — not ours
+        pool = RefPool(
+            embed_dim=E,
+            num_heads=H,
+            bias=bias,
+            batch_first=batch_first,
+            curriculum_masking=RefMasking(
+                base_mask_prob=base_mask_prob,
+                entropy_target=entropy_target,
+                min_active=min_active,
+            ),
+        )
+        pool.train(training)
+
+        q = rng.normal(size=(B, 1, E)).astype(np.float32)
+        kv = rng.normal(size=(B, M, E)).astype(np.float32)
+        value = (
+            rng.normal(size=(B, M, E)).astype(np.float32)
+            if sep_value else None
+        )
+        pad = None
+        if use_pad:
+            pad = rng.random((B, M)) < 0.3
+            pad[:, 0] = False  # never fully-padded rows
+        mask = (
+            (rng.random((B, 1, M)) > 0.5).astype(np.float32)
+            if training else None
+        )
+
+        def tt(x, bf=batch_first):
+            t = torch.tensor(x)
+            return t if bf else t.transpose(0, 1).contiguous()
+
+        t_args = [tt(q), tt(kv)]
+        t_kw = {"return_info": True}
+        if value is not None:
+            t_args.append(tt(value))
+        if pad is not None:
+            t_kw["key_padding_mask"] = torch.tensor(pad)
+
+        orig = torch.bernoulli
+        try:
+            if mask is not None:
+                torch.bernoulli = lambda p: torch.tensor(
+                    mask, dtype=p.dtype
+                )
+            with torch.no_grad():
+                out, info = pool(*t_args, **t_kw)
+        finally:
+            torch.bernoulli = orig
+
+        name = f"r{i}"
+        case_meta.append(
+            {
+                "name": name, "E": E, "H": H, "M": M, "B": B,
+                "bias": bias, "batch_first": batch_first,
+                "use_pad": use_pad, "sep_value": sep_value,
+                "training": training,
+                "base_mask_prob": base_mask_prob,
+                "entropy_target": entropy_target,
+                "min_active": min_active,
+            }
+        )
+        blob[f"{name}_q"] = q
+        blob[f"{name}_kv"] = kv
+        if value is not None:
+            blob[f"{name}_value"] = value
+        if pad is not None:
+            blob[f"{name}_pad"] = pad
+        if mask is not None:
+            blob[f"{name}_mask"] = mask
+        for k, v in pool.state_dict().items():
+            blob[f"{name}_sd.{k}"] = v.numpy()
+        blob[f"{name}_out"] = out.numpy()
+        for k, v in info.items():
+            blob[f"{name}_info_{k}"] = v.detach().numpy()
+
+    blob["cases"] = np.frombuffer(
+        json.dumps(case_meta).encode(), dtype=np.uint8
+    )
+    np.savez(out_path, **blob)
+    print(f"wrote {out_path} with {n_cases} randomized cases")
+
+
 if __name__ == "__main__":
     main()
     generate_composed_pool_golden()
     generate_torch_ckpt_golden()
+    generate_random_pool_goldens()

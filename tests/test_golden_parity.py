@@ -95,6 +95,94 @@ def test_curriculum_golden(golden, case):
 POOL_GOLDEN = os.path.join(
     os.path.dirname(__file__), "golden", "pool_golden.npz"
 )
+POOL_RANDOM_GOLDEN = os.path.join(
+    os.path.dirname(__file__), "golden", "pool_random_golden.npz"
+)
+
+
+@pytest.fixture(scope="module")
+def random_golden():
+    if not os.path.exists(POOL_RANDOM_GOLDEN):
+        pytest.skip(
+            "random pool golden missing — run tests/golden/generate.py"
+        )
+    import json
+
+    data = np.load(POOL_RANDOM_GOLDEN)
+    cases = json.loads(bytes(data["cases"]).decode())
+    return data, cases
+
+
+@pytest.mark.parametrize("idx", range(20))
+def test_random_pool_golden(random_golden, idx):
+    """Randomized-config parity vs the live reference (verdict Next #6):
+    H ∈ {1,2,4,8} × bias on/off × batch_first both × M ∈ 2-6 × odd
+    batches × with/without key_padding_mask × value≠key × train/eval,
+    each against torch's recorded outputs — not the in-repo oracle."""
+    data, cases = random_golden
+    if idx >= len(cases):
+        pytest.skip("fewer cases in golden file")
+    c = cases[idx]
+    name = c["name"]
+
+    from aecf_tpu import CurriculumMasking, MultimodalAttentionPool
+    from aecf_tpu.contrib.torch_compat import (
+        attention_pool_params_from_state_dict,
+    )
+
+    sd = {
+        k[len(f"{name}_sd.") :]: data[k]
+        for k in data.files
+        if k.startswith(f"{name}_sd.")
+    }
+    params = attention_pool_params_from_state_dict(sd)
+    pool = MultimodalAttentionPool(
+        embed_dim=c["E"],
+        num_heads=c["H"],
+        bias=c["bias"],
+        batch_first=c["batch_first"],
+        curriculum_masking=CurriculumMasking(
+            base_mask_prob=c["base_mask_prob"],
+            entropy_target=c["entropy_target"],
+            min_active=c["min_active"],
+        ),
+        params=params,
+        implementation="xla",
+    ).train(c["training"])
+
+    def arr(x):
+        t = jnp.asarray(x)
+        return t if c["batch_first"] else jnp.swapaxes(t, 0, 1)
+
+    args = [arr(data[f"{name}_q"]), arr(data[f"{name}_kv"])]
+    kw = {"return_info": True}
+    if f"{name}_value" in data.files:
+        args.append(arr(data[f"{name}_value"]))
+    if f"{name}_pad" in data.files:
+        kw["key_padding_mask"] = jnp.asarray(data[f"{name}_pad"])
+    if f"{name}_mask" in data.files:
+        kw["mask_override"] = jnp.asarray(data[f"{name}_mask"])
+
+    out, info = pool(*args, **kw)
+    np.testing.assert_allclose(
+        out, data[f"{name}_out"], atol=ATOL,
+        err_msg=f"{name} ({c}): output",
+    )
+    golden_info = {
+        k[len(f"{name}_info_") :]
+        for k in data.files
+        if k.startswith(f"{name}_info_")
+    }
+    assert set(info) == golden_info, f"{name}: info key-set mismatch"
+    for k in golden_info:
+        np.testing.assert_allclose(
+            info[k],
+            data[f"{name}_info_{k}"],
+            atol=(
+                ATOL_TRANSCENDENTAL if k in _TRANSCENDENTAL_KEYS else ATOL
+            ),
+            err_msg=f"{name} ({c}): info[{k}]",
+        )
 
 
 def test_composed_pool_golden():

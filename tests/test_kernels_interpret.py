@@ -250,11 +250,67 @@ class TestStreamedE2048Interpret:
             tgt_len=1, num_heads=1, embed_dim=2048, shared_query=True
         )
         assert not supports_fused(tgt_len=1, num_heads=1, embed_dim=2048)
-        assert not supports_fused(
+        # H == 2 streams too (round-3 verdict Next #4); H > 2 does not.
+        assert supports_fused(
             tgt_len=1, num_heads=2, embed_dim=2048, shared_query=True
         )
         assert not supports_fused(
+            tgt_len=1, num_heads=4, embed_dim=2048, shared_query=True
+        )
+        assert not supports_fused(
             tgt_len=1, num_heads=1, embed_dim=16384, shared_query=True
+        )
+
+    def test_eval_forward_h2_matches_oracle(self):
+        """Two-head streamed split (round-3 verdict Next #4): per-head
+        mixes from the Pallas kernel, V/out projections in XLA."""
+        from aecf_tpu.kernels import fused_fusion_pool_shared
+
+        params, query, kv = self._setup(B=12)
+        B = kv.shape[0]
+        out_k, w_k, mw, info = fused_fusion_pool_shared(
+            params, query, kv, num_heads=2, training=False,
+            interpret=True, precision="highest",
+        )
+        with jax.default_matmul_precision("highest"):
+            out_o, w_o = attention_pool_core(
+                params, jnp.broadcast_to(query, (B, 1, self.E)), kv, kv,
+                num_heads=2, need_weights=True,
+            )
+        np.testing.assert_allclose(out_k, out_o, atol=2e-4)
+        np.testing.assert_allclose(w_k, w_o, atol=1e-5)
+        np.testing.assert_allclose(mw, w_k, atol=1e-7)
+
+    def test_h2_grads_match_oracle(self):
+        """H == 2 streamed forward + XLA einsum backward end to end."""
+        from aecf_tpu.kernels import fused_fusion_pool_shared
+
+        params, query, kv = self._setup(B=8)
+        B = kv.shape[0]
+
+        def loss_k(p, qq, x):
+            o, w, _, _ = fused_fusion_pool_shared(
+                p, qq, x, num_heads=2, training=False, interpret=True,
+                precision="highest",
+            )
+            return (o * o).mean() + (w * w).sum()
+
+        def loss_o(p, qq, x):
+            with jax.default_matmul_precision("highest"):
+                o, w = attention_pool_core(
+                    p, jnp.broadcast_to(qq, (B, 1, self.E)), x, x,
+                    num_heads=2, need_weights=True,
+                )
+            return (o * o).mean() + (w * w).sum()
+
+        gk = jax.grad(loss_k, argnums=(0, 1, 2))(params, query, kv)
+        go = jax.grad(loss_o, argnums=(0, 1, 2))(params, query, kv)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-4
+            ),
+            gk,
+            go,
         )
 
 
