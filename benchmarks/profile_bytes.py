@@ -151,15 +151,20 @@ def fwd_chunk(params, query, kv, K):
 # ---------------------------------------------------------------------------
 
 
-def compiled_cost(jitted, args, steps):
+def compiled_cost(jitted, args):
     """(bytes/step, flops/step) as XLA's post-optimization cost analysis
-    reports them for an already-built jitted callable."""
+    reports them.  cost_analysis counts a While body ONCE regardless of
+    trip count (verified: K=4 and K=400 chunks report identical totals),
+    so for a scan-of-steps chunk the totals ARE per-step — no division.
+    Pallas custom calls contribute their CostEstimate flops and their
+    operand/output bytes (shared values count once per consuming op, so
+    bytes are an upper-ish estimate of true HBM traffic)."""
     ca = jitted.lower(*args).compile().cost_analysis()
     if isinstance(ca, list):  # older jax returns [dict]
         ca = ca[0]
     return (
-        float(ca.get("bytes accessed", float("nan"))) / steps,
-        float(ca.get("flops", float("nan"))) / steps,
+        float(ca.get("bytes accessed", float("nan"))),
+        float(ca.get("flops", float("nan"))),
     )
 
 
@@ -168,7 +173,16 @@ def main():
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--config", default="north-star", choices=CONFIGS)
     ap.add_argument("--json", default=None)
+    ap.add_argument(
+        "--phases", default="read,fwd,step",
+        help="comma-separated subset of read,fwd,step",
+    )
     args = ap.parse_args()
+    phases = set(args.phases.split(","))
+
+    from bench import enable_persistent_cache
+
+    enable_persistent_cache()
 
     B, M, E, H = CONFIGS[args.config]
     from bench import build_chunk
@@ -194,55 +208,70 @@ def main():
     query = init_fusion_query(jax.random.key(1), E)
 
     # ---- 1. read bandwidth ------------------------------------------------
-    chunks = {}
-    for name, dtype in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
-        kv = jax.random.normal(jax.random.key(2), (B, M * E)).astype(dtype)
-        fn = read_bw_chunk(kv, K_read)
-        acc = fn(jnp.float32(0))
-        float(acc)
-        chunks[name] = (fn, acc)
-    windows = _time_windows(chunks, rounds)
-    out["read_bw"] = {}
-    for name, dtype in (("f32", 4), ("bf16", 2)):
-        per_pass = statistics.median(windows[name]) / K_read
-        gbps = B * M * E * dtype / per_pass / 1e9
-        out["read_bw"][name] = {
-            "bytes_per_pass": B * M * E * dtype,
-            "us_per_pass": round(per_pass * 1e6, 2),
-            "achieved_gbps": round(gbps, 1),
-            "frac_of_peak": round(gbps / 819.0, 3),
-        }
+    if "read" in phases:
+        chunks = {}
+        for name, dtype in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
+            print(f"compiling read_bw {name}...", file=sys.stderr, flush=True)
+            kv = jax.random.normal(
+                jax.random.key(2), (B, M * E)
+            ).astype(dtype)
+            fn = read_bw_chunk(kv, K_read)
+            acc = fn(jnp.float32(0))
+            float(acc)
+            chunks[name] = (fn, acc)
+        windows = _time_windows(chunks, rounds)
+        out["read_bw"] = {}
+        for name, dtype in (("f32", 4), ("bf16", 2)):
+            per_pass = statistics.median(windows[name]) / K_read
+            gbps = B * M * E * dtype / per_pass / 1e9
+            out["read_bw"][name] = {
+                "bytes_per_pass": B * M * E * dtype,
+                "us_per_pass": round(per_pass * 1e6, 2),
+                "achieved_gbps": round(gbps, 1),
+                "frac_of_peak": round(gbps / 819.0, 3),
+            }
+        print(f"read_bw: {out['read_bw']}", file=sys.stderr, flush=True)
 
     # ---- 2. forward only --------------------------------------------------
-    chunks = {}
-    for name, dtype in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
-        kv = jax.random.normal(jax.random.key(2), (B, M, E)).astype(dtype)
-        fn = fwd_chunk(params, query, kv, K_fwd)
-        acc = fn(jnp.float32(0))
-        float(acc)
-        chunks[name] = (fn, acc)
-    windows = _time_windows(chunks, rounds)
-    out["fwd"] = {}
-    for name in ("f32", "bf16"):
-        per_step = statistics.median(windows[name]) / K_fwd
-        out["fwd"][name] = {"us_per_step": round(per_step * 1e6, 2)}
-    out["fwd"]["bf16_speedup"] = round(
-        out["fwd"]["f32"]["us_per_step"]
-        / out["fwd"]["bf16"]["us_per_step"], 3
-    )
+    if "fwd" in phases:
+        chunks = {}
+        fwd_fns = {}
+        for name, dtype in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
+            print(f"compiling fwd {name}...", file=sys.stderr, flush=True)
+            kv = jax.random.normal(jax.random.key(2), (B, M, E)).astype(dtype)
+            fn = fwd_chunk(params, query, kv, K_fwd)
+            acc = fn(jnp.float32(0))
+            float(acc)
+            chunks[name] = (fn, acc)
+            fwd_fns[name] = fn
+        windows = _time_windows(chunks, rounds)
+        out["fwd"] = {}
+        for name in ("f32", "bf16"):
+            per_step = statistics.median(windows[name]) / K_fwd
+            out["fwd"][name] = {"us_per_step": round(per_step * 1e6, 2)}
+        out["fwd"]["bf16_speedup"] = round(
+            out["fwd"]["f32"]["us_per_step"]
+            / out["fwd"]["bf16"]["us_per_step"], 3
+        )
 
-    # compiled byte/flop counts for the forward chunks
-    for name, dtype in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
-        kv = jax.random.normal(jax.random.key(2), (B, M, E)).astype(dtype)
-        fn = fwd_chunk(params, query, kv, K_fwd)
-        b, f = compiled_cost(fn, (jnp.float32(0),), K_fwd)
-        out["fwd"][name]["compiled_bytes_per_step"] = round(b)
-        out["fwd"][name]["compiled_flops_per_step"] = round(f)
+        # compiled byte/flop counts for the already-compiled forward chunks
+        for name in ("f32", "bf16"):
+            b, f = compiled_cost(fwd_fns[name], (jnp.float32(0),))
+            out["fwd"][name]["compiled_bytes_per_step"] = round(b)
+            out["fwd"][name]["compiled_flops_per_step"] = round(f)
+        print(f"fwd: {out['fwd']}", file=sys.stderr, flush=True)
 
     # ---- 3. full train step ----------------------------------------------
+    if "step" not in phases:
+        print(json.dumps(out, indent=2))
+        if args.json:
+            with open(args.json, "w") as f:
+                json.dump(out, f, indent=2)
+        return
     chunks = {}
     built = {}
     for name, dt in (("f32", "float32"), ("bf16", "bfloat16")):
+        print(f"compiling step {name}...", file=sys.stderr, flush=True)
         c, p, s = build_chunk(B, M, E, H, "pallas", K_step,
                               features_dtype=dt, kv_grad=False)
         p, s, loss = c(p, s, jnp.int32(0))
@@ -269,7 +298,7 @@ def main():
     )
     for name in ("f32", "bf16"):
         c, p, s = built[name]
-        b, f = compiled_cost(c, (p, s, jnp.int32(0)), K_step)
+        b, f = compiled_cost(c, (p, s, jnp.int32(0)))
         out["step"][name]["compiled_bytes_per_step"] = round(b)
         out["step"][name]["compiled_flops_per_step"] = round(f)
 

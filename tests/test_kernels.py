@@ -387,6 +387,105 @@ def test_streamed_e4096_eval_parity_on_chip():
     np.testing.assert_allclose(w_k, w_o, atol=1e-5)
 
 
+def test_streamed_e4096_grads_on_chip():
+    """Round-3 verdict Next #3: streamed-path gradient parity at E=4096
+    on real hardware (was eval-only on-chip; grads ran only in interpret
+    mode).  Covers both kv_grad settings of the streamed backward."""
+    from aecf_tpu.kernels import fused_fusion_pool_shared
+
+    E, M, B = 4096, 3, 128
+    params = init_attention_pool_params(jax.random.key(0), E)
+    query = init_fusion_query(jax.random.key(1), E)
+    kv = jax.random.normal(jax.random.key(2), (B, M, E))
+
+    def loss_o(p, x):
+        o, w = _oracle(p, jnp.broadcast_to(query, (B, 1, E)), x, 1)
+        return (o * o).mean() + (w * w).sum()
+
+    go = jax.grad(loss_o, argnums=(0, 1))(params, kv)
+
+    for kv_grad in (True, False):
+        def loss_k(p, x):
+            o, w, _, _ = fused_fusion_pool_shared(
+                p, query, x, training=False, precision="highest",
+                kv_grad=kv_grad,
+            )
+            return (o * o).mean() + (w * w).sum()
+
+        gk = jax.grad(loss_k, argnums=(0, 1))(params, kv)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=5e-3, rtol=1e-3
+            ),
+            gk[0],
+            go[0],
+        )
+        if kv_grad:
+            np.testing.assert_allclose(
+                np.asarray(gk[1]), np.asarray(go[1]), atol=5e-3, rtol=1e-3
+            )
+        else:
+            assert float(jnp.abs(gk[1]).max()) == 0.0
+
+
+def test_streamed_e8192_forward_on_chip():
+    """The documented _STREAMED_E_CAP=8192 actually compiles and runs a
+    forward on hardware (round-3 verdict Next #3 — the cap was previously
+    untested on-chip).  Small batch: the point is the VMEM/compile
+    envelope at the cap, not throughput."""
+    from aecf_tpu.kernels import fused_fusion_pool_shared
+    from aecf_tpu.kernels.shared_query import _STREAMED_E_CAP
+
+    E, M, B = _STREAMED_E_CAP, 2, 64
+    params = init_attention_pool_params(jax.random.key(0), E)
+    query = init_fusion_query(jax.random.key(1), E)
+    kv = jax.random.normal(jax.random.key(2), (B, M, E))
+    out_k, w_k, _, _ = fused_fusion_pool_shared(
+        params, query, kv, training=False, precision="highest"
+    )
+    out_o, w_o = _oracle(params, jnp.broadcast_to(query, (B, 1, E)), kv, 1)
+    np.testing.assert_allclose(out_k, out_o, atol=1e-2)
+    np.testing.assert_allclose(w_k, w_o, atol=1e-5)
+
+
+def test_streamed_h2_e2048_on_chip():
+    """Two-head streamed split on real hardware (round-3 verdict Next #4):
+    eval parity + gradient parity vs the oracle at E=2048/H=2."""
+    from aecf_tpu.kernels import fused_fusion_pool_shared
+
+    E, M, B = 2048, 3, 256
+    params = init_attention_pool_params(jax.random.key(0), E)
+    query = init_fusion_query(jax.random.key(1), E)
+    kv = jax.random.normal(jax.random.key(2), (B, M, E))
+
+    out_k, w_k, _, _ = fused_fusion_pool_shared(
+        params, query, kv, num_heads=2, training=False, precision="highest"
+    )
+    out_o, w_o = _oracle(params, jnp.broadcast_to(query, (B, 1, E)), kv, 2)
+    np.testing.assert_allclose(out_k, out_o, atol=2e-3)
+    np.testing.assert_allclose(w_k, w_o, atol=1e-5)
+
+    def loss_k(p, x):
+        o, w, _, _ = fused_fusion_pool_shared(
+            p, query, x, num_heads=2, training=False, precision="highest",
+        )
+        return (o * o).mean() + (w * w).sum()
+
+    def loss_o(p, x):
+        o, w = _oracle(p, jnp.broadcast_to(query, (B, 1, E)), x, 2)
+        return (o * o).mean() + (w * w).sum()
+
+    gk = jax.grad(loss_k, argnums=(0, 1))(params, kv)
+    go = jax.grad(loss_o, argnums=(0, 1))(params, kv)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-3, rtol=1e-3
+        ),
+        gk,
+        go,
+    )
+
+
 def test_quantized_kv_on_chip():
     """int8 kv path on real hardware: near-oracle outputs, renormalized
     weights, and training-mode masking still draws from the TPU PRNG."""
