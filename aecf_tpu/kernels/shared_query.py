@@ -1540,12 +1540,12 @@ def fused_fusion_pool_shared(
                 "int8 kv requires kv_scales (see quantize_features)"
             )
         if kv.shape[-1] > _RESIDENT_E_CAP:
-            # Streamed split (H == 1): int8 dequant in the mix kernel,
-            # E×E GEMM in XLA — same structure as the f32 streamed path.
-            if num_heads != 1:
+            # Streamed split (H ≤ 2): int8 dequant in the mix kernel,
+            # E×E GEMM(s) in XLA — same structure as the f32 streamed path.
+            if num_heads > 2:
                 raise ValueError(
-                    f"int8 kv above E={_RESIDENT_E_CAP} needs num_heads=1 "
-                    "(the streamed split); dequantize to f32 for H > 1"
+                    f"int8 kv above E={_RESIDENT_E_CAP} needs num_heads<=2 "
+                    "(the streamed split); dequantize to f32 for H > 2"
                 )
             out, w, mw, ent, rate, _mix = _forward_streamed(
                 params,
@@ -1559,6 +1559,7 @@ def fused_fusion_pool_shared(
                 precision=precision,
                 interpret=interpret,
                 kv_scales=kv_scales,
+                num_heads=num_heads,
             )
             return _package_outputs(
                 out, w, mw, ent, rate, training=training, M=M,

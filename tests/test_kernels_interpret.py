@@ -454,7 +454,9 @@ class TestQuantizedFeaturesInterpret:
         np.testing.assert_allclose(np.asarray(w_q.sum(-1)), 1.0, rtol=1e-5)
         assert set(info) == {"entropy", "mask_rate"}
 
-    def test_q8_streamed_h_gt1_raises(self):
+    def test_q8_streamed_h2_matches_oracle(self):
+        """int8 kv through the two-head streamed split (H ≤ 2 since
+        round 4; H > 2 still raises below)."""
         from aecf_tpu.kernels import (
             fused_fusion_pool_shared,
             quantize_features,
@@ -463,12 +465,35 @@ class TestQuantizedFeaturesInterpret:
         E, M, B = 2048, 3, 8
         params = init_attention_pool_params(jax.random.key(0), E)
         query = init_fusion_query(jax.random.key(1), E)
+        kv = jax.random.normal(jax.random.key(2), (B, M, E))
+        q8, scales = quantize_features(kv)
+        out_q, w_q, _, _ = fused_fusion_pool_shared(
+            params, query, q8, kv_scales=scales, num_heads=2,
+            training=False, interpret=True, precision="highest",
+        )
+        with jax.default_matmul_precision("highest"):
+            out_o, w_o = attention_pool_core(
+                params, jnp.broadcast_to(query, (B, 1, E)), kv, kv,
+                num_heads=2, need_weights=True,
+            )
+        assert float(jnp.abs(out_q - out_o).max()) < 0.3
+        assert float(jnp.abs(w_q - w_o).max()) < 0.02
+
+    def test_q8_streamed_h_gt2_raises(self):
+        from aecf_tpu.kernels import (
+            fused_fusion_pool_shared,
+            quantize_features,
+        )
+
+        E, M, B = 2048, 4, 8
+        params = init_attention_pool_params(jax.random.key(0), E)
+        query = init_fusion_query(jax.random.key(1), E)
         q8, scales = quantize_features(
             jax.random.normal(jax.random.key(2), (B, M, E))
         )
-        with pytest.raises(ValueError, match="num_heads=1"):
+        with pytest.raises(ValueError, match="num_heads<=2"):
             fused_fusion_pool_shared(
-                params, query, q8, kv_scales=scales, num_heads=2,
+                params, query, q8, kv_scales=scales, num_heads=4,
                 training=False, interpret=True,
             )
 
