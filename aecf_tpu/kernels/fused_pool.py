@@ -91,9 +91,11 @@ def prefers_fused(*, num_heads: int) -> bool:
     Measured within-run on v5e (full train step, B=4096/M=3/E=512):
     the fused kernel wins 2.0x at H=1 and 1.2x at H=2, ties at H=4, and
     LOSES 2x at H=8 — per-head Dh=E/H GEMMs underfill the 128x128 MXU
-    while XLA batches heads into efficient einsums.  Auto dispatch routes
-    H>2 to the XLA path; ``implementation='pallas'`` still forces the
-    kernel.
+    while XLA batches heads into efficient einsums.  The same H<=2
+    boundary holds beyond the resident cap: the streamed split wins
+    3.98x (H=1) and 1.82x (H=2, round 4) at E=2048 vs the XLA fallback.
+    Auto dispatch routes H>2 to the XLA path; ``implementation='pallas'``
+    still forces the kernel.
     """
     return num_heads <= 2
 

@@ -842,11 +842,11 @@ def _shared_fwd(
             precision=precision, interpret=interpret,
             num_heads=num_heads,
         )
-        # H == 2 streamed uses the XLA einsum backward (mix residual not
-        # needed there; the H == 1 streamed backward's G GEMM is).
+        # mix rides along for the streamed backward: the H == 1 variant's
+        # G GEMM and the H == 2 variant's per-head dWv/ctx GEMMs both need
+        # it (recomputing it would cost another kv pass).
         return tuple(outs), (
-            params, qrow, kv, key_padding_mask, outs[1],
-            mix if num_heads == 1 else None,
+            params, qrow, kv, key_padding_mask, outs[1], mix
         )
     outs = _forward(
         params, qrow, kv, seed, mask_prob, key_padding_mask,
@@ -1217,6 +1217,240 @@ def _bwd_kernel_streamed(
     )
 
 
+def _bwd_kernel_streamed_mh(
+    kv_ref,  # (TB, M*E) — flattened, lane-sliced
+    dmix_ref,  # (TB, H*E)  per-head d_mix, precomputed in XLA
+    dw_ref,  # (TB, M)
+    pad_ref,  # (TB, M)   additive pad bias only (c is per-head, in c_ref)
+    u_ref,  # (H, E)
+    c_ref,  # (1, H)
+    *out_refs,  # [dkv_ref (TB, M*E) when want_dkv] + acc (H+1, E)
+    num_heads: int,
+    want_dkv: bool = True,
+):
+    """H ≥ 2 streamed backward: one pass over each kv tile recomputes the
+    per-head softmax, runs the softmax backward, writes d_kv (summed over
+    heads), and accumulates du_h = Σ d_s_h·kv (rows 0..H-1) and
+    dc_h = Σ d_s_h (row H, col h).  The XLA einsum backward re-reads kv
+    three times (scores, d_a, du einsums) plus once more for d_kv; this
+    reads it once."""
+    if want_dkv:
+        dkv_ref, acc_ref = out_refs
+    else:
+        (acc_ref,) = out_refs
+        dkv_ref = None
+    TB, M = dw_ref.shape
+    E = kv_ref.shape[1] // M
+    H = num_heads
+    f32 = jnp.float32
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        acc_ref[:] = jnp.zeros((H + 1, E), f32)
+
+    kv_slices = [
+        kv_ref[:, m * E : (m + 1) * E].astype(f32) for m in range(M)
+    ]
+    col = lax.broadcasted_iota(jnp.int32, (TB, M), 1)
+
+    dkv_acc = [jnp.zeros((TB, E), f32) for _ in range(M)] if want_dkv else None
+    du_rows = []
+    dc_vals = []
+    for h in range(H):
+        u_h = u_ref[h, :]
+        d_mix_h = dmix_ref[:, h * E : (h + 1) * E]
+
+        s = jnp.zeros((TB, M), f32)
+        d_a = jnp.zeros((TB, M), f32)
+        for m, kv_m in enumerate(kv_slices):
+            s_m = (kv_m * u_h).sum(axis=-1, keepdims=True)
+            da_m = (d_mix_h * kv_m).sum(axis=-1, keepdims=True)
+            s = s + jnp.where(col == m, s_m, 0.0)
+            d_a = d_a + jnp.where(col == m, da_m, 0.0)
+        s = s + c_ref[0, h] + pad_ref[:]
+        smax = s.max(axis=-1, keepdims=True)
+        e = jnp.exp(s - smax)
+        a = e / e.sum(axis=-1, keepdims=True)  # (TB, M)
+
+        d_a = d_a + dw_ref[:] * (1.0 / H)  # head-average cotangent
+        d_s = a * (d_a - (a * d_a).sum(axis=-1, keepdims=True))
+
+        du_acc = jnp.zeros((1, E), f32)
+        for m, kv_m in enumerate(kv_slices):
+            ds_m = d_s[:, m : m + 1]
+            if want_dkv:
+                dkv_acc[m] = dkv_acc[m] + a[:, m : m + 1] * d_mix_h + ds_m * u_h
+            du_acc = du_acc + (ds_m * kv_m).sum(axis=0, keepdims=True)
+        du_rows.append(du_acc)
+        dc_vals.append(d_s.sum())
+
+    if want_dkv:
+        for m in range(M):
+            dkv_ref[:, m * E : (m + 1) * E] = dkv_acc[m].astype(
+                dkv_ref.dtype
+            )
+    # Accumulator rows: h → du_h; row H col h → dc_h (broadcast-select —
+    # Mosaic cannot concat offset-mismatched vectors).
+    row = lax.broadcasted_iota(jnp.int32, (H + 1, E), 0)
+    colE = lax.broadcasted_iota(jnp.int32, (H + 1, E), 1)
+    upd = jnp.zeros((H + 1, E), f32)
+    for h in range(H):
+        upd = upd + jnp.where(row == h, du_rows[h], 0.0)
+        upd = upd + jnp.where(
+            (row == H) & (colE == h), dc_vals[h], 0.0
+        )
+    acc_ref[:] += upd
+
+
+def _bwd_streamed_mh(residuals, cots, mix, *, num_heads, precision,
+                     interpret, want_dkv=True):
+    """Backward for the streamed H ≥ 2 path: per-head V/out GEMMs in XLA,
+    one-pass-over-kv Pallas kernel for softmax backward + d_kv + du/dc."""
+    params, qrow, kv, key_padding_mask = residuals
+    d_out, d_w, _d_mw, _d_ent, _d_rate = cots
+    B, M, E = kv.shape
+    H = num_heads
+    Dh = E // H
+    kv_dtype = kv.dtype
+    f32 = jnp.float32
+
+    wq, wk, wv = jnp.split(params.in_proj_weight, 3, axis=0)
+    has_bias = params.in_proj_bias is not None
+    if has_bias:
+        bq, bk, bv = jnp.split(params.in_proj_bias, 3)
+    else:
+        bq = bk = bv = jnp.zeros((E,), f32)
+    wo = params.out_proj_weight
+    scale = Dh ** -0.5
+
+    prec = lax.Precision.HIGHEST if precision == "highest" else None
+    with jax.default_matmul_precision(
+        "highest" if precision == "highest" else "default"
+    ):
+        qp = qrow @ wq.T + bq  # (E,)
+        qph = qp.reshape(H, Dh)
+        wkh = wk.reshape(H, Dh, E)
+        wvh = wv.reshape(H, Dh, E)
+        u = scale * jnp.einsum("hd,hde->he", qph, wkh)  # (H, E)
+        c = scale * (qph * bk.reshape(H, Dh)).sum(-1)  # (H,)
+
+        mixh = mix.reshape(B, H, E)
+        ctx = jnp.einsum(
+            "bhe,hde->bhd", mixh, wvh, precision=prec
+        ).reshape(B, E) + bv
+
+        # ---- out/V-projection backward (XLA GEMMs) ----------------------
+        d_ctx = jnp.matmul(d_out, wo, precision=prec)  # (B, E)
+        dWo = jnp.matmul(d_out.T, ctx, precision=prec)
+        dbo = d_out.sum(0) if params.out_proj_bias is not None else None
+        d_ctx_h = d_ctx.reshape(B, H, Dh)
+        d_mix = jnp.einsum(
+            "bhd,hde->bhe", d_ctx_h, wvh, precision=prec
+        ).reshape(B, H * E)
+        dWv = jnp.einsum(
+            "bhd,bhe->hde", d_ctx_h, mixh, precision=prec
+        ).reshape(E, E)
+        d_bv = d_ctx.sum(0)
+
+    if key_padding_mask is None:
+        pad_bias = jnp.zeros((B, M), f32)
+    else:
+        pad_bias = jnp.where(
+            key_padding_mask, jnp.float32(-1e30), jnp.float32(0.0)
+        )
+    if d_w is None:
+        d_w = jnp.zeros((B, M), f32)
+
+    # Working set: kv tile + (TB, H·E) d_mix in, d_kv tile out when
+    # requested — the H·E d_mix tile halves the H==1 defaults again.
+    TB = _pick_tile(
+        max(32, (1 << 18) // (E * (H if not want_dkv else 2 * H))
+            // 8 * 8),
+        "AECF_BWD_TB", B,
+    )
+    B_pad = _round_up(B, TB)
+    kv_flat = kv.reshape(B, M * E)
+    if B_pad != B:
+        kv_flat = jnp.pad(kv_flat, ((0, B_pad - B), (0, 0)))
+        d_mix = jnp.pad(d_mix, ((0, B_pad - B), (0, 0)))
+        d_w = jnp.pad(d_w, ((0, B_pad - B), (0, 0)))
+        pad_bias = jnp.pad(pad_bias, ((0, B_pad - B), (0, 0)))
+
+    kernel = functools.partial(
+        _bwd_kernel_streamed_mh, num_heads=H, want_dkv=want_dkv
+    )
+    tile = lambda i: (i, 0)  # noqa: E731
+    whole = lambda i: (0, 0)  # noqa: E731
+    dkv_specs = (
+        [pl.BlockSpec((TB, M * E), tile, memory_space=pltpu.VMEM)]
+        if want_dkv else []
+    )
+    dkv_shapes = (
+        [jax.ShapeDtypeStruct((B_pad, M * E), kv_dtype)] if want_dkv else []
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=(B_pad // TB,),
+        in_specs=[
+            pl.BlockSpec((TB, M * E), tile, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, H * E), tile, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, M), tile, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, M), tile, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, E), whole, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H), whole, memory_space=pltpu.VMEM),
+        ],
+        out_specs=dkv_specs + [
+            pl.BlockSpec((H + 1, E), whole, memory_space=pltpu.VMEM),
+        ],
+        out_shape=tuple(dkv_shapes) + (
+            jax.ShapeDtypeStruct((H + 1, E), f32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=(8 + 6 * H) * B_pad * M * E,
+            bytes_accessed=B_pad * E * (
+                M * kv_dtype.itemsize * (2 if want_dkv else 1) + 4 * H
+            ),
+            transcendentals=B_pad * M * H,
+        ),
+        interpret=interpret,
+    )(kv_flat, d_mix, d_w, pad_bias, u, c.reshape(1, H))
+
+    if want_dkv:
+        d_kv, acc = outs
+        d_kv = d_kv[:B].reshape(B, M, E)
+    else:
+        (acc,) = outs
+        d_kv = jnp.zeros((B, M, E), kv_dtype)
+    du = acc[:H]  # (H, E)
+    dc = acc[H, :H]  # (H,)
+
+    with jax.default_matmul_precision(
+        "highest" if precision == "highest" else "default"
+    ):
+        d_qph = scale * (
+            jnp.einsum("he,hde->hd", du, wkh)
+            + dc[:, None] * bk.reshape(H, Dh)
+        )
+        dWk = (scale * jnp.einsum("hd,he->hde", qph, du)).reshape(E, E)
+        d_bk = (scale * dc[:, None] * qph).reshape(E) if has_bias else None
+        d_qp = d_qph.reshape(E)
+        dWq = jnp.outer(d_qp, qrow)
+        d_qrow = d_qp @ wq
+
+    d_in_proj_weight = jnp.concatenate([dWq, dWk, dWv], axis=0)
+    d_in_proj_bias = (
+        jnp.concatenate([d_qp, d_bk, d_bv]) if has_bias else None
+    )
+    d_params = AttentionPoolParams(
+        in_proj_weight=d_in_proj_weight,
+        out_proj_weight=dWo,
+        in_proj_bias=d_in_proj_bias,
+        out_proj_bias=dbo,
+    )
+    return d_params, d_qrow, d_kv.astype(kv_dtype), None, None, None
+
+
 def _bwd_streamed(residuals, cots, mix, *, precision, interpret,
                   want_dkv=True):
     """Backward for the streamed H == 1 path (E > resident cap)."""
@@ -1368,12 +1602,17 @@ def _shared_bwd(
 
     override = os.environ.get("AECF_SHARED_BWD", "auto")
     if mix_res is not None and override != "xla":
-        # Streamed path (H == 1, E > resident cap): XLA E×E GEMMs + a
+        # Streamed path (H ≤ 2, E > resident cap): XLA E×E GEMMs + a
         # one-pass-over-kv Pallas kernel; no (E, E) matrix in VMEM.
         # AECF_SHARED_BWD=xla still forces the plain XLA backward (A/B).
-        return _bwd_streamed(
-            residuals, cots, mix_res, precision=precision,
-            interpret=interpret, want_dkv=kv_grad,
+        if num_heads == 1:
+            return _bwd_streamed(
+                residuals, cots, mix_res, precision=precision,
+                interpret=interpret, want_dkv=kv_grad,
+            )
+        return _bwd_streamed_mh(
+            residuals, cots, mix_res, num_heads=num_heads,
+            precision=precision, interpret=interpret, want_dkv=kv_grad,
         )
     use_pallas = num_heads == 1 and (
         interpret or jax.default_backend() == "tpu"

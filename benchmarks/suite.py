@@ -591,36 +591,37 @@ def main():
     print(f"parity: {results['parity']}", flush=True)
 
     if jax.default_backend() == "tpu":
-        results["shared_bwd_ab_large"] = bwd_ab(args.quick)
-        print(f"bwd A/B: {results['shared_bwd_ab_large']}", flush=True)
-        results["kv_grad_ab_north_star"] = kv_grad_ab(args.quick)
-        print(f"kv_grad A/B: {results['kv_grad_ab_north_star']}", flush=True)
-        results["features_dtype_ab_north_star"] = features_dtype_ab(
-            args.quick
+        # Each section is fault-isolated: a failure records an error entry
+        # instead of losing the hours of already-measured sections (tunnel
+        # compiles can take 10+ min per fresh program in bad phases).
+        def section(key, fn, *a, **k):
+            try:
+                results[key] = fn(*a, **k)
+            except Exception as e:  # noqa: BLE001 — artifact boundary
+                results[key] = {
+                    "error": f"{type(e).__name__}: {str(e)[:300]}"
+                }
+            print(f"{key}: {results[key]}", flush=True)
+            if args.json:  # checkpoint partial results
+                with open(args.json, "w") as f:
+                    json.dump(results, f, indent=2)
+
+        section("shared_bwd_ab_large", bwd_ab, args.quick)
+        section("kv_grad_ab_north_star", kv_grad_ab, args.quick)
+        section(
+            "features_dtype_ab_north_star", features_dtype_ab, args.quick
         )
-        print(
-            f"features dtype A/B: {results['features_dtype_ab_north_star']}",
-            flush=True,
-        )
-        results["eval_fwd_ab_large"] = eval_forward_ab(args.quick)
-        print(f"eval fwd A/B: {results['eval_fwd_ab_large']}", flush=True)
+        section("eval_fwd_ab_large", eval_forward_ab, args.quick)
         # serving beyond the resident cap: int8 through the streamed split
-        results["eval_fwd_ab_e2048"] = eval_forward_ab(
-            args.quick, B=4096, M=4, E=2048
+        section(
+            "eval_fwd_ab_e2048", eval_forward_ab, args.quick,
+            B=4096, M=4, E=2048,
         )
-        print(f"eval fwd A/B E=2048: {results['eval_fwd_ab_e2048']}",
-              flush=True)
-        results["streamed_e2048_ab"] = streamed_e2048_ab(args.quick)
-        print(f"E=2048 A/B: {results['streamed_e2048_ab']}", flush=True)
+        section("streamed_e2048_ab", streamed_e2048_ab, args.quick)
         # H=2 streamed boundary — measured, not assumed (round-3 verdict
         # Weak #4): two-head mix kernel + XLA V/out GEMMs vs full XLA.
-        results["streamed_h2_e2048_ab"] = streamed_e2048_ab(
-            args.quick, H=2
-        )
-        print(f"E=2048 H=2 A/B: {results['streamed_h2_e2048_ab']}",
-              flush=True)
-        results["serving_frozen"] = serving_frozen_bench(args.quick)
-        print(f"serving frozen: {results['serving_frozen']}", flush=True)
+        section("streamed_h2_e2048_ab", streamed_e2048_ab, args.quick, H=2)
+        section("serving_frozen", serving_frozen_bench, args.quick)
 
     if args.json:
         with open(args.json, "w") as f:

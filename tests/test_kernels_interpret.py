@@ -281,8 +281,10 @@ class TestStreamedE2048Interpret:
         np.testing.assert_allclose(w_k, w_o, atol=1e-5)
         np.testing.assert_allclose(mw, w_k, atol=1e-7)
 
-    def test_h2_grads_match_oracle(self):
-        """H == 2 streamed forward + XLA einsum backward end to end."""
+    @pytest.mark.parametrize("kv_grad", [True, False])
+    def test_h2_grads_match_oracle(self, kv_grad):
+        """H == 2 streamed forward + streamed multi-head Pallas backward
+        (one kv pass; the XLA einsum backward reads kv 4x) end to end."""
         from aecf_tpu.kernels import fused_fusion_pool_shared
 
         params, query, kv = self._setup(B=8)
@@ -291,7 +293,7 @@ class TestStreamedE2048Interpret:
         def loss_k(p, qq, x):
             o, w, _, _ = fused_fusion_pool_shared(
                 p, qq, x, num_heads=2, training=False, interpret=True,
-                precision="highest",
+                precision="highest", kv_grad=kv_grad,
             )
             return (o * o).mean() + (w * w).sum()
 
@@ -309,9 +311,15 @@ class TestStreamedE2048Interpret:
             lambda a, b: np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), atol=2e-4
             ),
-            gk,
-            go,
+            (gk[0], gk[1]),
+            (go[0], go[1]),
         )
+        if kv_grad:
+            np.testing.assert_allclose(
+                np.asarray(gk[2]), np.asarray(go[2]), atol=2e-4
+            )
+        else:
+            np.testing.assert_allclose(np.asarray(gk[2]), 0.0, atol=0)
 
 
 class TestEvalEntropyGradient:
