@@ -590,9 +590,8 @@ def _forward_streamed(
     """Forward for E beyond the resident-weight kernel's VMEM cap (H ≤ 2).
 
     Returns ``(out, w, mw, ent, rate, mix)`` — ``mix`` is also an output
-    so the H == 1 backward can form ``G = d_outᵀ @ mix`` without
-    re-reading kv (H == 2 uses the XLA backward; its ``mix`` residual is
-    dropped).  With int8 ``kv`` + ``kv_scales`` the kernel dequantizes in
+    so the streamed backwards can reuse it without re-reading kv (H == 1:
+    the ``G = d_outᵀ @ mix`` GEMM; H == 2: the per-head dWv/ctx GEMMs).  With int8 ``kv`` + ``kv_scales`` the kernel dequantizes in
     VMEM (inference path; the q8 entry has no vjp).
     """
     B, M, E = kv.shape
@@ -1587,9 +1586,12 @@ def _shared_bwd(
     # H == 1 (every reference flow; north-star + large configs): fused
     # Pallas backward — one kv read, two per-tile GEMMs, measured 1.46x the
     # XLA backward at E=1024/M=4 (docs/artifacts/bench_suite.json).
-    # H > 1 uses the XLA einsum backward — a Pallas mh variant was built,
-    # verified, measured slower at EVERY head count, and deleted (see the
-    # measurement note above _bwd_pallas).  Interpret mode runs the Pallas
+    # H > 1 RESIDENT configs use the XLA einsum backward — a resident
+    # Pallas mh variant was built, verified, measured slower at EVERY head
+    # count, and deleted (see the measurement note above _bwd_pallas); the
+    # STREAMED H == 2 path (E > cap) has its own one-pass multi-head
+    # Pallas backward (_bwd_streamed_mh), where the kv re-reads it saves
+    # are 4x larger.  Interpret mode runs the Pallas
     # paths hermetically on CPU.  AECF_SHARED_BWD=xla|pallas overrides
     # (A/B; 'pallas' applies to H == 1 only).
     import os
