@@ -157,6 +157,12 @@ def step_cost_model(batch, modalities, embed, heads, *, kv_grad,
     return flops, bytes_accessed
 
 
+def _resident_e_cap():
+    from aecf_tpu.kernels.shared_query import _RESIDENT_E_CAP
+
+    return _RESIDENT_E_CAP
+
+
 # Below ~30us/step the measurement reflects scan/launch overheads and
 # XLA's small-batch optimizations (notably: the params+optimizer carry can
 # be VMEM-promoted across the scan, so the all-HBM byte model overcounts),
@@ -175,7 +181,12 @@ def roofline(samples_per_sec, batch, modalities, embed, heads, *,
     implies >1.0 of a peak — both mean "this number is a diagnostic, not
     a utilization claim".
     """
-    flops, bytes_accessed = step_cost_model(
+    cost_model = (
+        streamed_step_cost_model
+        if embed > _resident_e_cap()
+        else step_cost_model
+    )
+    flops, bytes_accessed = cost_model(
         batch, modalities, embed, heads,
         kv_grad=kv_grad, feat_bytes=feat_bytes,
     )
@@ -188,6 +199,8 @@ def roofline(samples_per_sec, batch, modalities, embed, heads, *,
         "flops_per_step": flops,
         "hbm_bytes_per_step": bytes_accessed,
     }
+    if cost_model is streamed_step_cost_model:
+        out["model"] = "streamed-analytic"
     t_min = max(
         flops / V5E_PEAK_FLOPS, bytes_accessed / V5E_PEAK_HBM_BYTES
     )
@@ -258,6 +271,42 @@ def xla_roofline(samples_per_sec, batch, jitted, args):
             "config; treat as model error, not utilization"
         )
     return out
+
+
+def streamed_step_cost_model(batch, modalities, embed, heads, *,
+                             kv_grad, feat_bytes=4):
+    """Analytic (flops, hbm_bytes) per train step on the STREAMED split
+    (H ≤ 2, E > resident cap): Pallas one-pass-over-kv mix kernel + XLA
+    context GEMMs, with the streamed backward (one kv pass, d_mix/G
+    GEMMs in XLA).
+
+    HBM terms: kv read twice (fwd + bwd kernels); the (B, H·E) mix
+    round-trips twice (kernel write → GEMM read; d_mix GEMM write →
+    kernel read); out/d_out once each; optional d_kv write; context
+    weights (W_vo at H=1, Wv+Wo at H=2) read in fwd and bwd GEMMs plus
+    the weight-grad GEMM outputs; optimizer read+read+write.
+    """
+    H = heads
+    kv_bytes = batch * modalities * embed * feat_bytes
+    mix_bytes = batch * H * embed * 4
+    out_bytes = batch * embed * 4
+    w_ctx = embed * embed * 4 * (1 if H == 1 else 2)
+    gemm_flops = 2 * batch * embed * embed * (
+        (1 + 2) if H == 1 else (2 + 5)  # fwd + bwd GEMM passes
+    )
+    if H == 1:
+        gemm_flops += 2 * embed ** 3  # W_vo = Wo @ Wv precompute
+    flops = gemm_flops + (14 + 6 * H) * batch * modalities * embed
+    bytes_accessed = (
+        2 * kv_bytes
+        + (kv_bytes if kv_grad else 0)
+        + 4 * mix_bytes
+        + 2 * out_bytes
+        + (5 * modalities + 4) * batch * 4
+        + 3 * w_ctx  # fwd GEMM read + bwd GEMM read + grad write
+        + 3 * (4 * embed * embed) * 4  # optimizer
+    )
+    return flops, bytes_accessed
 
 
 def resolve_impl(heads: int, embed: int) -> str:
@@ -413,22 +462,14 @@ def main():
             ),
         },
     }
-    from aecf_tpu.kernels.shared_query import _RESIDENT_E_CAP
-
-    if (
-        jax.default_backend() == "tpu"
-        and impl == "pallas"
-        and embed <= _RESIDENT_E_CAP
-    ):
+    if jax.default_backend() == "tpu" and impl == "pallas":
         # Roofline/MFU at the measured throughput — "is it actually fast"
         # as a number: fraction of v5e bf16 peak FLOP/s and of HBM
-        # bandwidth implied by the analytic per-step cost model.  The
-        # analytic model describes the RESIDENT fused path only; the
-        # streamed E>cap split (whose mix/d_mix HBM round-trips and E³
-        # weight-grad GEMMs it omits) skips the field rather than publish
-        # numbers for a path that never ran.  Entries carry
-        # dispatch_bound/model_exceeds_roofline flags when the number is
-        # a diagnostic rather than a utilization claim.
+        # bandwidth implied by the analytic per-step cost model (the
+        # resident fused model at E ≤ cap, the streamed-split model
+        # above it — roofline() picks).  Entries carry dispatch_bound/
+        # model_exceeds_roofline flags when the number is a diagnostic
+        # rather than a utilization claim.
         result["roofline"] = roofline(
             samples_per_sec, batch, modalities, embed, heads,
             kv_grad=args.kv_grad,

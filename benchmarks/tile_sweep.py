@@ -37,6 +37,8 @@ def main():
     ap.add_argument("--fwd-tiles", default="32,64,128")
     ap.add_argument("--bwd-tiles", default="default")
     ap.add_argument("--kv-grad", action="store_true")
+    ap.add_argument("--features-dtype", default="float32",
+                    choices=["float32", "bfloat16"])
     ap.add_argument("--steps", type=int, default=60)
     ap.add_argument("--rounds", type=int, default=5)
     ap.add_argument("--json", default=None)
@@ -74,7 +76,8 @@ def main():
             print(f"compiling {name}...", file=sys.stderr, flush=True)
             try:
                 c, p, s = build_chunk(
-                    B, M, E, H, "pallas", K, kv_grad=args.kv_grad
+                    B, M, E, H, "pallas", K, kv_grad=args.kv_grad,
+                    features_dtype=args.features_dtype,
                 )
                 p, s, loss = c(p, s, jnp.int32(0))
                 float(loss)
@@ -99,7 +102,8 @@ def main():
 
     out = {
         "config": (
-            f"B={B},M={M},E={E},H={H},kv_grad={args.kv_grad},K={K}"
+            f"B={B},M={M},E={E},H={H},kv_grad={args.kv_grad},"
+            f"feats={args.features_dtype},K={K}"
         ),
         "tunnel_rtt_ms": round(rtt * 1e3, 2),
         "median_sps": {

@@ -448,6 +448,25 @@ def test_streamed_e8192_forward_on_chip():
     np.testing.assert_allclose(w_k, w_o, atol=1e-5)
 
 
+def test_streamed_h2_e8192_forward_on_chip():
+    """The advertised streamed cap must hold for H=2 too: at E=8192/H=2
+    the mix output doubles the kernel's tile working set and TB floors at
+    32 — this pins that the VMEM envelope closes on real hardware."""
+    from aecf_tpu.kernels import fused_fusion_pool_shared
+    from aecf_tpu.kernels.shared_query import _STREAMED_E_CAP
+
+    E, M, B = _STREAMED_E_CAP, 2, 64
+    params = init_attention_pool_params(jax.random.key(0), E)
+    query = init_fusion_query(jax.random.key(1), E)
+    kv = jax.random.normal(jax.random.key(2), (B, M, E))
+    out_k, w_k, _, _ = fused_fusion_pool_shared(
+        params, query, kv, num_heads=2, training=False, precision="highest"
+    )
+    out_o, w_o = _oracle(params, jnp.broadcast_to(query, (B, 1, E)), kv, 2)
+    np.testing.assert_allclose(out_k, out_o, atol=1e-2)
+    np.testing.assert_allclose(w_k, w_o, atol=1e-5)
+
+
 def test_streamed_h2_e2048_on_chip():
     """Two-head streamed split on real hardware (round-3 verdict Next #4):
     eval parity + gradient parity vs the oracle at E=2048/H=2."""
