@@ -1045,8 +1045,15 @@ def _bwd_pallas(residuals, cots, *, precision, interpret, want_dkv=True):
     # E=1024 and 256 still exceeds VMEM (remote-compile failure).  Without
     # the d_kv output tile (want_dkv=False) the freed VMEM admits larger
     # tiles, measured within-run: 512 +6% at E=512, 256 +8% at E=1024.
+    # bf16 kv tiles are HALF the bytes, so the no-dkv default at E=1024
+    # rises to 384: +32% within-run (turns bf16 at the large config from
+    # 0.82x to ~1.08x vs f32); 512 exceeds VMEM.  At E<=512 the larger
+    # 768 tile measured -12%, so 512 stays for both dtypes
+    # (docs/artifacts/sweep_bf16_large.json, round 4).
     if want_dkv:
         TB = _pick_tile(256 if E <= 512 else 192, "AECF_BWD_TB", B)
+    elif E > 512 and kv.dtype.itemsize == 2:
+        TB = _pick_tile(384, "AECF_BWD_TB", B)
     else:
         TB = _pick_tile(512 if E <= 512 else 256, "AECF_BWD_TB", B)
     B_pad = _round_up(B, TB)

@@ -611,6 +611,12 @@ def main():
         section(
             "features_dtype_ab_north_star", features_dtype_ab, args.quick
         )
+        # bf16 at the large config: regression until round 4's dtype-aware
+        # backward tile (TB=384) — kept in the artifact so it can't rot.
+        section(
+            "features_dtype_ab_large", features_dtype_ab, args.quick,
+            B=8192, M=4, E=1024,
+        )
         section("eval_fwd_ab_large", eval_forward_ab, args.quick)
         # serving beyond the resident cap: int8 through the streamed split
         section(
