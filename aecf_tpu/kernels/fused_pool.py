@@ -93,8 +93,9 @@ def prefers_fused(*, num_heads: int) -> bool:
     LOSES 2x at H=8 — per-head Dh=E/H GEMMs underfill the 128x128 MXU
     while XLA batches heads into efficient einsums.  The same H<=2
     boundary holds beyond the resident cap: the streamed split wins
-    3.98x (H=1) and 2.50x (H=2 with its one-pass multi-head backward,
-    round 4) at E=2048 vs the XLA fallback.  Auto dispatch routes H>2 to
+    3.91x (H=1) and 2.59x (H=2 with its one-pass multi-head backward,
+    round 4; docs/artifacts/bench_suite.json streamed_*_ab) at E=2048
+    vs the XLA fallback.  Auto dispatch routes H>2 to
     the XLA path; ``implementation='pallas'`` still forces the kernel.
     """
     return num_heads <= 2

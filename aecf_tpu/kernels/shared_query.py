@@ -44,11 +44,34 @@ from ..core.masking import EPS
 __all__ = ["fused_fusion_pool_shared", "quantize_features"]
 
 
-def _pick_tile(default: int, env: str, B: int, *, num_heads: int = 1) -> int:
+# Single-buffer budget for the TB-scaled blocks of a streamed launch.
+# Calibrated to the measured E=2048/M=3 boundary: TB=128 (7.0MB of
+# blocks, ~14MB double-buffered) exceeds the 16MB scoped-vmem budget on
+# v5e; TB=64 (3.5MB) fits.  5MB leaves ~6MB of double-buffered headroom
+# for the whole-block operands (u, accumulators) and Mosaic scratch.
+_VMEM_ROW_BUDGET = 5 * (1 << 20)
+
+
+def _pick_tile(
+    default: int,
+    env: str,
+    B: int,
+    *,
+    num_heads: int = 1,
+    row_bytes: Optional[int] = None,
+) -> int:
     """Batch-tile selection, shared by every launch site: measured default,
     env override (``AECF_FWD_TB``/``AECF_BWD_TB`` for A/B sweeps), per-head
     VMEM scaling (the unrolled head loop holds ~H/2 extra (TB, E)
-    temporaries), clamp to the padded batch."""
+    temporaries), clamp to the padded batch.
+
+    ``row_bytes`` (streamed launch sites): bytes of TB-scaled block per
+    batch row.  The default is clamped so the single-buffered blocks stay
+    under :data:`_VMEM_ROW_BUDGET` — at the E=8192 cap the 1/E default
+    formulas alone would floor at 32 rows and overflow scoped vmem when
+    d_kv tiles are also resident.  Env overrides are NOT clamped (sweeps
+    intentionally probe the limit; Mosaic rejects over-budget tiles with
+    an explicit error)."""
     import os
 
     raw = os.environ.get(env)
@@ -65,6 +88,8 @@ def _pick_tile(default: int, env: str, B: int, *, num_heads: int = 1) -> int:
             raise ValueError(f"{env}={raw!r}: batch tile must be >= 8")
     else:
         tb = default
+        if row_bytes is not None:
+            tb = min(tb, max(8, _VMEM_ROW_BUDGET // row_bytes // 8 * 8))
     if num_heads > 2:
         tb = max(64, tb // (num_heads // 2))
     return min(tb, _round_up(B, 8))
@@ -613,7 +638,8 @@ def _forward_streamed(
     # defaults (E=1536 → 170): align down to the (8, 128) f32 sublane
     # tile.
     TB = _pick_tile(
-        max(32, (1 << 18) // (E * H) // 8 * 8), "AECF_FWD_TB", B
+        max(32, (1 << 18) // (E * H) // 8 * 8), "AECF_FWD_TB", B,
+        row_bytes=E * (M * kv.dtype.itemsize + 4 * H),
     )
     B_pad = _round_up(B, TB)
     kv_flat = kv.reshape(B, M * E)
@@ -886,6 +912,54 @@ def _fold_entropy_cotangent(d_w, d_ent, w, seq_len):
     return extra if d_w is None else d_w + extra
 
 
+def _tile_softmax_bwd(kv_slices, u, bias, d_mix, d_w, *, want_dkv):
+    """Per-tile score-recompute → softmax → softmax-backward → d_kv/du
+    chain shared by all three backward kernels (resident ``_bwd_kernel``,
+    streamed ``_bwd_kernel_streamed``, and each head of
+    ``_bwd_kernel_streamed_mh``) — the backward mirror of the forward's
+    shared ``_weights_entropy_mask`` body, so a numerical fix lands in
+    one place.
+
+    Inputs are f32 tile values: ``kv_slices`` is a length-M list of
+    (TB, E) feature slices, ``u`` the (E,) score vector, ``bias`` the
+    (TB, M) additive score bias (pad mask + score offset c, pre-folded by
+    the caller), ``d_mix`` (TB, E), ``d_w`` the (TB, M) cotangent on this
+    head's weights (callers fold head-averaging scale in).  Returns
+    ``(a, d_s, du_acc, dkv_terms)``: softmax weights, score cotangent,
+    ``Σ_b d_s·kv`` as (1, E), and a length-M list of per-modality d_kv
+    tiles (``None`` when ``want_dkv`` is False — frozen-feature callers
+    skip the work entirely).
+    """
+    TB, M = bias.shape
+    f32 = jnp.float32
+    col = lax.broadcasted_iota(jnp.int32, (TB, M), 1)
+
+    s = jnp.zeros((TB, M), f32)
+    d_a = jnp.zeros((TB, M), f32)
+    for m, kv_m in enumerate(kv_slices):
+        s_m = (kv_m * u).sum(axis=-1, keepdims=True)
+        da_m = (d_mix * kv_m).sum(axis=-1, keepdims=True)
+        s = s + jnp.where(col == m, s_m, 0.0)
+        d_a = d_a + jnp.where(col == m, da_m, 0.0)
+    s = s + bias
+    smax = s.max(axis=-1, keepdims=True)
+    e = jnp.exp(s - smax)
+    a = e / e.sum(axis=-1, keepdims=True)  # (TB, M)
+
+    d_a = d_a + d_w
+    d_s = a * (d_a - (a * d_a).sum(axis=-1, keepdims=True))  # (TB, M)
+
+    E = kv_slices[0].shape[1]
+    du_acc = jnp.zeros((1, E), f32)
+    dkv_terms = [] if want_dkv else None
+    for m, kv_m in enumerate(kv_slices):
+        ds_m = d_s[:, m : m + 1]
+        if want_dkv:
+            dkv_terms.append(a[:, m : m + 1] * d_mix + ds_m * u)
+        du_acc = du_acc + (ds_m * kv_m).sum(axis=0, keepdims=True)
+    return a, d_s, du_acc, dkv_terms
+
+
 def _bwd_kernel(
     kv_ref,  # (TB, M*E) — flattened, lane-sliced (see _shared_kernel doc)
     dout_ref,  # (TB, E)
@@ -935,57 +1009,36 @@ def _bwd_kernel(
     d_out = dout_ref[:]
     u = u_ref[0, :]
 
-    # ---- recompute softmax (same unrolled scheme as the forward) ------------
-    col = lax.broadcasted_iota(jnp.int32, (TB, M), 1)
-    s = jnp.zeros((TB, M), f32)
-    for m, kv_m in enumerate(kv_slices):
-        s_m = (kv_m * u).sum(axis=-1, keepdims=True)
-        s = s + jnp.where(col == m, s_m, 0.0)
-    s = s + bias_ref[:]
-    smax = s.max(axis=-1, keepdims=True)
-    e = jnp.exp(s - smax)
-    a = e / e.sum(axis=-1, keepdims=True)  # (TB, M)
-
-    def mixed(w):
-        acc = w[:, 0:1] * kv_slices[0]
-        for m in range(1, M):
-            acc = acc + w[:, m : m + 1] * kv_slices[m]
-        return acc
-
-    mix = mixed(a)  # (TB, E)
-
-    # ---- the two MXU GEMMs ---------------------------------------------------
-    # out = mix @ W_voᵀ + b  ⇒  d_mix = d_out @ W_vo
+    # out = mix @ W_voᵀ + b  ⇒  d_mix = d_out @ W_vo (first MXU GEMM)
     d_mix = jnp.dot(
         d_out, wvo_ref[:], preferred_element_type=f32,
         precision=mxu_precision,
     )
+
+    # H == 1: head-average is identity, so dw passes through unscaled.
+    a, d_s, du_acc, dkv_terms = _tile_softmax_bwd(
+        kv_slices, u, bias_ref[:], d_mix, dw_ref[:], want_dkv=want_dkv
+    )
+
+    mix = a[:, 0:1] * kv_slices[0]
+    for m in range(1, M):
+        mix = mix + a[:, m : m + 1] * kv_slices[m]
+
+    # second MXU GEMM: G += d_outᵀ @ mix (contract over the batch tile)
     g_ref[:] += lax.dot_general(
         d_out, mix,
-        dimension_numbers=(((0,), (0,)), ((), ())),  # contract batch
+        dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=f32,
         precision=mxu_precision,
     )
 
-    # ---- softmax backward -----------------------------------------------------
-    d_a = jnp.zeros((TB, M), f32)
-    for m, kv_m in enumerate(kv_slices):
-        da_m = (d_mix * kv_m).sum(axis=-1, keepdims=True)
-        d_a = d_a + jnp.where(col == m, da_m, 0.0)
-    d_a = d_a + dw_ref[:]  # H == 1: head-average is identity
-    d_s = a * (d_a - (a * d_a).sum(axis=-1, keepdims=True))  # (TB, M)
-
-    # ---- d_kv + reductions ----------------------------------------------------
-    du_acc = jnp.zeros((1, E), f32)
-    for m, kv_m in enumerate(kv_slices):
-        ds_m = d_s[:, m : m + 1]
-        if want_dkv:
+    if want_dkv:
+        for m in range(M):
             # d_kv is stored in the feature dtype (bf16 features ⇒ bf16
             # cotangent written directly — halves the d_kv HBM traffic).
-            dkv_ref[:, m * E : (m + 1) * E] = (
-                a[:, m : m + 1] * d_mix + ds_m * u
-            ).astype(dkv_ref.dtype)
-        du_acc = du_acc + (ds_m * kv_m).sum(axis=0, keepdims=True)
+            dkv_ref[:, m * E : (m + 1) * E] = dkv_terms[m].astype(
+                dkv_ref.dtype
+            )
     du_ref[:] += du_acc
     # Row 0 ← Σ_b d_out; row 1, col 0 ← Σ d_s.  Built by broadcast-select
     # (Mosaic cannot concat offset-mismatched vectors).
@@ -1009,6 +1062,73 @@ def _bwd_kernel(
 # A framework should not carry a kernel that never dispatches; git history
 # (round 2) has the implementation if larger-Dh shapes ever warrant a
 # re-evaluation.
+
+
+def _out_vproj_bwd(d_out, mixh, wvh, wo, bv, has_out_bias, prec=None):
+    """Backward through ``ctx = Σ_h mix_h·Wv_h + bv; out = ctx@Woᵀ+bo``
+    (the XLA out/V-projection prologue shared by ``_bwd_streamed_mh`` and
+    ``_shared_bwd_impl``).  ``mixh`` is (B, H, E), ``wvh`` (H, Dh, E).
+    Returns ``(d_mix (B, H, E), dWo, dbo, dWv, d_bv)``."""
+    B = d_out.shape[0]
+    H, Dh, E = wvh.shape
+    ctx = jnp.einsum(
+        "bhe,hde->bhd", mixh, wvh, precision=prec
+    ).reshape(B, E) + bv
+    d_ctx = jnp.matmul(d_out, wo, precision=prec)  # (B, E)
+    dWo = jnp.matmul(d_out.T, ctx, precision=prec)
+    dbo = d_out.sum(0) if has_out_bias else None
+    d_ctx_h = d_ctx.reshape(B, H, Dh)
+    d_mix = jnp.einsum("bhd,hde->bhe", d_ctx_h, wvh, precision=prec)
+    dWv = jnp.einsum(
+        "bhd,bhe->hde", d_ctx_h, mixh, precision=prec
+    ).reshape(E, E)
+    d_bv = d_ctx.sum(0)
+    return d_mix, dWo, dbo, dWv, d_bv
+
+
+def _g_epilogue(G, dsum_out, wv, wo, bv, has_out_bias):
+    """Reconstruct (dWo, dWv, d_bv, dbo) from the fused-backward G
+    accumulator (``G = Σ_b d_out ⊗ mix``) — the H == 1 trick shared by
+    ``_bwd_pallas`` and ``_bwd_streamed``: two E×E GEMMs once per step
+    instead of per tile."""
+    dWo = G @ wv.T + jnp.outer(dsum_out, bv)
+    dWv = wo.T @ G
+    d_bv = dsum_out @ wo
+    dbo = dsum_out if has_out_bias else None
+    return dWo, dWv, d_bv, dbo
+
+
+def _query_path_grads(scale, qph, wkh, bk, du, dc, wq, qrow, has_bias):
+    """Query/key-projection backward shared by every backward variant:
+    ``u_h = scale·(qp_h @ Wk_h)``, ``c_h = scale·(qp_h · bk_h)`` ⇒
+    grads for qp, Wk, bk, Wq, and the query row.  ``qph`` (H, Dh),
+    ``du`` (H, E), ``dc`` (H,).  H == 1 callers pass 1-row reshapes."""
+    H, Dh = qph.shape
+    E = wkh.shape[2]
+    bkh = bk.reshape(H, Dh)
+    d_qph = scale * (
+        jnp.einsum("he,hde->hd", du, wkh) + dc[:, None] * bkh
+    )
+    dWk = (scale * jnp.einsum("hd,he->hde", qph, du)).reshape(H * Dh, E)
+    d_bk = (scale * dc[:, None] * qph).reshape(H * Dh) if has_bias else None
+    d_qp = d_qph.reshape(H * Dh)
+    dWq = jnp.outer(d_qp, qrow)
+    d_qrow = d_qp @ wq
+    return d_qp, dWk, d_bk, dWq, d_qrow
+
+
+def _assemble_d_params(dWq, dWk, dWv, dWo, d_qp, d_bk, d_bv, dbo, has_bias):
+    """Pack the per-projection grads into AttentionPoolParams (the
+    reference's packed in_proj layout, AECFLayer.py:409-547)."""
+    d_in_proj_bias = (
+        jnp.concatenate([d_qp, d_bk, d_bv]) if has_bias else None
+    )
+    return AttentionPoolParams(
+        in_proj_weight=jnp.concatenate([dWq, dWk, dWv], axis=0),
+        out_proj_weight=dWo,
+        in_proj_bias=d_in_proj_bias,
+        out_proj_bias=dbo,
+    )
 
 
 def _bwd_pallas(residuals, cots, *, precision, interpret, want_dkv=True):
@@ -1124,30 +1244,16 @@ def _bwd_pallas(residuals, cots, *, precision, interpret, want_dkv=True):
     with jax.default_matmul_precision(
         "highest" if precision == "highest" else "default"
     ):
-        dWo = G @ wv.T + jnp.outer(dsum_out, bv)
-        dWv = wo.T @ G
-        d_bv = dsum_out @ wo
-        dbo = dsum_out if params.out_proj_bias is not None else None
+        dWo, dWv, d_bv, dbo = _g_epilogue(
+            G, dsum_out, wv, wo, bv, params.out_proj_bias is not None
+        )
+        d_qp, dWk, d_bk, dWq, d_qrow = _query_path_grads(
+            scale, qp.reshape(1, E), wk.reshape(1, E, E), bk,
+            du.reshape(1, E), dc.reshape(1), wq, qrow, has_bias,
+        )
 
-        # u_e = scale·Σ_f qp_f·wk[f,e], c = scale·(qp·bk)
-        # ⇒ d_qp_f = scale·Σ_e du_e·wk[f,e] + scale·dc·bk_f
-        #   dWk[f,e] = scale·qp_f·du_e
-        d_qp = scale * (wk @ du + dc * bk)
-        dWk = scale * jnp.outer(qp, du)
-        d_bk = scale * dc * qp if has_bias else None
-
-        dWq = jnp.outer(d_qp, qrow)
-        d_qrow = d_qp @ wq
-
-    d_in_proj_weight = jnp.concatenate([dWq, dWk, dWv], axis=0)
-    d_in_proj_bias = (
-        jnp.concatenate([d_qp, d_bk, d_bv]) if has_bias else None
-    )
-    d_params = AttentionPoolParams(
-        in_proj_weight=d_in_proj_weight,
-        out_proj_weight=dWo,
-        in_proj_bias=d_in_proj_bias,
-        out_proj_bias=dbo,
+    d_params = _assemble_d_params(
+        dWq, dWk, dWv, dWo, d_qp, d_bk, d_bv, dbo, has_bias
     )
     return d_params, d_qrow, d_kv.astype(kv_dtype), None, None, None
 
@@ -1183,37 +1289,15 @@ def _bwd_kernel_streamed(
     kv_slices = [
         kv_ref[:, m * E : (m + 1) * E].astype(f32) for m in range(M)
     ]
-    d_mix = dmix_ref[:]
-    u = u_ref[0, :]
-
-    # ---- recompute softmax (same unrolled scheme as the forward) ------------
-    col = lax.broadcasted_iota(jnp.int32, (TB, M), 1)
-    s = jnp.zeros((TB, M), f32)
-    for m, kv_m in enumerate(kv_slices):
-        s_m = (kv_m * u).sum(axis=-1, keepdims=True)
-        s = s + jnp.where(col == m, s_m, 0.0)
-    s = s + bias_ref[:]
-    smax = s.max(axis=-1, keepdims=True)
-    e = jnp.exp(s - smax)
-    a = e / e.sum(axis=-1, keepdims=True)  # (TB, M)
-
-    # ---- softmax backward ----------------------------------------------------
-    d_a = jnp.zeros((TB, M), f32)
-    for m, kv_m in enumerate(kv_slices):
-        da_m = (d_mix * kv_m).sum(axis=-1, keepdims=True)
-        d_a = d_a + jnp.where(col == m, da_m, 0.0)
-    d_a = d_a + dw_ref[:]
-    d_s = a * (d_a - (a * d_a).sum(axis=-1, keepdims=True))  # (TB, M)
-
-    # ---- d_kv + reductions ---------------------------------------------------
-    du_acc = jnp.zeros((1, E), f32)
-    for m, kv_m in enumerate(kv_slices):
-        ds_m = d_s[:, m : m + 1]
-        if want_dkv:
-            dkv_ref[:, m * E : (m + 1) * E] = (
-                a[:, m : m + 1] * d_mix + ds_m * u
-            ).astype(dkv_ref.dtype)
-        du_acc = du_acc + (ds_m * kv_m).sum(axis=0, keepdims=True)
+    _a, d_s, du_acc, dkv_terms = _tile_softmax_bwd(
+        kv_slices, u_ref[0, :], bias_ref[:], dmix_ref[:], dw_ref[:],
+        want_dkv=want_dkv,
+    )
+    if want_dkv:
+        for m in range(M):
+            dkv_ref[:, m * E : (m + 1) * E] = dkv_terms[m].astype(
+                dkv_ref.dtype
+            )
     # Row 0 ← du; row 1, col 0 ← Σ d_s (broadcast-select; Mosaic cannot
     # concat offset-mismatched vectors).
     row = lax.broadcasted_iota(jnp.int32, (2, E), 0)
@@ -1258,36 +1342,18 @@ def _bwd_kernel_streamed_mh(
     kv_slices = [
         kv_ref[:, m * E : (m + 1) * E].astype(f32) for m in range(M)
     ]
-    col = lax.broadcasted_iota(jnp.int32, (TB, M), 1)
-
     dkv_acc = [jnp.zeros((TB, E), f32) for _ in range(M)] if want_dkv else None
     du_rows = []
     dc_vals = []
+    dw_h = dw_ref[:] * (1.0 / H)  # head-average cotangent
     for h in range(H):
-        u_h = u_ref[h, :]
-        d_mix_h = dmix_ref[:, h * E : (h + 1) * E]
-
-        s = jnp.zeros((TB, M), f32)
-        d_a = jnp.zeros((TB, M), f32)
-        for m, kv_m in enumerate(kv_slices):
-            s_m = (kv_m * u_h).sum(axis=-1, keepdims=True)
-            da_m = (d_mix_h * kv_m).sum(axis=-1, keepdims=True)
-            s = s + jnp.where(col == m, s_m, 0.0)
-            d_a = d_a + jnp.where(col == m, da_m, 0.0)
-        s = s + c_ref[0, h] + pad_ref[:]
-        smax = s.max(axis=-1, keepdims=True)
-        e = jnp.exp(s - smax)
-        a = e / e.sum(axis=-1, keepdims=True)  # (TB, M)
-
-        d_a = d_a + dw_ref[:] * (1.0 / H)  # head-average cotangent
-        d_s = a * (d_a - (a * d_a).sum(axis=-1, keepdims=True))
-
-        du_acc = jnp.zeros((1, E), f32)
-        for m, kv_m in enumerate(kv_slices):
-            ds_m = d_s[:, m : m + 1]
-            if want_dkv:
-                dkv_acc[m] = dkv_acc[m] + a[:, m : m + 1] * d_mix_h + ds_m * u_h
-            du_acc = du_acc + (ds_m * kv_m).sum(axis=0, keepdims=True)
+        _a, d_s, du_acc, dkv_terms = _tile_softmax_bwd(
+            kv_slices, u_ref[h, :], c_ref[0, h] + pad_ref[:],
+            dmix_ref[:, h * E : (h + 1) * E], dw_h, want_dkv=want_dkv,
+        )
+        if want_dkv:
+            for m in range(M):
+                dkv_acc[m] = dkv_acc[m] + dkv_terms[m]
         du_rows.append(du_acc)
         dc_vals.append(d_s.sum())
 
@@ -1341,23 +1407,12 @@ def _bwd_streamed_mh(residuals, cots, mix, *, num_heads, precision,
         u = scale * jnp.einsum("hd,hde->he", qph, wkh)  # (H, E)
         c = scale * (qph * bk.reshape(H, Dh)).sum(-1)  # (H,)
 
-        mixh = mix.reshape(B, H, E)
-        ctx = jnp.einsum(
-            "bhe,hde->bhd", mixh, wvh, precision=prec
-        ).reshape(B, E) + bv
-
         # ---- out/V-projection backward (XLA GEMMs) ----------------------
-        d_ctx = jnp.matmul(d_out, wo, precision=prec)  # (B, E)
-        dWo = jnp.matmul(d_out.T, ctx, precision=prec)
-        dbo = d_out.sum(0) if params.out_proj_bias is not None else None
-        d_ctx_h = d_ctx.reshape(B, H, Dh)
-        d_mix = jnp.einsum(
-            "bhd,hde->bhe", d_ctx_h, wvh, precision=prec
-        ).reshape(B, H * E)
-        dWv = jnp.einsum(
-            "bhd,bhe->hde", d_ctx_h, mixh, precision=prec
-        ).reshape(E, E)
-        d_bv = d_ctx.sum(0)
+        d_mix, dWo, dbo, dWv, d_bv = _out_vproj_bwd(
+            d_out, mix.reshape(B, H, E), wvh, wo, bv,
+            params.out_proj_bias is not None, prec,
+        )
+        d_mix = d_mix.reshape(B, H * E)
 
     if key_padding_mask is None:
         pad_bias = jnp.zeros((B, M), f32)
@@ -1374,6 +1429,9 @@ def _bwd_streamed_mh(residuals, cots, mix, *, num_heads, precision,
         max(32, (1 << 18) // (E * (H if not want_dkv else 2 * H))
             // 8 * 8),
         "AECF_BWD_TB", B,
+        row_bytes=E * (
+            kv_dtype.itemsize * M * (2 if want_dkv else 1) + 4 * H
+        ),
     )
     B_pad = _round_up(B, TB)
     kv_flat = kv.reshape(B, M * E)
@@ -1434,25 +1492,12 @@ def _bwd_streamed_mh(residuals, cots, mix, *, num_heads, precision,
     with jax.default_matmul_precision(
         "highest" if precision == "highest" else "default"
     ):
-        d_qph = scale * (
-            jnp.einsum("he,hde->hd", du, wkh)
-            + dc[:, None] * bk.reshape(H, Dh)
+        d_qp, dWk, d_bk, dWq, d_qrow = _query_path_grads(
+            scale, qph, wkh, bk, du, dc, wq, qrow, has_bias
         )
-        dWk = (scale * jnp.einsum("hd,he->hde", qph, du)).reshape(E, E)
-        d_bk = (scale * dc[:, None] * qph).reshape(E) if has_bias else None
-        d_qp = d_qph.reshape(E)
-        dWq = jnp.outer(d_qp, qrow)
-        d_qrow = d_qp @ wq
 
-    d_in_proj_weight = jnp.concatenate([dWq, dWk, dWv], axis=0)
-    d_in_proj_bias = (
-        jnp.concatenate([d_qp, d_bk, d_bv]) if has_bias else None
-    )
-    d_params = AttentionPoolParams(
-        in_proj_weight=d_in_proj_weight,
-        out_proj_weight=dWo,
-        in_proj_bias=d_in_proj_bias,
-        out_proj_bias=dbo,
+    d_params = _assemble_d_params(
+        dWq, dWk, dWv, dWo, d_qp, d_bk, d_bv, dbo, has_bias
     )
     return d_params, d_qrow, d_kv.astype(kv_dtype), None, None, None
 
@@ -1503,6 +1548,9 @@ def _bwd_streamed(residuals, cots, mix, *, precision, interpret,
         max(32, (1 << 18) // E // 8 * 8) if not want_dkv
         else max(32, (1 << 17) // E // 8 * 8),
         "AECF_BWD_TB", B,
+        row_bytes=E * (
+            kv_dtype.itemsize * M * (2 if want_dkv else 1) + 4
+        ),
     )
     B_pad = _round_up(B, TB)
     kv_flat = kv.reshape(B, M * E)
@@ -1561,27 +1609,16 @@ def _bwd_streamed(residuals, cots, mix, *, precision, interpret,
     with jax.default_matmul_precision(
         "highest" if precision == "highest" else "default"
     ):
-        dWo = G @ wv.T + jnp.outer(dsum_out, bv)
-        dWv = wo.T @ G
-        d_bv = dsum_out @ wo
-        dbo = dsum_out if params.out_proj_bias is not None else None
+        dWo, dWv, d_bv, dbo = _g_epilogue(
+            G, dsum_out, wv, wo, bv, params.out_proj_bias is not None
+        )
+        d_qp, dWk, d_bk, dWq, d_qrow = _query_path_grads(
+            scale, qp.reshape(1, E), wk.reshape(1, E, E), bk,
+            du.reshape(1, E), dc.reshape(1), wq, qrow, has_bias,
+        )
 
-        d_qp = scale * (wk @ du + dc * bk)
-        dWk = scale * jnp.outer(qp, du)
-        d_bk = scale * dc * qp if has_bias else None
-
-        dWq = jnp.outer(d_qp, qrow)
-        d_qrow = d_qp @ wq
-
-    d_in_proj_weight = jnp.concatenate([dWq, dWk, dWv], axis=0)
-    d_in_proj_bias = (
-        jnp.concatenate([d_qp, d_bk, d_bv]) if has_bias else None
-    )
-    d_params = AttentionPoolParams(
-        in_proj_weight=d_in_proj_weight,
-        out_proj_weight=dWo,
-        in_proj_bias=d_in_proj_bias,
-        out_proj_bias=dbo,
+    d_params = _assemble_d_params(
+        dWq, dWk, dWv, dWo, d_qp, d_bk, d_bv, dbo, has_bias
     )
     return d_params, d_qrow, d_kv.astype(kv_dtype), None, None, None
 
@@ -1673,17 +1710,11 @@ def _shared_bwd_impl(num_heads, residuals, cots, kv_grad=True):
     a = jax.nn.softmax(s, axis=-1)  # (B, H, M)
     mix = jnp.einsum("bhm,bme->bhe", a, kv)  # (B, H, E)
     wvh = wv.reshape(H, Dh, E)
-    ctx = jnp.einsum("bhe,hde->bhd", mix, wvh).reshape(B, E) + bv
 
-    # ---- out = ctx @ Wo.T + bo ---------------------------------------------
-    d_ctx = d_out @ wo  # (B, E)
-    dWo = d_out.T @ ctx
-    dbo = d_out.sum(0) if params.out_proj_bias is not None else None
-
-    d_ctx_h = d_ctx.reshape(B, H, Dh)
-    d_mix = jnp.einsum("bhd,hde->bhe", d_ctx_h, wvh)  # (B, H, E)
-    dWv = jnp.einsum("bhd,bhe->hde", d_ctx_h, mix).reshape(E, E)
-    d_bv = d_ctx.sum(0)
+    # ---- out/V-projection backward ----------------------------------------
+    d_mix, dWo, dbo, dWv, d_bv = _out_vproj_bwd(
+        d_out, mix, wvh, wo, bv, params.out_proj_bias is not None
+    )
 
     d_a = jnp.einsum("bhe,bme->bhm", d_mix, kv)
     if d_w is not None:
@@ -1699,27 +1730,12 @@ def _shared_bwd_impl(num_heads, residuals, cots, kv_grad=True):
     d_u = jnp.einsum("bhm,bme->he", d_s, kv)  # (H, E)
     d_c = d_s.sum((0, 2))  # (H,)
 
-    # u = scale·(qph @ wkh);  c = scale·(qph · bkh)
-    d_qph = scale * (
-        jnp.einsum("he,hde->hd", d_u, wkh)
-        + d_c[:, None] * bk.reshape(H, Dh)
+    d_qp, dWk, d_bk, dWq, d_qrow = _query_path_grads(
+        scale, qph, wkh, bk, d_u, d_c, wq, qrow, has_bias
     )
-    dWk = (scale * jnp.einsum("hd,he->hde", qph, d_u)).reshape(E, E)
-    d_bk = (scale * d_c[:, None] * qph).reshape(E) if has_bias else None
 
-    d_qp = d_qph.reshape(E)
-    dWq = jnp.outer(d_qp, qrow)
-    d_qrow = d_qp @ wq
-
-    d_in_proj_weight = jnp.concatenate([dWq, dWk, dWv], axis=0)
-    d_in_proj_bias = (
-        jnp.concatenate([d_qp, d_bk, d_bv]) if has_bias else None
-    )
-    d_params = AttentionPoolParams(
-        in_proj_weight=d_in_proj_weight,
-        out_proj_weight=dWo,
-        in_proj_bias=d_in_proj_bias,
-        out_proj_bias=dbo,
+    d_params = _assemble_d_params(
+        dWq, dWk, dWv, dWo, d_qp, d_bk, d_bv, dbo, has_bias
     )
     return d_params, d_qrow, d_kv.astype(kv_dtype), None, None, None
 

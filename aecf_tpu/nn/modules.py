@@ -487,7 +487,7 @@ class MultimodalAttentionPool:
             and value is key
             and query.dtype == jnp.float32
             # Resident-weight kernels cap at _RESIDENT_E_CAP; the
-            # shared-query H==1 dispatch (query.shape[0] == 1) has a
+            # shared-query H<=2 dispatch (query.shape[0] == 1) has a
             # streamed split that lifts the cap to _STREAMED_E_CAP.
             and self._embed_dim_supported(query)
             and not self.apply_masking_to_output
@@ -501,19 +501,15 @@ class MultimodalAttentionPool:
         )
 
     def _embed_dim_supported(self, query) -> bool:
-        """Kernel E-cap check, sourced from the kernels' own constants so
-        module dispatch cannot drift from ops.fusion_pool's."""
-        from ..kernels.shared_query import (
-            _RESIDENT_E_CAP,
-            _STREAMED_E_CAP,
-        )
+        """Kernel E-cap check, delegated to the kernels' own capability
+        gate so module dispatch cannot drift from ops.fusion_pool's."""
+        from ..kernels.fused_pool import supports_fused
 
-        if self.embed_dim <= _RESIDENT_E_CAP:
-            return True
-        return (
-            query.shape[0] == 1
-            and self.num_heads == 1
-            and self.embed_dim <= _STREAMED_E_CAP
+        return supports_fused(
+            tgt_len=1,
+            num_heads=self.num_heads,
+            embed_dim=self.embed_dim,
+            shared_query=query.shape[0] == 1,
         )
 
     def _pallas_forward(

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import math
 import sys
 import time
 
@@ -251,6 +252,14 @@ def xla_roofline(samples_per_sec, batch, jitted, args):
     the cost model is XLA's own post-fusion analysis of the compiled
     step, so heads>2 configs get an mfu/hbm_frac instead of 'n/a'."""
     bytes_per_step, flops_per_step = xla_cost_per_step(jitted, args)
+    if math.isnan(bytes_per_step) or math.isnan(flops_per_step):
+        # cost_analysis can omit keys (jax version / backend dependent);
+        # report that instead of crashing after the measured run.
+        return {
+            "model": "xla-cost-analysis",
+            "note": "cost_analysis omitted flops/bytes for this program; "
+            "roofline unavailable",
+        }
     steps_per_sec = samples_per_sec / batch
     mfu = flops_per_step * steps_per_sec / V5E_PEAK_FLOPS
     hbm_frac = bytes_per_step * steps_per_sec / V5E_PEAK_HBM_BYTES

@@ -27,6 +27,7 @@ from __future__ import annotations
 import argparse
 import functools
 import json
+import math
 import os
 import statistics
 import sys
@@ -168,6 +169,12 @@ def compiled_cost(jitted, args):
     )
 
 
+def _round_or_none(x):
+    """cost_analysis can omit keys (NaN sentinel); keep the artifact
+    JSON-valid instead of crashing round() after the measured run."""
+    return None if math.isnan(x) else round(x)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
@@ -257,8 +264,8 @@ def main():
         # compiled byte/flop counts for the already-compiled forward chunks
         for name in ("f32", "bf16"):
             b, f = compiled_cost(fwd_fns[name], (jnp.float32(0),))
-            out["fwd"][name]["compiled_bytes_per_step"] = round(b)
-            out["fwd"][name]["compiled_flops_per_step"] = round(f)
+            out["fwd"][name]["compiled_bytes_per_step"] = _round_or_none(b)
+            out["fwd"][name]["compiled_flops_per_step"] = _round_or_none(f)
         print(f"fwd: {out['fwd']}", file=sys.stderr, flush=True)
 
     # ---- 3. full train step ----------------------------------------------
@@ -299,8 +306,8 @@ def main():
     for name in ("f32", "bf16"):
         c, p, s = built[name]
         b, f = compiled_cost(c, (p, s, jnp.int32(0)))
-        out["step"][name]["compiled_bytes_per_step"] = round(b)
-        out["step"][name]["compiled_flops_per_step"] = round(f)
+        out["step"][name]["compiled_bytes_per_step"] = _round_or_none(b)
+        out["step"][name]["compiled_flops_per_step"] = _round_or_none(f)
 
     # analytic model for reference
     from bench import step_cost_model

@@ -560,29 +560,32 @@ def main():
         results[name] = round(sps, 1)
         results["impl_per_config"][name] = impl
         print(f"{name}: {sps:,.0f} samples/s ({impl})", flush=True)
-        if (
-            jax.default_backend() == "tpu"
-            and impl == "pallas"
-            and E <= 1024  # resident path only (see bench.roofline note)
-        ):
-            # MFU + HBM-bandwidth fraction at the measured throughput,
-            # from the analytic fused-path cost model.  Sub-floor or
-            # model-exceeding configs come back FLAGGED (round-3 verdict
-            # Weak #1), never silently >1.0.
-            from bench import roofline
+        if jax.default_backend() == "tpu":
+            try:
+                if impl == "pallas":
+                    # MFU + HBM-bandwidth fraction at the measured
+                    # throughput, from the analytic fused-path cost model
+                    # (bench.roofline picks the streamed-analytic model
+                    # itself for E above the resident cap).  Sub-floor or
+                    # model-exceeding configs come back FLAGGED (round-3
+                    # verdict Weak #1), never silently >1.0.
+                    from bench import roofline
 
-            results["roofline_per_config"][name] = roofline(
-                sps, B, M, E, H, kv_grad=False
-            )
-        elif jax.default_backend() == "tpu":
-            # XLA-dispatched configs (heads8): roofline from XLA's own
-            # post-fusion cost analysis (round-3 verdict Weak #5) — no
-            # config reports a throughput without a roofline context.
-            from bench import xla_roofline
+                    results["roofline_per_config"][name] = roofline(
+                        sps, B, M, E, H, kv_grad=False
+                    )
+                else:
+                    # XLA-dispatched configs (heads8): roofline from XLA's
+                    # own post-fusion cost analysis (round-3 verdict Weak
+                    # #5) — no config reports a throughput without a
+                    # roofline context.
+                    from bench import xla_roofline
 
-            results["roofline_per_config"][name] = xla_roofline(
-                sps, B, chunk, args0
-            )
+                    results["roofline_per_config"][name] = xla_roofline(
+                        sps, B, chunk, args0
+                    )
+            except Exception as e:  # keep the measured sps either way
+                results["roofline_per_config"][name] = {"error": repr(e)}
 
     results["vlm_B256"] = round(vlm_throughput(args.quick), 1)
     print(f"vlm_B256: {results['vlm_B256']:,.0f} samples/s", flush=True)

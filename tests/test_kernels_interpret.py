@@ -633,6 +633,43 @@ def test_pick_tile_env_validation(monkeypatch):
     assert _pick_tile(512, "AECF_FWD_TB", 1024) == 512
 
 
+def test_pick_tile_vmem_clamp(monkeypatch):
+    """Streamed launch sites pass row_bytes so the batch tile shrinks to
+    fit scoped vmem at the E cap — the 1/E default formulas floor at 32
+    rows, which overflows the 16MB budget at E=8192 when the d_kv tile is
+    also resident (round-4 review #3)."""
+    from aecf_tpu.kernels.shared_query import (
+        _VMEM_ROW_BUDGET,
+        _pick_tile,
+    )
+
+    monkeypatch.delenv("AECF_BWD_TB", raising=False)
+    B, M = 1 << 16, 4
+    for E, H, want_dkv in [
+        (8192, 1, True), (8192, 2, True), (8192, 2, False),
+        (4096, 1, True), (2048, 2, True),
+    ]:
+        row = E * (4 * M * (2 if want_dkv else 1) + 4 * H)
+        default = max(
+            32, (1 << 18) // (E * (H if not want_dkv else 2 * H)) // 8 * 8
+        )
+        tb = _pick_tile(default, "AECF_BWD_TB", B, row_bytes=row)
+        assert tb * row <= _VMEM_ROW_BUDGET, (E, H, want_dkv, tb)
+        assert tb >= 8 and tb % 8 == 0
+    # benched shapes keep their measured defaults (clamp only ever lowers)
+    assert _pick_tile(
+        64, "AECF_BWD_TB", B, row_bytes=2048 * (4 * 3 * 2 + 4)
+    ) == 64
+    assert _pick_tile(
+        128, "AECF_FWD_TB", B, row_bytes=2048 * (4 * 4 + 4)
+    ) == 128
+    # env override is NOT clamped — sweeps probe the limit on purpose
+    monkeypatch.setenv("AECF_BWD_TB", "256")
+    assert _pick_tile(
+        32, "AECF_BWD_TB", B, row_bytes=8192 * (4 * 4 * 2 + 4)
+    ) == 256
+
+
 def test_kv_scales_with_float_kv_raises():
     """Scales without int8 kv must be loud, not silently unquantized."""
     from aecf_tpu.core.init import (
