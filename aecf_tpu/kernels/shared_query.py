@@ -1169,7 +1169,12 @@ def _bwd_pallas(residuals, cots, *, precision, interpret, want_dkv=True):
     # rises to 384: +32% within-run (turns bf16 at the large config from
     # 0.82x to ~1.08x vs f32); 512 exceeds VMEM.  At E<=512 the larger
     # 768 tile measured -12%, so 512 stays for both dtypes
-    # (docs/artifacts/sweep_bf16_large.json, round 4).
+    # (docs/artifacts/sweep_bf16_large.json, round 4).  With want_dkv the
+    # d_kv OUTPUT tile doubles the (TB, M*E) residency, so bf16 does NOT
+    # admit larger tiles: at E=1024 256/384 still exceed VMEM and at
+    # E=512 the 256 default beats 384/512 by 10-23% within-run
+    # (sweep_bf16_dkv_e{512,1024}.json) — the want_dkv branch stays
+    # dtype-independent by measurement, not omission.
     if want_dkv:
         TB = _pick_tile(256 if E <= 512 else 192, "AECF_BWD_TB", B)
     elif E > 512 and kv.dtype.itemsize == 2:
