@@ -448,6 +448,44 @@ def test_streamed_e8192_forward_on_chip():
     np.testing.assert_allclose(w_k, w_o, atol=1e-5)
 
 
+def test_streamed_e8192_grads_on_chip():
+    """Backward at the _STREAMED_E_CAP with d_kv tiles resident — pins
+    the round-4 VMEM-aware tile clamp (_pick_tile row_bytes budget): the
+    unclamped defaults overflowed scoped vmem exactly here.  kv_grad=True
+    is the case with the d_kv output tile in the working set."""
+    from aecf_tpu.kernels import fused_fusion_pool_shared
+    from aecf_tpu.kernels.shared_query import _STREAMED_E_CAP
+
+    E, M, B = _STREAMED_E_CAP, 2, 64
+    params = init_attention_pool_params(jax.random.key(0), E)
+    query = init_fusion_query(jax.random.key(1), E)
+    kv = jax.random.normal(jax.random.key(2), (B, M, E))
+
+    def loss_o(p, x):
+        o, w = _oracle(p, jnp.broadcast_to(query, (B, 1, E)), x, 1)
+        return (o * o).mean() + (w * w).sum()
+
+    go = jax.grad(loss_o, argnums=(0, 1))(params, kv)
+
+    def loss_k(p, x):
+        o, w, _, _ = fused_fusion_pool_shared(
+            p, query, x, training=False, precision="highest", kv_grad=True,
+        )
+        return (o * o).mean() + (w * w).sum()
+
+    gk = jax.grad(loss_k, argnums=(0, 1))(params, kv)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-3, rtol=1e-3
+        ),
+        gk[0],
+        go[0],
+    )
+    np.testing.assert_allclose(
+        np.asarray(gk[1]), np.asarray(go[1]), atol=5e-3, rtol=1e-3
+    )
+
+
 def test_streamed_h2_e8192_forward_on_chip():
     """The advertised streamed cap must hold for H=2 too: at E=8192/H=2
     the mix output doubles the kernel's tile working set and TB floors at
