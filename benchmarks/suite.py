@@ -536,6 +536,9 @@ def main():
     ap.add_argument("--json", default=None)
     ap.add_argument("--impl", default="auto",
                     choices=["auto", "xla", "pallas"])
+    ap.add_argument("--only", default=None, metavar="SECTION",
+                    help="run a single TPU A/B section (e.g. "
+                         "serving_frozen) and skip the config sweep")
     args = ap.parse_args()
 
     from bench import enable_persistent_cache, resolve_impl
@@ -544,15 +547,26 @@ def main():
 
     results = {"backend": jax.default_backend(), "impl": args.impl}
 
-    configs = [
+    if args.only and jax.default_backend() != "tpu":
+        raise SystemExit("--only runs TPU A/B sections; needs the chip")
+    if args.only and args.json and os.path.exists(args.json):
+        # merge the single re-run section into the existing artifact
+        # instead of clobbering the other sections
+        with open(args.json) as f:
+            prev = json.load(f)
+        prev.update(results)
+        results = prev
+
+    configs = [] if args.only else [
         ("quickstart_B32_M2_E512", 32, 2, 512, 1),
         ("masking_B256_M3_E512", 256, 3, 512, 1),
         ("north_star_B4096_M3_E512", 4096, 3, 512, 1),
         ("heads8_B4096_M3_E512", 4096, 3, 512, 8),
         ("large_B8192_M4_E1024", 8192, 4, 1024, 1),
     ]
-    results["impl_per_config"] = {}
-    results["roofline_per_config"] = {}
+    if not args.only:  # keep a merged artifact's config sweep intact
+        results["impl_per_config"] = {}
+        results["roofline_per_config"] = {}
     for name, B, M, E, H in configs:
         # per-config auto dispatch (heads8 routes to XLA — measured faster)
         impl = args.impl if args.impl != "auto" else resolve_impl(H, E)
@@ -587,17 +601,20 @@ def main():
             except Exception as e:  # keep the measured sps either way
                 results["roofline_per_config"][name] = {"error": repr(e)}
 
-    results["vlm_B256"] = round(vlm_throughput(args.quick), 1)
-    print(f"vlm_B256: {results['vlm_B256']:,.0f} samples/s", flush=True)
+    if not args.only:
+        results["vlm_B256"] = round(vlm_throughput(args.quick), 1)
+        print(f"vlm_B256: {results['vlm_B256']:,.0f} samples/s", flush=True)
 
-    results["parity"] = parity_check()
-    print(f"parity: {results['parity']}", flush=True)
+        results["parity"] = parity_check()
+        print(f"parity: {results['parity']}", flush=True)
 
     if jax.default_backend() == "tpu":
         # Each section is fault-isolated: a failure records an error entry
         # instead of losing the hours of already-measured sections (tunnel
         # compiles can take 10+ min per fresh program in bad phases).
         def section(key, fn, *a, **k):
+            if args.only and key != args.only:
+                return
             try:
                 results[key] = fn(*a, **k)
             except Exception as e:  # noqa: BLE001 — artifact boundary
