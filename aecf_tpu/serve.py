@@ -59,6 +59,12 @@ class FusionPredictor:
         biggest bucket are chunked.
       modality_names: keyword order for ``apply_fn``.
       apply_sigmoid: return probabilities instead of logits.
+      mesh: optional :class:`jax.sharding.Mesh` for multi-chip
+        data-parallel serving — every bucket call shards its batch axis
+        over ``data_axis`` with params replicated (GSPMD; XLA inserts
+        the input scatter / output gather).  Buckets must be divisible
+        by the axis size.
+      data_axis: mesh axis name carrying the batch dimension.
     """
 
     def __init__(
@@ -69,6 +75,8 @@ class FusionPredictor:
         modality_names: Sequence[str],
         buckets: Sequence[int] = (32, 256, 1024),
         apply_sigmoid: bool = True,
+        mesh: "jax.sharding.Mesh | None" = None,
+        data_axis: str = "data",
     ):
         self.params = params
         self.modality_names = tuple(modality_names)
@@ -83,7 +91,34 @@ class FusionPredictor:
             )
             return jax.nn.sigmoid(logits) if apply_sigmoid else logits
 
-        self._jitted = jax.jit(_run)
+        if mesh is None:
+            self._jitted = jax.jit(_run)
+        else:
+            # Multi-chip data-parallel serving: each bucket call is one
+            # GSPMD program with the batch axis sharded over ``data_axis``
+            # (params replicated, per-row eval forward — no collectives in
+            # the program body, so the only cross-chip traffic is the
+            # input scatter / output gather).  Buckets must divide evenly:
+            # a ragged last shard would change the padded program shape.
+            n_shards = mesh.shape[data_axis]
+            bad = [b for b in self.buckets if b % n_shards]
+            if bad:
+                raise ValueError(
+                    f"buckets {bad} not divisible by mesh axis "
+                    f"{data_axis!r} (size {n_shards})"
+                )
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            batched = NamedSharding(mesh, PartitionSpec(data_axis))
+            replicated = NamedSharding(mesh, PartitionSpec())
+            self._jitted = jax.jit(
+                _run,
+                in_shardings=(
+                    replicated,
+                    *([batched] * len(self.modality_names)),
+                ),
+                out_shardings=batched,
+            )
 
     def __call__(self, **modalities: np.ndarray) -> np.ndarray:
         """Predict for any subset of modalities; absent ones are zeroed.

@@ -527,7 +527,8 @@ def vlm_throughput(quick):
     for _ in range(rounds):
         state, loss = chunk(state)
     float(loss)  # value fetch: reliable sync through the tunnel
-    return B * rounds * K / _net(time.perf_counter() - t0)
+    sps = B * rounds * K / _net(time.perf_counter() - t0)
+    return sps, (chunk, (state,), B)
 
 
 def main():
@@ -602,8 +603,18 @@ def main():
                 results["roofline_per_config"][name] = {"error": repr(e)}
 
     if not args.only:
-        results["vlm_B256"] = round(vlm_throughput(args.quick), 1)
+        vlm_sps, (vlm_chunk, vlm_args, vlm_B) = vlm_throughput(args.quick)
+        results["vlm_B256"] = round(vlm_sps, 1)
         print(f"vlm_B256: {results['vlm_B256']:,.0f} samples/s", flush=True)
+        if jax.default_backend() == "tpu":
+            # whole-model config: roofline from XLA's post-fusion cost
+            # analysis, same as the other XLA-dispatched configs — no
+            # config reports a throughput without a roofline context.
+            from bench import xla_roofline
+
+            results["roofline_per_config"]["vlm_B256"] = xla_roofline(
+                vlm_sps, vlm_B, vlm_chunk, vlm_args
+            )
 
         results["parity"] = parity_check()
         print(f"parity: {results['parity']}", flush=True)

@@ -662,3 +662,73 @@ def test_full_stack_frozen_batcher_http(predictor, tmp_path):
     finally:
         srv.stop()
         batcher.stop()
+
+
+class TestShardedPredictor:
+    """Multi-chip data-parallel serving: mesh= shards every bucket call's
+    batch axis over the data axis (params replicated, GSPMD)."""
+
+    @staticmethod
+    def _make(mesh=None, buckets=(8, 32)):
+        model = VisionLanguageModel(
+            img_dim=32, txt_dim=16, hidden_dim=8, num_classes=5
+        )
+        params = model.init(jax.random.key(0))
+
+        def apply_fn(p, image, text):
+            return model.apply(p, image, text, training=False)
+
+        return FusionPredictor(
+            apply_fn,
+            params,
+            modality_names=("image", "text"),
+            buckets=buckets,
+            mesh=mesh,
+        )
+
+    def test_sharded_matches_single_device(self):
+        mesh = jax.sharding.Mesh(
+            np.array(jax.devices()[:4]).reshape(4), ("data",)
+        )
+        single = self._make()
+        sharded = self._make(mesh=mesh)
+        rng = np.random.default_rng(0)
+        img = rng.normal(size=(21, 32)).astype(np.float32)
+        txt = rng.normal(size=(21, 16)).astype(np.float32)
+        want = single(image=img, text=txt)
+        got = sharded(image=img, text=txt)  # ragged: pads to bucket 32
+        np.testing.assert_allclose(got, want, atol=1e-5)
+        # the compiled output really is sharded over the mesh
+        out_dev = sharded._jitted(
+            sharded.params,
+            jax.numpy.asarray(np.concatenate([img, img[:11]])),
+            jax.numpy.asarray(np.concatenate([txt, txt[:11]])),
+        )
+        assert len(out_dev.sharding.device_set) == 4
+
+    def test_sharded_missing_modality_and_chunking(self):
+        mesh = jax.sharding.Mesh(
+            np.array(jax.devices()[:2]).reshape(2), ("data",)
+        )
+        sharded = self._make(mesh=mesh)
+        single = self._make()
+        rng = np.random.default_rng(1)
+        img = rng.normal(size=(70, 32)).astype(np.float32)  # chunks: 32+32+8
+        txt = rng.normal(size=(70, 16)).astype(np.float32)
+        sharded(image=img[:2], text=txt[:2])  # teach dims
+        single(image=img[:2], text=txt[:2])
+        np.testing.assert_allclose(
+            sharded(image=img), single(image=img), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            sharded(image=img, text=txt),
+            single(image=img, text=txt),
+            atol=1e-5,
+        )
+
+    def test_indivisible_bucket_rejected(self):
+        mesh = jax.sharding.Mesh(
+            np.array(jax.devices()[:4]).reshape(4), ("data",)
+        )
+        with pytest.raises(ValueError, match="not divisible"):
+            self._make(mesh=mesh, buckets=(6, 32))
