@@ -602,7 +602,7 @@ def main():
             except Exception as e:  # keep the measured sps either way
                 results["roofline_per_config"][name] = {"error": repr(e)}
 
-    if not args.only:
+    if not args.only or args.only == "vlm_B256":
         vlm_sps, (vlm_chunk, vlm_args, vlm_B) = vlm_throughput(args.quick)
         results["vlm_B256"] = round(vlm_sps, 1)
         print(f"vlm_B256: {results['vlm_B256']:,.0f} samples/s", flush=True)
@@ -612,10 +612,11 @@ def main():
             # config reports a throughput without a roofline context.
             from bench import xla_roofline
 
-            results["roofline_per_config"]["vlm_B256"] = xla_roofline(
-                vlm_sps, vlm_B, vlm_chunk, vlm_args
+            results.setdefault("roofline_per_config", {})["vlm_B256"] = (
+                xla_roofline(vlm_sps, vlm_B, vlm_chunk, vlm_args)
             )
 
+    if not args.only:
         results["parity"] = parity_check()
         print(f"parity: {results['parity']}", flush=True)
 
