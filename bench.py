@@ -354,6 +354,35 @@ def measure_tunnel_rtt(samples: int = 6) -> float:
     return statistics.median(rtts)
 
 
+def ab_train_windows(chunks, batch, steps_per_call, rounds, rtt_s):
+    """Alternating timed windows over pre-warmed train chunks — the only
+    within-run measurement the tunnel's phase-dependent dispatch latency
+    doesn't poison (docs/design.md "Measurement discipline").
+
+    ``chunks`` maps label -> ``(chunk_fn, params, opt_state)`` as built by
+    :func:`build_chunk`; ``None`` values are skipped (failed compiles in
+    sweeps).  Callers must warm each chunk (one call + value fetch) at
+    build time, BEFORE any env-var kernel knobs are restored — compilation
+    happens on that first call.  Each timed window runs ``steps_per_call``
+    sequentially-carried steps and syncs by fetching the loss value; the
+    fixed tunnel RTT is subtracted, clamped to at most 90% of the window
+    (RTT-estimate noise floor).  Mutates ``chunks`` with the advanced
+    (params, opt_state) and returns {label: [samples/s per window]}.
+    """
+    res = {m: [] for m, v in chunks.items() if v is not None}
+    for r in range(1, rounds + 1):
+        for m in res:
+            c, p, s = chunks[m]
+            t0 = time.perf_counter()
+            p, s, loss = c(p, s, jnp.int32(r * steps_per_call))
+            float(loss)  # value fetch: reliable sync through the tunnel
+            elapsed = time.perf_counter() - t0
+            net = max(elapsed - rtt_s, 0.1 * elapsed)
+            res[m].append(batch * steps_per_call / net)
+            chunks[m] = (c, p, s)
+    return res
+
+
 def enable_persistent_cache():
     """Persistent compilation cache (works for axon/TPU executables too —
     measured: a cached north-star/heads8 chunk loads in seconds vs 10-25

@@ -154,19 +154,11 @@ def fwd_chunk(params, query, kv, K):
 
 def compiled_cost(jitted, args):
     """(bytes/step, flops/step) as XLA's post-optimization cost analysis
-    reports them.  cost_analysis counts a While body ONCE regardless of
-    trip count (verified: K=4 and K=400 chunks report identical totals),
-    so for a scan-of-steps chunk the totals ARE per-step — no division.
-    Pallas custom calls contribute their CostEstimate flops and their
-    operand/output bytes (shared values count once per consuming op, so
-    bytes are an upper-ish estimate of true HBM traffic)."""
-    ca = jitted.lower(*args).compile().cost_analysis()
-    if isinstance(ca, list):  # older jax returns [dict]
-        ca = ca[0]
-    return (
-        float(ca.get("bytes accessed", float("nan"))),
-        float(ca.get("flops", float("nan"))),
-    )
+    reports them — see bench.xla_cost_per_step for the While-body /
+    Pallas-bytes caveats (single source of truth)."""
+    from bench import xla_cost_per_step
+
+    return xla_cost_per_step(jitted, args)
 
 
 def _round_or_none(x):

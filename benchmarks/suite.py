@@ -156,15 +156,9 @@ def bwd_ab(quick):
         chunks[mode] = (c, p, s)
     os.environ.pop("AECF_SHARED_BWD", None)
 
-    res = {m: [] for m in chunks}
-    for r in range(1, rounds + 1):
-        for m in chunks:
-            c, p, s = chunks[m]
-            t0 = time.perf_counter()
-            p, s, loss = c(p, s, jnp.int32(r * K))
-            float(loss)  # value fetch: reliable sync through the tunnel
-            res[m].append(B * K / _net(time.perf_counter() - t0))
-            chunks[m] = (c, p, s)
+    from bench import ab_train_windows
+
+    res = ab_train_windows(chunks, B, K, rounds, tunnel_rtt())
     med = {m: statistics.median(v) for m, v in res.items()}
     return {
         "config": f"B={B},M={M},E={E},H={H}",
@@ -199,15 +193,9 @@ def kv_grad_ab(quick, B=4096, M=3, E=512, H=1):
         float(loss)  # value fetch: reliable sync through the tunnel
         chunks[grad_kv] = (c, p, s)
 
-    res = {m: [] for m in chunks}
-    for r in range(1, rounds + 1):
-        for m in chunks:
-            c, p, s = chunks[m]
-            t0 = time.perf_counter()
-            p, s, loss = c(p, s, jnp.int32(r * K))
-            float(loss)  # value fetch: reliable sync through the tunnel
-            res[m].append(B * K / _net(time.perf_counter() - t0))
-            chunks[m] = (c, p, s)
+    from bench import ab_train_windows
+
+    res = ab_train_windows(chunks, B, K, rounds, tunnel_rtt())
     med = {m: statistics.median(v) for m, v in res.items()}
     return {
         "config": f"B={B},M={M},E={E},H={H}",
@@ -244,15 +232,9 @@ def features_dtype_ab(quick, B=4096, M=3, E=512, H=1):
         float(loss)  # value fetch: reliable sync through the tunnel
         chunks[dt] = (c, p, s)
 
-    res = {m: [] for m in chunks}
-    for r in range(1, rounds + 1):
-        for m in chunks:
-            c, p, s = chunks[m]
-            t0 = time.perf_counter()
-            p, s, loss = c(p, s, jnp.int32(r * K))
-            float(loss)  # value fetch: reliable sync through the tunnel
-            res[m].append(B * K / _net(time.perf_counter() - t0))
-            chunks[m] = (c, p, s)
+    from bench import ab_train_windows
+
+    res = ab_train_windows(chunks, B, K, rounds, tunnel_rtt())
     med = {m: statistics.median(v) for m, v in res.items()}
     return {
         "config": f"B={B},M={M},E={E},H={H},kv_grad=False",
@@ -283,15 +265,9 @@ def streamed_e2048_ab(quick, B=4096, M=4, E=2048, H=1):
         float(loss)  # value fetch: reliable sync through the tunnel
         chunks[impl] = (c, p, s)
 
-    res = {m: [] for m in chunks}
-    for r in range(1, rounds + 1):
-        for m in chunks:
-            c, p, s = chunks[m]
-            t0 = time.perf_counter()
-            p, s, loss = c(p, s, jnp.int32(r * K))
-            float(loss)  # value fetch: reliable sync through the tunnel
-            res[m].append(B * K / _net(time.perf_counter() - t0))
-            chunks[m] = (c, p, s)
+    from bench import ab_train_windows
+
+    res = ab_train_windows(chunks, B, K, rounds, tunnel_rtt())
     med = {m: statistics.median(v) for m, v in res.items()}
     return {
         "config": f"B={B},M={M},E={E},H={H},kv_grad=False",
@@ -347,6 +323,9 @@ def eval_forward_ab(quick, B=8192, M=4, E=1024):
         float(acc)  # value fetch: reliable sync through the tunnel
         chunks[m] = (c, acc)
 
+    # eval chunks carry a bare accumulator, not the (params, opt_state)
+    # triple bench.ab_train_windows expects — this is the one window loop
+    # kept inline.
     res = {m: [] for m in chunks}
     for _ in range(rounds):
         for m in chunks:
@@ -542,6 +521,27 @@ def main():
                          "serving_frozen) and skip the config sweep")
     args = ap.parse_args()
 
+    # keep in sync with the section(...) calls + the vlm branch below; a
+    # typo'd --only would otherwise run nothing and exit 0 with an
+    # artifact the user believes was re-measured.
+    known_sections = {
+        "vlm_B256",
+        "shared_bwd_ab_large",
+        "kv_grad_ab_north_star",
+        "features_dtype_ab_north_star",
+        "features_dtype_ab_large",
+        "eval_fwd_ab_large",
+        "eval_fwd_ab_e2048",
+        "streamed_e2048_ab",
+        "streamed_h2_e2048_ab",
+        "serving_frozen",
+    }
+    if args.only and args.only not in known_sections:
+        raise SystemExit(
+            f"--only {args.only!r} is not a section; "
+            f"choose from {sorted(known_sections)}"
+        )
+
     from bench import enable_persistent_cache, resolve_impl
 
     enable_persistent_cache()
@@ -610,11 +610,18 @@ def main():
             # whole-model config: roofline from XLA's post-fusion cost
             # analysis, same as the other XLA-dispatched configs — no
             # config reports a throughput without a roofline context.
-            from bench import xla_roofline
+            # Fault-isolated like the per-config rooflines: keep the
+            # measured sps even if cost_analysis raises.
+            try:
+                from bench import xla_roofline
 
-            results.setdefault("roofline_per_config", {})["vlm_B256"] = (
-                xla_roofline(vlm_sps, vlm_B, vlm_chunk, vlm_args)
-            )
+                results.setdefault("roofline_per_config", {})[
+                    "vlm_B256"
+                ] = xla_roofline(vlm_sps, vlm_B, vlm_chunk, vlm_args)
+            except Exception as e:
+                results.setdefault("roofline_per_config", {})[
+                    "vlm_B256"
+                ] = {"error": repr(e)}
 
     if not args.only:
         results["parity"] = parity_check()

@@ -21,7 +21,6 @@ import json
 import os
 import statistics
 import sys
-import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
@@ -45,6 +44,7 @@ def main():
     args = ap.parse_args()
 
     from bench import (
+        ab_train_windows,
         build_chunk,
         enable_persistent_cache,
         measure_tunnel_rtt,
@@ -60,9 +60,6 @@ def main():
 
     rtt = measure_tunnel_rtt()
     print(f"tunnel rtt {rtt*1e3:.1f}ms", file=sys.stderr, flush=True)
-
-    def net(elapsed):
-        return max(elapsed - rtt, 0.1 * elapsed)
 
     chunks = {}
     for ft in fwd_tiles:
@@ -90,15 +87,7 @@ def main():
     for env in ("AECF_FWD_TB", "AECF_BWD_TB"):
         os.environ.pop(env, None)
 
-    res = {m: [] for m, v in chunks.items() if v is not None}
-    for r in range(1, args.rounds + 1):
-        for m in res:
-            c, p, s = chunks[m]
-            t0 = time.perf_counter()
-            p, s, loss = c(p, s, jnp.int32(r * K))
-            float(loss)
-            res[m].append(B * K / net(time.perf_counter() - t0))
-            chunks[m] = (c, p, s)
+    res = ab_train_windows(chunks, B, K, args.rounds, rtt)
 
     out = {
         "config": (
