@@ -91,6 +91,7 @@ class FusionPredictor:
             )
             return jax.nn.sigmoid(logits) if apply_sigmoid else logits
 
+        self._input_sharding = None
         if mesh is None:
             self._jitted = jax.jit(_run)
         else:
@@ -111,6 +112,11 @@ class FusionPredictor:
 
             batched = NamedSharding(mesh, PartitionSpec(data_axis))
             replicated = NamedSharding(mesh, PartitionSpec())
+            # Host batches are staged with device_put AT this sharding:
+            # jnp.asarray would place the whole padded bucket on one chip
+            # first and have jit rescatter it device-to-device (the same
+            # gotcha train/fit.py documents for global batches).
+            self._input_sharding = batched
             self._jitted = jax.jit(
                 _run,
                 in_shardings=(
@@ -152,8 +158,11 @@ class FusionPredictor:
                 raise ValueError(
                     f"batch mismatch: {k} has {v.shape[0]} rows, expected {n}"
                 )
+        if n == 0:
+            # the chunk loop below would run zero device calls and
+            # np.concatenate([]) raises an opaque error
+            raise ValueError("batch must have at least one row (got 0)")
 
-        self.calls += 1  # device-call counter (micro-batching observability)
         self._check_dims(provided)
         missing = [
             k for k in self.modality_names
@@ -184,8 +193,15 @@ class FusionPredictor:
                         [x, np.zeros((bucket - chunk_n, x.shape[1]),
                                      np.float32)]
                     )
-                mods.append(jnp.asarray(x))
+                if self._input_sharding is not None:
+                    mods.append(jax.device_put(x, self._input_sharding))
+                else:
+                    mods.append(jnp.asarray(x))
             out = np.asarray(self._call_bucket(bucket, mods))
+            # device-call counter (micro-batching observability): one per
+            # SUCCESSFUL bucket dispatch — a chunked request counts once
+            # per chunk, a request failing validation counts zero.
+            self.calls += 1
             outs.append(out[:chunk_n])
             start += chunk_n
         # Commit dims only AFTER every device call succeeded: recording a
@@ -276,6 +292,18 @@ class MicroBatcher:
                     f"modality {k!r} must be (batch, features), got "
                     f"shape {v.shape}"
                 )
+        # A request whose own modalities disagree on rows would pass the
+        # keyset grouping (which only sees (name, width)), concatenate
+        # with well-formed neighbors, and fail the WHOLE group at the
+        # predictor's batch-mismatch check — reject it here instead.
+        rows = {v.shape[0] for v in mods.values()}
+        if len(rows) > 1:
+            raise ValueError(
+                "all modalities in one request must share a batch "
+                f"dimension, got rows {sorted(rows)}"
+            )
+        if rows == {0}:
+            raise ValueError("batch must have at least one row (got 0)")
         fut: Future = Future()
         # Group key includes per-modality feature dims: two requests with
         # the same modality key-set but different widths must not share a
@@ -372,6 +400,15 @@ def export_predictor(
 
     from jax import export as jexport
 
+    if isinstance(predictor, ExportedFusionPredictor):
+        # type-compatible but has no live _jitted/params to re-trace;
+        # without this guard the first bucket dies with a bare
+        # AttributeError mid-export
+        raise TypeError(
+            "cannot re-export a frozen ExportedFusionPredictor — export "
+            "from the live FusionPredictor (the original artifact file is "
+            "already the serialized form)"
+        )
     dims = dict(feature_dims or predictor._dims)
     missing = [k for k in predictor.modality_names if k not in dims]
     if missing:
@@ -427,6 +464,7 @@ class ExportedFusionPredictor(FusionPredictor):
         self.apply_sigmoid = bool(config["apply_sigmoid"])
         self.calls = 0
         self._dims = {k: int(v) for k, v in config["feature_dims"].items()}
+        self._input_sharding = None  # frozen programs are single-device
         missing = [b for b in self.buckets if b not in blobs]
         if missing:
             raise ValueError(

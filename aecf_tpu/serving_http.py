@@ -53,8 +53,10 @@ class PredictionServer:
         *,
         host: str = "127.0.0.1",
         port: int = 8000,
+        max_body_bytes: int = 256 * 1024 * 1024,
     ):
         self.predictor = predictor
+        self.max_body_bytes = int(max_body_bytes)
         # A MicroBatcher is thread-safe and WANTS concurrent callers (that
         # is what it coalesces); a bare predictor is serialized.
         self._lock = (
@@ -100,6 +102,20 @@ class PredictionServer:
                     return
                 try:
                     length = int(self.headers.get("Content-Length", 0))
+                    if length > outer.max_body_bytes:
+                        # bound host memory BEFORE buffering the body: one
+                        # oversized request must not OOM the process and
+                        # take every in-flight request with it
+                        self._send_json(
+                            413,
+                            {
+                                "error": (
+                                    f"request body {length} bytes exceeds "
+                                    f"limit {outer.max_body_bytes}"
+                                )
+                            },
+                        )
+                        return
                     raw = self.rfile.read(length)
                     ctype = self.headers.get("Content-Type", "")
                     if ctype.startswith("application/x-npz"):
@@ -153,6 +169,7 @@ class PredictionServer:
 
         self._httpd = ThreadingHTTPServer((host, port), Handler)
         self._thread: Optional[threading.Thread] = None
+        self._serving = False
 
     @property
     def port(self) -> int:
@@ -160,6 +177,7 @@ class PredictionServer:
 
     def start(self) -> "PredictionServer":
         """Serve in a daemon thread; returns self."""
+        self._serving = True
         self._thread = threading.Thread(
             target=self._httpd.serve_forever, daemon=True
         )
@@ -167,10 +185,15 @@ class PredictionServer:
         return self
 
     def serve_forever(self) -> None:
+        self._serving = True
         self._httpd.serve_forever()
 
     def stop(self) -> None:
-        self._httpd.shutdown()
+        # BaseServer.shutdown() blocks on an event that is only set when
+        # serve_forever EXITS — calling it on a never-started server (e.g.
+        # from a finally block after a startup failure) would deadlock.
+        if self._serving:
+            self._httpd.shutdown()
         self._httpd.server_close()
         if self._thread is not None:
             self._thread.join(timeout=5)

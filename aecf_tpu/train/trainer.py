@@ -132,8 +132,11 @@ def evaluate_model(
         bi, bt = images[sel], texts[sel]
         pad = batch_size - len(sel)
         if pad:
-            bi = np.concatenate([bi, np.zeros_like(bi[:pad])])
-            bt = np.concatenate([bt, np.zeros_like(bt[:pad])])
+            # explicit (pad, d) zeros: zeros_like(bi[:pad]) silently yields
+            # fewer rows when pad > len(sel), breaking the single compiled
+            # shape this padding exists to guarantee
+            bi = np.concatenate([bi, np.zeros((pad, bi.shape[1]), bi.dtype)])
+            bt = np.concatenate([bt, np.zeros((pad, bt.shape[1]), bt.dtype)])
         logits = np.asarray(predict_fn(params, jnp.asarray(bi), jnp.asarray(bt)))
         preds.append(logits[: len(sel)])
     return calculate_metrics(np.concatenate(preds), labels)

@@ -78,6 +78,28 @@ def test_errors(predictor):
             image=np.zeros((2, 32), np.float32),
             text=np.zeros((3, 16), np.float32),
         )
+    # 0-row arrays pass every shape check but make zero device calls —
+    # must be a clear error, not np.concatenate([])'s opaque one
+    with pytest.raises(ValueError, match="at least one row"):
+        predictor(image=np.zeros((0, 32), np.float32))
+
+
+def test_calls_counts_device_dispatches(predictor):
+    """`calls` is the device-call counter micro-batching observability is
+    built on: a chunked request counts once per bucket dispatch, a request
+    failing validation counts zero."""
+    rng = np.random.default_rng(3)
+    before = predictor.calls
+    # 40 rows with buckets (8, 32): one 32-chunk + one 8-chunk = 2 calls
+    predictor(
+        image=rng.normal(size=(40, 32)).astype(np.float32),
+        text=rng.normal(size=(40, 16)).astype(np.float32),
+    )
+    assert predictor.calls - before == 2
+    with pytest.raises(ValueError):
+        predictor(image=np.zeros((2, 32), np.float32),
+                  text=np.zeros((3, 16), np.float32))
+    assert predictor.calls - before == 2  # failed request: zero
 
 
 class TestHTTPServing:
@@ -347,6 +369,33 @@ class TestMicroBatcher:
             good, pred(image=img, text=txt), atol=1e-6
         )
 
+    def test_mismatched_rows_within_request_cannot_fail_neighbors(
+        self, batcher
+    ):
+        """A request whose own modalities disagree on rows has a valid
+        keyset (grouping only sees (name, width)) — it must be rejected in
+        the caller's thread, not concatenated into a group where the
+        predictor's batch-mismatch check fails well-formed neighbors."""
+        import concurrent.futures as cf
+
+        b, pred = batcher
+        rng = np.random.default_rng(3)
+        img = rng.normal(size=(1, 32)).astype(np.float32)
+        txt = rng.normal(size=(1, 16)).astype(np.float32)
+        pred(image=img, text=txt)
+        with pytest.raises(ValueError, match="share a batch"):
+            b(image=rng.normal(size=(2, 32)).astype(np.float32),
+              text=rng.normal(size=(3, 16)).astype(np.float32))
+        with pytest.raises(ValueError, match="at least one row"):
+            b(image=np.zeros((0, 32), np.float32))
+        # neighbors submitted around a malformed request still succeed
+        with cf.ThreadPoolExecutor(max_workers=4) as ex:
+            f_good = ex.submit(b, image=img, text=txt)
+            good = f_good.result(timeout=30)
+        np.testing.assert_allclose(
+            good, pred(image=img, text=txt), atol=1e-6
+        )
+
     def test_error_propagates_to_caller(self, batcher):
         b, _ = batcher
         with pytest.raises(ValueError):
@@ -415,6 +464,55 @@ class TestMicroBatcher:
         b2.stop()
         with pytest.raises(RuntimeError, match="stopped"):
             b2(image=np.zeros((1, 32), np.float32))
+
+
+def test_http_stop_before_start_is_safe(predictor):
+    """stop() on a never-started server must not deadlock:
+    BaseServer.shutdown() waits on an event only serve_forever sets."""
+    import threading
+
+    from aecf_tpu.serving_http import PredictionServer
+
+    srv = PredictionServer(predictor, port=0)
+    t = threading.Thread(target=srv.stop, daemon=True)
+    t.start()
+    t.join(timeout=5)
+    assert not t.is_alive()
+
+
+def test_http_oversized_body_is_413(predictor):
+    """The body-size cap must reject BEFORE buffering: one huge
+    Content-Length must not OOM the serving process."""
+    import http.client
+    import json
+
+    from aecf_tpu.serving_http import PredictionServer
+
+    srv = PredictionServer(predictor, port=0, max_body_bytes=1024).start()
+    try:
+        conn = http.client.HTTPConnection(
+            "127.0.0.1", srv.port, timeout=10
+        )
+        conn.putrequest("POST", "/v1/predict")
+        conn.putheader("Content-Type", "application/json")
+        conn.putheader("Content-Length", str(10**12))  # body never sent
+        conn.endheaders()
+        resp = conn.getresponse()
+        assert resp.status == 413
+        assert "exceeds" in json.loads(resp.read())["error"]
+        conn.close()
+        # the server still serves good requests afterwards
+        from aecf_tpu.serving_http import predict_remote
+
+        rng = np.random.default_rng(0)
+        out = predict_remote(
+            f"http://127.0.0.1:{srv.port}",
+            image=rng.normal(size=(2, 32)).astype(np.float32),
+            text=rng.normal(size=(2, 16)).astype(np.float32),
+        )
+        assert out.shape[0] == 2
+    finally:
+        srv.stop()
 
 
 def test_http_server_with_microbatcher():
@@ -491,6 +589,25 @@ class TestExportedPredictor:
             predictor(image=img_big, text=txt_big),
             atol=1e-6,
         )
+
+    def test_reexport_of_frozen_predictor_fails_loud(
+        self, predictor, tmp_path
+    ):
+        """A loaded artifact is type-compatible with export_predictor but
+        has no live program to re-trace — must be a clear TypeError, not
+        an AttributeError mid-export."""
+        from aecf_tpu.serve import export_predictor, load_exported_predictor
+
+        rng = np.random.default_rng(2)
+        predictor(
+            image=rng.normal(size=(2, 32)).astype(np.float32),
+            text=rng.normal(size=(2, 16)).astype(np.float32),
+        )  # seed dims
+        path = str(tmp_path / "frozen.npz")
+        export_predictor(predictor, path)
+        frozen = load_exported_predictor(path)
+        with pytest.raises(TypeError, match="re-export"):
+            export_predictor(frozen, str(tmp_path / "frozen2.npz"))
 
     def test_export_requires_dims(self, tmp_path):
         from aecf_tpu.models import VisionLanguageModel

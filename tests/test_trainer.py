@@ -77,6 +77,27 @@ def test_evaluate_model_handles_ragged_batches():
     assert per.shape == (3,)
 
 
+def test_evaluate_model_single_compiled_shape_when_pad_exceeds_tail():
+    """pad > rows-in-final-batch (n=10, batch=8 → tail 2, pad 6) must
+    still pad to exactly batch_size: zeros_like(bi[:pad]) used to yield
+    only tail-many pad rows, silently adding a second compiled shape."""
+    model = XrayBaselineModel(image_dim=8, text_dim=8, hidden_dim=4, num_classes=3)
+    params = model.init(jax.random.key(0))
+    seen_shapes = []
+
+    def predict(p, i, t):
+        seen_shapes.append(i.shape)
+        return model.apply(p, i, t, training=False)
+
+    n = 10
+    img = np.random.default_rng(0).normal(size=(n, 8)).astype(np.float32)
+    txt = np.random.default_rng(1).normal(size=(n, 8)).astype(np.float32)
+    lab = (np.random.default_rng(2).random((n, 3)) < 0.5).astype(np.float32)
+    m, f1, per = evaluate_model(predict, params, img, txt, lab, "none", batch_size=8)
+    assert set(seen_shapes) == {(8, 8)}, seen_shapes
+    assert 0.0 <= m <= 1.0 and per.shape == (3,)
+
+
 def test_tiny_parallel_experiment_runs():
     """2-epoch end-to-end experiment on synthetic data with curriculum
     activation at epoch 1 — the integration smoke of the reference's
