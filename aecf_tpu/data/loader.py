@@ -29,6 +29,7 @@ _SRC = os.path.join(_NATIVE_DIR, "batcher.cc")
 _LIB_PATH = os.path.join(_NATIVE_DIR, "libaecf_batcher.so")
 
 _lib = None
+_lib_failed = False
 _lib_lock = threading.Lock()
 
 
@@ -36,6 +37,10 @@ def build_native(force: bool = False) -> Optional[str]:
     """Compile the native batcher (g++); returns the .so path or None."""
     if os.path.exists(_LIB_PATH) and not force:
         return _LIB_PATH
+    # Link to a temp path and os.replace into place: an interrupted or
+    # concurrent build must never leave a half-written .so at _LIB_PATH
+    # (os.path.exists would then return it forever and CDLL would fail).
+    tmp = f"{_LIB_PATH}.tmp.{os.getpid()}"
     try:
         subprocess.run(
             [
@@ -47,26 +52,54 @@ def build_native(force: bool = False) -> Optional[str]:
                 "-pthread",
                 _SRC,
                 "-o",
-                _LIB_PATH,
+                tmp,
             ],
             check=True,
             capture_output=True,
             timeout=120,
         )
+        os.replace(tmp, _LIB_PATH)
         return _LIB_PATH
     except (OSError, subprocess.SubprocessError):
+        return None
+    finally:
+        if os.path.exists(tmp):
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
+
+
+def _dlopen(path: Optional[str]):
+    if path is None:
+        return None
+    try:
+        return ctypes.CDLL(path)
+    except OSError:
         return None
 
 
 def _load_lib():
-    global _lib
+    global _lib, _lib_failed
     with _lib_lock:
         if _lib is not None:
             return _lib
-        path = build_native()
-        if path is None:
+        if _lib_failed:
+            # remember failure: re-running the (up to 120s) g++ attempt on
+            # every BatchLoader construction would stall each one
             return None
-        lib = ctypes.CDLL(path)
+        lib = _dlopen(build_native())
+        if lib is None:
+            # a stale pre-atomic-build corrupt .so can still exist on
+            # disk: drop it and rebuild once before giving up
+            try:
+                os.remove(_LIB_PATH)
+            except OSError:
+                pass
+            lib = _dlopen(build_native())
+        if lib is None:
+            _lib_failed = True
+            return None
         lib.aecf_batcher_create.restype = ctypes.c_void_p
         lib.aecf_batcher_create.argtypes = [
             ctypes.POINTER(ctypes.c_float),
@@ -132,6 +165,21 @@ class BatchLoader:
         self.text = _as_f32c(data["text"])
         self.label = _as_f32c(data["label"])
         self.n = self.image.shape[0]
+        # Validate up front, identically for both backends: the C++
+        # pipeline indexes rows 0..n-1 of EVERY array from the image's row
+        # count — a shorter text/label buffer would be read out of bounds.
+        for name in ("image", "text", "label"):
+            arr = getattr(self, name)
+            if arr.ndim != 2:
+                raise ValueError(
+                    f"{name} must be 2-D (rows, features), got shape "
+                    f"{arr.shape}"
+                )
+            if arr.shape[0] != self.n:
+                raise ValueError(
+                    f"row mismatch: {name} has {arr.shape[0]} rows, "
+                    f"image has {self.n}"
+                )
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
@@ -139,6 +187,11 @@ class BatchLoader:
         self.seed = seed
         self.prefetch = prefetch
 
+        if backend not in ("auto", "native", "numpy"):
+            raise ValueError(
+                f"backend must be 'auto', 'native' or 'numpy', got "
+                f"{backend!r}"
+            )
         if backend == "auto":
             # Prefetch overlap needs a spare core: on a single-CPU host the
             # worker thread just contends with the consumer (measured 7x

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from ..core.attention import AttentionPoolParams
 from ..core.init import init_attention_pool_params, init_fusion_query
 from ..ops import fusion_pool
-from .layers import LinearParams, init_linear, mlp_encoder
+from .layers import LinearParams, init_linear, linear, mlp_encoder
 
 __all__ = ["MedicalDiagnosisModel", "MedicalDiagnosisParams"]
 
@@ -121,9 +121,7 @@ class MedicalDiagnosisModel:
             key_padding_mask=key_padding_mask,
         )
 
-        logits = pooled.squeeze(1) @ params.classifier.weight.T
-        if params.classifier.bias is not None:
-            logits = logits + params.classifier.bias
+        logits = linear(params.classifier, pooled.squeeze(1))
 
         if return_info:
             info: Dict[str, Any] = dict(mask_info)

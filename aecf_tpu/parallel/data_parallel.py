@@ -45,9 +45,12 @@ __all__ = [
 ]
 
 
-def shard_batch(mesh: Mesh, batch: Any) -> Any:
-    """Device-put a pytree of host arrays with batch-axis sharding."""
-    sharding = NamedSharding(mesh, P("data"))
+def shard_batch(mesh: Mesh, batch: Any, *, axis_name: str = "data") -> Any:
+    """Device-put a pytree of host arrays with batch-axis sharding.
+
+    ``axis_name`` matches the step builders' parameter so the helper pair
+    composes on meshes with non-default axis names."""
+    sharding = NamedSharding(mesh, P(axis_name))
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 
 

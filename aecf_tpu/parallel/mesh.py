@@ -44,8 +44,17 @@ def maybe_initialize_distributed() -> None:
         kwargs["process_id"] = int(os.environ["JAX_PROCESS_ID"])
     try:
         jax.distributed.initialize(**kwargs)
-    except RuntimeError:
-        pass  # already initialized
+    except RuntimeError as e:
+        # Tolerate ONLY re-initialization.  Swallowing every RuntimeError
+        # would turn an unreachable/dead coordinator (XlaRuntimeError is a
+        # RuntimeError subclass) into each host silently training alone on
+        # its own shard — wrong results with no error.
+        msg = str(e).lower()
+        if (
+            "only be called once" not in msg
+            and "already initialized" not in msg
+        ):
+            raise
 
 
 def make_mesh(

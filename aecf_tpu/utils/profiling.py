@@ -25,33 +25,77 @@ def trace(log_dir: str = "/tmp/aecf_trace") -> Iterator[None]:
 named_scope = jax.named_scope  # annotate regions inside jitted functions
 
 
+class _StepHandle:
+    """Set ``result`` inside ``StepTimer.step()`` so the timer can
+    synchronize on the step's OUTPUT before stopping the clock."""
+
+    __slots__ = ("result",)
+
+    def __init__(self):
+        self.result = None
+
+
 class StepTimer:
     """Wall-clock step timing with warmup discard and device sync.
 
-    Blocks on ready (`block_until_ready`) so async dispatch doesn't hide
-    device time — use for benchmarking, not in the hot training loop.
+    Usage::
+
+        timer = StepTimer()
+        for _ in range(n):
+            with timer.step() as s:
+                s.result = train_step(...)
+
+    Assigning ``s.result`` lets the timer synchronize on the body's
+    output before the clock stops (a ``result_to_block_on`` argument
+    could only receive a PREVIOUS step's value — context-manager
+    arguments are evaluated at entry).  Without it, only host-side
+    dispatch time is measured, which for async jax is near-zero and
+    meaningless.
+
+    ``sync='fetch'`` (default) fetches one scalar element of the result —
+    the only synchronization that is reliable through remote-dispatch
+    transports, where ``block_until_ready`` can return before the device
+    finishes; it costs one host↔device round trip per step.
+    ``sync='block'`` uses ``block_until_ready`` only.  Per-step numbers
+    include that round trip — for RTT-corrected long-window throughput
+    use ``bench.ab_train_windows``.
     """
 
-    def __init__(self, warmup: int = 3):
+    def __init__(self, warmup: int = 3, *, sync: str = "fetch"):
+        if sync not in ("fetch", "block"):
+            raise ValueError(f"sync must be 'fetch' or 'block', got {sync!r}")
         self.warmup = warmup
+        self.sync = sync
         self.times: list[float] = []
         self._seen = 0
 
+    def _sync(self, result) -> None:
+        jax.block_until_ready(result)
+        if self.sync == "fetch":
+            leaves = jax.tree_util.tree_leaves(result)
+            if leaves:
+                leaf = leaves[0]
+                if hasattr(leaf, "ndim"):
+                    # one-element fetch: forces completion through
+                    # transports where block_until_ready returns early
+                    float(leaf.reshape(-1)[0])
+
     @contextlib.contextmanager
-    def step(self, result_to_block_on=None) -> Iterator[None]:
+    def step(self) -> Iterator[_StepHandle]:
+        handle = _StepHandle()
         start = time.perf_counter()
-        yield
-        if result_to_block_on is not None:
-            jax.block_until_ready(result_to_block_on)
+        yield handle
+        if handle.result is not None:
+            self._sync(handle.result)
         elapsed = time.perf_counter() - start
         self._seen += 1
         if self._seen > self.warmup:
             self.times.append(elapsed)
 
     def record(self, fn, *args, **kwargs):
-        with self.step() as _:
+        with self.step() as s:
             out = fn(*args, **kwargs)
-            jax.block_until_ready(out)
+            s.result = out
         return out
 
     @property

@@ -113,3 +113,18 @@ def test_native_matches_numpy_row_multiset():
         for backend in ("numpy", "native")
     }
     assert rows["numpy"] == rows["native"]
+
+
+def test_constructor_validation_is_backend_independent():
+    """Shape problems must fail at construction for BOTH backends: the
+    C++ pipeline indexes every array by the image's row count, so a
+    shorter text buffer would be read out of bounds."""
+    data = make_data(n=20)
+    bad = dict(data, text=data["text"][:10])
+    with pytest.raises(ValueError, match="row mismatch"):
+        BatchLoader(bad, batch_size=4)
+    bad1d = dict(data, label=data["label"][:, 0])
+    with pytest.raises(ValueError, match="must be 2-D"):
+        BatchLoader(bad1d, batch_size=4)
+    with pytest.raises(ValueError, match="backend"):
+        BatchLoader(data, batch_size=4, backend="natve")  # typo'd

@@ -305,3 +305,26 @@ def test_dp_eval_step_feeds_sweep():
     assert len(res) == 3  # (image,text), (image,), (text,)
     for row in res.values():
         assert np.isfinite(row["map"]) and 0.0 <= row["ece"] <= 1.0
+
+
+def test_maybe_initialize_distributed_error_handling(monkeypatch):
+    """Re-initialization is tolerated; a coordinator failure must RAISE —
+    swallowing it would leave every host silently training alone."""
+    from aecf_tpu.parallel import maybe_initialize_distributed
+
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "127.0.0.1:1")
+
+    def raise_reinit(**kw):
+        raise RuntimeError(
+            "distributed.initialize should only be called once."
+        )
+
+    monkeypatch.setattr(jax.distributed, "initialize", raise_reinit)
+    maybe_initialize_distributed()  # tolerated
+
+    def raise_unreachable(**kw):
+        raise RuntimeError("DEADLINE_EXCEEDED: barrier timed out")
+
+    monkeypatch.setattr(jax.distributed, "initialize", raise_unreachable)
+    with pytest.raises(RuntimeError, match="DEADLINE"):
+        maybe_initialize_distributed()

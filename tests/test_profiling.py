@@ -37,7 +37,24 @@ def test_step_timer():
 
     r = jnp.ones((8,))
     for _ in range(6):
-        with t.step(r):
+        with t.step() as s:
             r = f(r)
+            s.result = r  # sync on the BODY's output, not a stale input
     assert len(t.times) == 4  # 6 - warmup 2
     assert t.mean_s > 0 and t.p50_s > 0
+
+
+def test_step_timer_record_and_sync_modes():
+    @jax.jit
+    def f(x):
+        return x + 1
+
+    for sync in ("fetch", "block"):
+        t = StepTimer(warmup=0, sync=sync)
+        out = t.record(f, jnp.zeros((4,)))
+        assert float(out[0]) == 1.0
+        assert len(t.times) == 1 and t.times[0] > 0
+    import pytest
+
+    with pytest.raises(ValueError, match="sync"):
+        StepTimer(sync="nope")
