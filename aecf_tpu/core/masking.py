@@ -80,12 +80,31 @@ class CurriculumMaskingConfig:
             raise ValueError(f"min_active must be >= 1, got {self.min_active}")
 
 
+@jax.custom_jvp
+def _neg_sum_xlogy(weights: jax.Array) -> jax.Array:
+    return -jnp.sum(jax.scipy.special.xlogy(weights, weights), axis=-1)
+
+
+@_neg_sum_xlogy.defjvp
+def _neg_sum_xlogy_jvp(primals, tangents):
+    (w,), (dw,) = primals, tangents
+    # d/dw[-w·log w] = -(log w + 1), thresholded at 1e-30 (a NORMAL f32 —
+    # XLA flushes subnormals, so a smaller floor autodiffs to 1/0 = inf and
+    # 0·inf = NaN even under a zero cotangent; see CLAUDE.md).  Without
+    # this, any exact-zero weight (e.g. a -inf key_padding_mask slot) makes
+    # the detach_info=False entropy gradient poison EVERY parameter grad.
+    g = -(jnp.log(jnp.maximum(w, 1e-30)) + 1.0)
+    return _neg_sum_xlogy(w), jnp.sum(g * dw, axis=-1)
+
+
 def compute_entropy(weights: jax.Array) -> jax.Array:
     """Shannon entropy over the last axis, clamped to ``[0, log L]``.
 
     ``xlogy`` semantics: ``0 * log(0) == 0`` (reference AECFLayer.py:113-128).
+    The forward value is exactly ``-Σ xlogy(w, w)``; only the gradient is
+    analytic (finite at ``w == 0``).
     """
-    entropy = -jnp.sum(jax.scipy.special.xlogy(weights, weights), axis=-1)
+    entropy = _neg_sum_xlogy(weights)
     max_entropy = math.log(weights.shape[-1])
     return jnp.clip(entropy, 0.0, max_entropy)
 

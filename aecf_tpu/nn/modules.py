@@ -349,6 +349,11 @@ class MultimodalAttentionPool:
             value = key
         self._validate(query, key, value)
 
+        # Capture BEFORE any layout change: swapaxes produces two distinct
+        # arrays, so testing `value is key` afterwards would silently
+        # route every batch_first=False caller off the fused kernels.
+        shared_kv = value is key
+
         if not self.batch_first:
             query = jnp.swapaxes(query, 0, 1)
             key = jnp.swapaxes(key, 0, 1)
@@ -380,8 +385,7 @@ class MultimodalAttentionPool:
             )
         if impl == "pallas" and self._pallas_supported(
             query,
-            key,
-            value,
+            shared_kv,
             key_padding_mask,
             attn_mask,
             dropout_active,
@@ -417,7 +421,12 @@ class MultimodalAttentionPool:
             # (replaces torch.utils.checkpoint, reference AECFLayer.py:500-512).
             attend = jax.checkpoint(attend)
 
-        attn_output, attn_weights = attend(query, key, value)
+        # Match the Pallas paths' HIGHEST matmul precision: on TPU, f32
+        # dots otherwise default to bf16 MXU passes, and auto-dispatch
+        # would silently change numerics between fused and fallback
+        # configs (same fix as ops.fusion_pool's xla branch).
+        with jax.default_matmul_precision("highest"):
+            attn_output, attn_weights = attend(query, key, value)
 
         info: Dict[str, Any] = {}
         if self.curriculum_masking is not None and attn_weights is not None:
@@ -471,8 +480,7 @@ class MultimodalAttentionPool:
     def _pallas_supported(
         self,
         query,
-        key,
-        value,
+        shared_kv,
         key_padding_mask,
         attn_mask,
         dropout_active,
@@ -484,7 +492,7 @@ class MultimodalAttentionPool:
             and attn_mask is None
             and not dropout_active
             and mask_override is None
-            and value is key
+            and shared_kv
             and query.dtype == jnp.float32
             # Resident-weight kernels cap at _RESIDENT_E_CAP; the
             # shared-query H<=2 dispatch (query.shape[0] == 1) has a

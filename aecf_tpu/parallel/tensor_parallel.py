@@ -34,7 +34,6 @@ this path is plain GSPMD jit (no shard_map).
 
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
 from typing import Any, Callable, Optional
 

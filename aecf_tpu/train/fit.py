@@ -117,10 +117,11 @@ def fit(
             )
         else:
             step_fn = make_train_step(apply_fn, optimizer, donate=False)
-    if mesh is not None and not tp:
+    if mesh is not None:
         from ..parallel import replicate, shard_batch
 
-        state = replicate(mesh, state)
+        if not tp:
+            state = replicate(mesh, state)
 
     history: Dict[str, list] = {"loss": [], "step": []}
     for step_idx in range(start_step, num_steps):
@@ -131,17 +132,16 @@ def fit(
             # one device first would defeat batch-larger-than-a-chip DP
             batch = shard_batch(mesh, (images, texts, labels))
         elif tp:
-            # shard over 'data' straight from host memory — jnp.asarray
-            # would stage the whole global batch on one device first,
-            # defeating batch-larger-than-a-chip DP (same reasoning as
-            # the shard_map branch above)
-            from jax.sharding import NamedSharding, PartitionSpec
-
-            sh = NamedSharding(mesh, PartitionSpec("data"))
-            batch = tuple(
-                jax.device_put(np.asarray(x), sh)
-                for x in (images, texts, labels)
-            )
+            # DP×TP: shard over 'data' straight from host memory —
+            # jnp.asarray would stage the whole global batch on one device
+            # first, defeating batch-larger-than-a-chip DP.  A pure-TP
+            # mesh (no 'data' axis) replicates the batch, matching
+            # make_tp_train_step's data_axis=None mode.
+            batch = tuple(np.asarray(x) for x in (images, texts, labels))
+            if "data" in mesh.axis_names:
+                batch = shard_batch(mesh, batch)
+            else:
+                batch = replicate(mesh, batch)
         else:
             batch = (jnp.asarray(images), jnp.asarray(texts),
                      jnp.asarray(labels))

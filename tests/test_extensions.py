@@ -161,7 +161,7 @@ class TestPallasDispatchGates:
 
     def _gate(self, pool, q, kv):
         return pool._pallas_supported(
-            q, kv, kv, None, None, False, None
+            q, True, None, None, False, None
         )
 
     def test_detach_info_false_disables_pallas(self):

@@ -176,3 +176,32 @@ def test_fit_history_carries_info_metrics():
     # the info-dict observability contract surfaces in history
     assert "entropy" in history and "mask_rate" in history
     assert all(np.isfinite(v) for v in history["entropy"])
+
+
+def test_pure_tp_fit_matches_single_device():
+    """fit() on a pure-TP mesh (no 'data' axis): the batch is replicated
+    (make_tp_train_step's data_axis=None mode) — this used to crash on a
+    hardcoded PartitionSpec('data')."""
+    import pytest
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    from aecf_tpu.parallel import make_mesh
+
+    apply_fn, opt, params, batch_fn = setup()
+    mesh = make_mesh((8,), ("model",))
+    tp_state, _ = fit(
+        apply_fn, opt, params, batch_fn,
+        num_steps=4, rng=jax.random.key(1), mesh=mesh,
+    )
+    single_state, _ = fit(
+        apply_fn, opt, params, batch_fn,
+        num_steps=4, rng=jax.random.key(1),
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-5
+        ),
+        tp_state.params,
+        single_state.params,
+    )

@@ -475,3 +475,38 @@ def test_scheduled_module_training_still_requires_step():
     )
     with pytest.raises(ValueError, match="step"):
         cm(w, rng=jax.random.key(1))
+
+
+class TestEntropyGradient:
+    def test_finite_at_exact_zero_weight(self):
+        """xlogy autodiff at w=0 is log(0)=-inf → NaN; the analytic JVP
+        must give a finite gradient (a -inf key_padding_mask slot makes
+        exact zeros routine)."""
+        w = jnp.array([[0.5, 0.5, 0.0]])
+        g = jax.grad(lambda x: compute_entropy(x).sum())(w)
+        assert np.isfinite(np.asarray(g)).all(), g
+
+    def test_forward_matches_xlogy_exactly(self):
+        """The custom JVP must not perturb the forward value (goldens are
+        bit-for-bit)."""
+        rng = np.random.default_rng(0)
+        w = rng.dirichlet(np.ones(5), size=16).astype(np.float32)
+        w[0, :2] = [1.0, 0.0]  # include exact zeros
+        w[0, 2:] = 0.0
+        from jax.scipy.special import xlogy
+
+        want = np.clip(
+            -np.asarray(xlogy(w, w)).sum(-1), 0.0, math.log(5)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(compute_entropy(jnp.asarray(w))), want
+        )
+
+    def test_interior_gradient_matches_autodiff_formula(self):
+        w = jnp.asarray(
+            np.random.default_rng(1).dirichlet(np.ones(4), size=8),
+            jnp.float32,
+        )
+        g = jax.grad(lambda x: compute_entropy(x).sum())(w)
+        want = -(np.log(np.asarray(w)) + 1.0)
+        np.testing.assert_allclose(np.asarray(g), want, rtol=1e-5)

@@ -336,3 +336,49 @@ def test_package_exports():
         "multimodal_attention_pool",
         "create_fusion_pool",
     }
+
+
+def test_batch_first_false_stays_eligible_for_fused_dispatch(monkeypatch):
+    """The shared-kv identity must be captured BEFORE the seq-first
+    layout swap: swapaxes makes `value is key` False, which silently
+    routed every batch_first=False caller off the fused kernels."""
+    pool = MultimodalAttentionPool(
+        64, num_heads=1, batch_first=False, implementation="pallas"
+    )
+    pool.eval()
+    called = {}
+
+    def fake_pallas_forward(params, query, kv, **kw):
+        called["yes"] = True
+        return jnp.zeros((kv.shape[0], 1, 64))
+
+    monkeypatch.setattr(pool, "_pallas_forward", fake_pallas_forward)
+    q = jnp.ones((1, 2, 64))   # (T=1, B=2, E) seq-first
+    kv = jnp.ones((3, 2, 64))  # (S=3, B=2, E)
+    pool(q, kv)  # value defaults to key
+    assert called.get("yes"), "fused dispatch not taken for batch_first=False"
+
+
+def test_detach_info_false_grads_finite_with_padding_mask():
+    """detach_info=False routes to the XLA path where a -inf padded slot
+    yields an exact-zero weight; the entropy term's gradient must stay
+    finite (analytic xlogy JVP) instead of poisoning every param grad."""
+    pool = MultimodalAttentionPool(
+        32,
+        num_heads=2,
+        curriculum_masking=CurriculumMasking(detach_info=False),
+    )
+    q = jnp.ones((4, 1, 32))
+    kv = jax.random.normal(jax.random.key(0), (4, 3, 32))
+    mask = jnp.zeros((4, 3), bool).at[:, 2].set(True)  # pad last slot
+
+    def loss(params):
+        out, info = pool(
+            q, kv, key_padding_mask=mask, params=params,
+            rng=jax.random.key(1), return_info=True,
+        )
+        return jnp.mean(out**2) + jnp.mean(info["entropy"])
+
+    g = jax.grad(loss)(pool.params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(bool(jnp.isfinite(x).all()) for x in leaves)
