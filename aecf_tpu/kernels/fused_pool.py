@@ -41,8 +41,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..core.attention import AttentionPoolParams
-from ..core.masking import EPS
-from .shared_query import _draw_seed_words
+
+from .shared_query import _draw_seed_words, _mask_and_renorm
 
 __all__ = ["fused_fusion_pool", "supports_fused"]
 
@@ -190,52 +190,16 @@ def _fusion_kernel(
         mw_ref[:] = w
         rate_ref[:] = jnp.zeros((TB, 1), f32)
     else:
-        # ---- adaptive Bernoulli keep mask (in-kernel TPU PRNG) --------------
-        norm_entropy = jnp.clip(entropy / max_entropy, 0.0, 1.0)
-        keep_prob = jnp.clip(
-            1.0 - mask_prob_ref[0] * norm_entropy, 0.0, 1.0
-        )  # (TB, 1)
-        # Tile id folded into both seed words with distinct odd
-        # multipliers (Mosaic caps prng_seed at two words): independent
-        # per-(step, tile) streams (see shared_query._draw_seed_words).
-        pid = pl.program_id(0)
-        w0 = seed_ref[0] + pid * jnp.int32(-1640531527)
-        w1 = seed_ref[1] ^ (pid * jnp.int32(-2048144789))
-        pltpu.prng_seed(w0, w1)
-        bits = pltpu.bitcast(
-            pltpu.prng_random_bits((TB, M)), jnp.uint32
+        # Bernoulli → min_active top-k → renormalize: the ONE shared
+        # in-kernel masking chain (shared_query._mask_and_renorm, also
+        # used by the streamed mix kernel) — a numerics/PRNG fix there
+        # must not leave this kernel silently divergent.
+        mw, rate = _mask_and_renorm(
+            w, entropy, max_entropy, mask_prob_ref[0], seed_ref,
+            min_active=min_active, seq_len=seq_len,
         )
-        # 24-bit mantissa uniform in [0, 1).  Mosaic has no uint32→f32 cast;
-        # after the shift the value fits in 24 bits, so bitcast to int32
-        # first (value-preserving) and convert from there.
-        bits24 = pltpu.bitcast(bits >> 8, jnp.int32)
-        uniform = bits24.astype(f32) * (1.0 / (1 << 24))
-        mask = (uniform < keep_prob).astype(f32)  # (TB, M)
-
-        # ---- min_active: whole-row replacement by top-k indicator -----------
-        eff = min(min_active, seq_len)
-        needs_more = mask.sum(axis=-1, keepdims=True) < eff
-        col = lax.broadcasted_iota(jnp.int32, (TB, M), 1)
-        work = w
-        indicator = jnp.zeros((TB, M), f32)
-        for _ in range(eff):
-            mx = work.max(axis=-1, keepdims=True)
-            is_max = work == mx
-            # first occurrence among ties (torch.topk-compatible order)
-            first_idx = jnp.where(is_max, col, M).min(axis=-1, keepdims=True)
-            first = (col == first_idx).astype(f32)
-            indicator = jnp.maximum(indicator, first)
-            work = jnp.where(first > 0, -jnp.inf, work)
-        mask = jnp.where(needs_more, indicator, mask)
-
-        # ---- mask, renormalize, fallback ------------------------------------
-        masked = w * mask
-        msum = masked.sum(axis=-1, keepdims=True)
-        valid = msum > EPS
-        mw_ref[:] = jnp.where(
-            valid, masked / jnp.where(valid, msum, 1.0), w
-        )
-        rate_ref[:] = 1.0 - mask.mean(axis=-1, keepdims=True)
+        mw_ref[:] = mw
+        rate_ref[:] = rate
 
     # ---- context with UNMASKED per-head attention (quirk Q1) + out-proj ----
     ctx = (

@@ -69,9 +69,10 @@ def _pick_tile(
     batch row.  The default is clamped so the single-buffered blocks stay
     under :data:`_VMEM_ROW_BUDGET` — at the E=8192 cap the 1/E default
     formulas alone would floor at 32 rows and overflow scoped vmem when
-    d_kv tiles are also resident.  Env overrides are NOT clamped (sweeps
-    intentionally probe the limit; Mosaic rejects over-budget tiles with
-    an explicit error)."""
+    d_kv tiles are also resident.  Env overrides get NEITHER the VMEM
+    clamp nor the per-head rescale (sweeps intentionally probe limits and
+    must measure the exact tile they name; Mosaic rejects over-budget
+    tiles with an explicit error)."""
     import os
 
     raw = os.environ.get(env)
@@ -86,10 +87,13 @@ def _pick_tile(
             # TB=0 would divide by zero in the grid computation; tiles
             # below the (8, 128) f32 sublane tile are never valid.
             raise ValueError(f"{env}={raw!r}: batch tile must be >= 8")
-    else:
-        tb = default
-        if row_bytes is not None:
-            tb = min(tb, max(8, _VMEM_ROW_BUDGET // row_bytes // 8 * 8))
+        # Env overrides are honored VERBATIM (modulo the batch clamp):
+        # rescaling them per head would make a sweep record "TB=256"
+        # datapoints that actually measured TB=64.
+        return min(tb, _round_up(B, 8))
+    tb = default
+    if row_bytes is not None:
+        tb = min(tb, max(8, _VMEM_ROW_BUDGET // row_bytes // 8 * 8))
     if num_heads > 2:
         tb = max(64, tb // (num_heads // 2))
     return min(tb, _round_up(B, 8))

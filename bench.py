@@ -426,6 +426,18 @@ def main():
     enable_persistent_cache()
 
     batch, modalities, embed, heads, baseline_sps = CONFIGS[args.config]
+    overridden = any(
+        v is not None and v != base
+        for v, base in (
+            (args.batch, batch), (args.embed, embed),
+            (args.modalities, modalities), (args.heads, heads),
+        )
+    )
+    if overridden:
+        # a shape flag changes the workload: the named config's torch-CPU
+        # baseline no longer measures the same thing — report no ratio
+        # rather than a misleading one
+        baseline_sps = None
     batch = args.batch or batch
     embed = args.embed or embed
     modalities = args.modalities or modalities
@@ -484,7 +496,11 @@ def main():
         ),
         "value": round(samples_per_sec, 1),
         "unit": "samples/sec",
-        "vs_baseline": round(samples_per_sec / baseline_sps, 2),
+        "vs_baseline": (
+            round(samples_per_sec / baseline_sps, 2)
+            if baseline_sps
+            else None
+        ),
         # The tunnel to the chip has phase-dependent dispatch latency
         # (docs/experiments.md): the spread shows how trustworthy the
         # best-window headline is for this particular run.
@@ -495,8 +511,10 @@ def main():
             "rounds": len(round_sps),
             "aggregate": round(aggregate_sps, 1),
             "tunnel_rtt_ms": round(rtt * 1e3, 2),
-            "median_vs_baseline": round(
-                statistics.median(round_sps) / baseline_sps, 2
+            "median_vs_baseline": (
+                round(statistics.median(round_sps) / baseline_sps, 2)
+                if baseline_sps
+                else None
             ),
         },
     }

@@ -66,12 +66,21 @@ def build_clip(model_name: str, random_init: bool):
 
 
 def hashed_text_batch(texts, vocab=49408, length=77):
-    """Offline tokenizer stand-in: stable hash per whitespace token."""
+    """Offline tokenizer stand-in: stable hash per whitespace token.
+
+    crc32, not the built-in hash(): hash(str) is salted per process
+    (PYTHONHASHSEED), which would make features extracted in different
+    runs mutually incompatible."""
+    import zlib
+
     import torch
 
     ids = np.ones((len(texts), length), dtype=np.int64)
     for i, t in enumerate(texts):
-        toks = [hash(w) % (vocab - 2) + 2 for w in t.lower().split()][: length - 2]
+        toks = [
+            zlib.crc32(w.encode()) % (vocab - 2) + 2
+            for w in t.lower().split()
+        ][: length - 2]
         ids[i, 1 : 1 + len(toks)] = toks
         ids[i, 0] = 0
     return {

@@ -100,24 +100,33 @@ def render(selected, pathologies, per_pathology, out_path):
     import matplotlib.pyplot as plt
     from PIL import Image
 
-    rows = len(pathologies)
-    cols = max(1, per_pathology)
+    if per_pathology == 1:
+        # --layout row: one example per pathology in a 1×N strip (the
+        # documented reference visualization), not an N×1 column
+        rows, cols = 1, len(pathologies)
+        cells = [(0, c, p, 0) for c, p in enumerate(pathologies)]
+    else:
+        rows, cols = len(pathologies), max(1, per_pathology)
+        cells = [
+            (r, c, p, c)
+            for r, p in enumerate(pathologies)
+            for c in range(cols)
+        ]
     fig, axes = plt.subplots(
         rows, cols, figsize=(4 * cols, 4 * rows), squeeze=False
     )
-    for r, p in enumerate(pathologies):
-        for c in range(cols):
-            ax = axes[r][c]
-            ax.axis("off")
-            picks = selected[p]
-            if c >= len(picks):
-                continue
-            case = picks[c]
-            if case["image_data"] is not None:
-                img = Image.open(io.BytesIO(case["image_data"]))
-                ax.imshow(img, cmap="gray")
-            snippet = (case["impression"] or "")[:60]
-            ax.set_title(f"{p} (#{case['index']})\n{snippet}", fontsize=8)
+    for r, c, p, pick_idx in cells:
+        ax = axes[r][c]
+        ax.axis("off")
+        picks = selected[p]
+        if pick_idx >= len(picks):
+            continue
+        case = picks[pick_idx]
+        if case["image_data"] is not None:
+            img = Image.open(io.BytesIO(case["image_data"]))
+            ax.imshow(img, cmap="gray")
+        snippet = (case["impression"] or "")[:60]
+        ax.set_title(f"{p} (#{case['index']})\n{snippet}", fontsize=8)
     plt.tight_layout()
     plt.savefig(out_path, dpi=120, bbox_inches="tight")
     print(f"saved {out_path}")

@@ -202,7 +202,12 @@ def main():
     pre = range(
         max(0, args.curriculum_epoch - 5), args.curriculum_epoch
     )
-    post = range(max(0, args.epochs - 5), args.epochs)
+    # Clamp to the activation epoch: with short runs (--quick: 6/3) the
+    # last-5 window would otherwise include pre-activation epochs and
+    # dilute the effect means.
+    post = range(
+        max(args.curriculum_epoch, args.epochs - 5), args.epochs
+    )
     effect = print_curriculum_effect(results, pre, post)
     improvements = analyze_pathology_improvements(
         results, num_classes, pre, post

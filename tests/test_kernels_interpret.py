@@ -629,8 +629,18 @@ def test_pick_tile_env_validation(monkeypatch):
         _pick_tile(512, "AECF_FWD_TB", 1024)
     monkeypatch.setenv("AECF_FWD_TB", "256")
     assert _pick_tile(512, "AECF_FWD_TB", 1024) == 256
+    # overrides are honored VERBATIM: the H>2 rescale and the VMEM clamp
+    # apply only to defaults, or sweeps would record tiles they never ran
+    assert _pick_tile(512, "AECF_FWD_TB", 1024, num_heads=8) == 256
+    assert _pick_tile(
+        512, "AECF_FWD_TB", 1024, row_bytes=1 << 20
+    ) == 256
+    monkeypatch.setenv("AECF_FWD_TB", "8")
+    assert _pick_tile(512, "AECF_FWD_TB", 1024, num_heads=4) == 8
     monkeypatch.delenv("AECF_FWD_TB")
     assert _pick_tile(512, "AECF_FWD_TB", 1024) == 512
+    # defaults DO get the per-head rescale
+    assert _pick_tile(512, "AECF_FWD_TB", 1024, num_heads=8) == 128
 
 
 def test_pick_tile_vmem_clamp(monkeypatch):
