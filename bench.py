@@ -49,7 +49,8 @@ CONFIGS = {
 
 
 def build_chunk(batch, modalities, embed, heads, impl, steps_per_call,
-                features_dtype="float32", kv_grad=False):
+                features_dtype="float32", kv_grad=False,
+                precision="default"):
     import optax
 
     from aecf_tpu.core.attention import attention_pool_core
@@ -77,14 +78,17 @@ def build_chunk(batch, modalities, embed, heads, impl, steps_per_call,
                 out, w, mw, info = fused_fusion_pool_shared(
                     p["pool"], p["query"], modal, num_heads=heads,
                     rng=rng, training=True, base_mask_prob=0.15,
-                    precision="default", kv_grad=kv_grad,
+                    precision=precision, kv_grad=kv_grad,
                 )
             else:
                 q = jnp.broadcast_to(p["query"], (batch, 1, embed))
-                out, w = attention_pool_core(
-                    p["pool"], q, modal, modal, num_heads=heads,
-                    need_weights=True,
-                )
+                # same context the library's xla dispatch uses — the
+                # backward einsums inherit the traced precision
+                with jax.default_matmul_precision(precision):
+                    out, w = attention_pool_core(
+                        p["pool"], q, modal, modal, num_heads=heads,
+                        need_weights=True,
+                    )
                 mw, info = curriculum_mask(
                     w, key=rng, training=True, base_mask_prob=0.15
                 )
@@ -415,6 +419,15 @@ def main():
         "roofline; params/weights/entropy stay f32)",
     )
     ap.add_argument(
+        "--precision", default="default", choices=["default", "highest"],
+        help="MXU precision of the big GEMMs. 'default' (headline) is "
+        "single-pass bf16-input f32-accumulate — the standard TPU "
+        "training configuration; 'highest' is multi-pass full-f32, the "
+        "library API default chosen for torch-f32 parity "
+        "(ops.fusion_pool precision=).  The suite's precision_ab section "
+        "measures the gap.",
+    )
+    ap.add_argument(
         "--kv-grad", action="store_true",
         help="also compute/write the d_kv feature cotangent. Off by "
         "default to match the measured torch-CPU baseline protocol "
@@ -453,6 +466,7 @@ def main():
     chunk, params, opt_state = build_chunk(
         batch, modalities, embed, heads, impl, K,
         features_dtype=args.features_dtype, kv_grad=args.kv_grad,
+        precision=args.precision,
     )
     params, opt_state, loss = chunk(params, opt_state, jnp.int32(0))
     float(loss)  # compile + warmup (value fetch: the only reliable sync through the tunnel)
@@ -492,7 +506,8 @@ def main():
             f"fusion fwd+bwd samples/sec/chip "
             f"(B={batch}, M={modalities}, E={embed}, H={heads}, "
             f"impl={impl}, feats={args.features_dtype}, "
-            f"kv_grad={args.kv_grad}, {jax.default_backend()})"
+            f"kv_grad={args.kv_grad}, prec={args.precision}, "
+            f"{jax.default_backend()})"
         ),
         "value": round(samples_per_sec, 1),
         "unit": "samples/sec",

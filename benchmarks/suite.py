@@ -280,6 +280,41 @@ def streamed_e2048_ab(quick, B=4096, M=4, E=2048, H=1):
     }
 
 
+def precision_ab(quick, B=4096, M=3, E=512, H=1):
+    """Within-run A/B of MXU precision for the big GEMMs: 'default'
+    (one bf16-input f32-accumulate pass — the standard TPU training
+    configuration and the bench headline) vs 'highest' (multi-pass full
+    f32 — the library API default, chosen for torch-f32 parity).  Keeps
+    the cost of the parity mode measured, not assumed."""
+    import statistics
+
+    from bench import ab_train_windows, build_chunk, resolve_impl
+
+    impl = resolve_impl(H, E)
+    K = 40 if quick else 300
+    rounds = 3 if quick else 5
+
+    chunks = {}
+    for prec in ("default", "highest"):
+        c, p, s = build_chunk(B, M, E, H, impl, K, kv_grad=False,
+                              precision=prec)
+        p, s, loss = c(p, s, jnp.int32(0))
+        float(loss)  # value fetch: reliable sync through the tunnel
+        chunks[prec] = (c, p, s)
+
+    res = ab_train_windows(chunks, B, K, rounds, tunnel_rtt())
+    med = {m: statistics.median(v) for m, v in res.items()}
+    return {
+        "config": f"B={B},M={M},E={E},H={H},impl={impl},kv_grad=False",
+        "default_median_sps": round(med["default"], 1),
+        "highest_median_sps": round(med["highest"], 1),
+        "highest_cost_median": round(med["default"] / med["highest"], 3),
+        "highest_cost_best": round(
+            max(res["default"]) / max(res["highest"]), 3
+        ),
+    }
+
+
 def eval_forward_ab(quick, B=8192, M=4, E=1024):
     """Serving-path throughput: eval forward, f32 vs int8-quantized kv,
     within-run alternating windows at the memory-bound config."""
@@ -532,6 +567,8 @@ def main():
         "features_dtype_ab_large",
         "eval_fwd_ab_large",
         "eval_fwd_ab_e2048",
+        "precision_ab_north_star",
+        "precision_ab_heads8",
         "streamed_e2048_ab",
         "streamed_h2_e2048_ab",
         "serving_frozen",
@@ -657,6 +694,11 @@ def main():
             B=8192, M=4, E=1024,
         )
         section("eval_fwd_ab_large", eval_forward_ab, args.quick)
+        # precision: the headline runs 'default' (1-pass bf16-input GEMMs);
+        # the library API default is 'highest' (torch-f32 parity) — keep
+        # the gap measured on both dispatch paths.
+        section("precision_ab_north_star", precision_ab, args.quick)
+        section("precision_ab_heads8", precision_ab, args.quick, H=8)
         # serving beyond the resident cap: int8 through the streamed split
         section(
             "eval_fwd_ab_e2048", eval_forward_ab, args.quick,
