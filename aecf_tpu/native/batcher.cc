@@ -52,6 +52,7 @@ struct Batcher {
   std::condition_variable cv_ready;
   std::condition_variable cv_free;
   std::atomic<bool> stop{false};
+  bool done = false;  // end-of-stream reached (guarded by mu); terminal
   std::thread worker;
 
   // Batch currently held by the consumer.
@@ -179,12 +180,19 @@ int64_t aecf_batcher_acquire(void* handle, const float** image,
   Batch* b;
   {
     std::unique_lock<std::mutex> lk(B->mu);
-    B->cv_ready.wait(lk, [&] { return B->stop || !B->ready.empty(); });
+    B->cv_ready.wait(lk,
+                     [&] { return B->stop || B->done || !B->ready.empty(); });
     if (B->stop) return 0;
-    b = B->ready.front();
+    if (B->done && B->ready.empty()) return 0;  // terminal: repeat acquires
+    b = B->ready.front();                       // after EOS return 0 forever
     B->ready.pop();
+    if (b == nullptr) {
+      // end-of-stream sentinel: latch `done` so a retrying consumer does
+      // not block on an empty queue with the worker already exited
+      B->done = true;
+      return 0;
+    }
   }
-  if (b == nullptr) return 0;  // end of stream
   B->held = b;
   *image = b->image.data();
   *text = b->text.data();

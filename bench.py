@@ -358,32 +358,62 @@ def measure_tunnel_rtt(samples: int = 6) -> float:
     return statistics.median(rtts)
 
 
-def ab_train_windows(chunks, batch, steps_per_call, rounds, rtt_s):
-    """Alternating timed windows over pre-warmed train chunks — the only
+_CACHED_RTT = None
+
+
+def cached_tunnel_rtt():
+    """:func:`measure_tunnel_rtt`, measured once per process and reused —
+    every window-timing helper must subtract the same fixed transport
+    cost or A/B ratios pick up cross-measurement RTT drift."""
+    global _CACHED_RTT
+    if _CACHED_RTT is None:
+        _CACHED_RTT = measure_tunnel_rtt()
+    return _CACHED_RTT
+
+
+def net_window(elapsed, rtt_s):
+    """RTT-corrected window length: never subtract more than 90% of the
+    raw window (RTT-estimate noise floor).  THE one clamp rule — suite,
+    tile sweeps and byte profiles all ride this."""
+    return max(elapsed - rtt_s, 0.1 * elapsed)
+
+
+def ab_train_windows(chunks, batch, steps_per_call, rounds, rtt_s, *,
+                     call=None):
+    """Alternating timed windows over pre-warmed chunks — the only
     within-run measurement the tunnel's phase-dependent dispatch latency
     doesn't poison (docs/design.md "Measurement discipline").
 
-    ``chunks`` maps label -> ``(chunk_fn, params, opt_state)`` as built by
-    :func:`build_chunk`; ``None`` values are skipped (failed compiles in
-    sweeps).  Callers must warm each chunk (one call + value fetch) at
-    build time, BEFORE any env-var kernel knobs are restored — compilation
-    happens on that first call.  Each timed window runs ``steps_per_call``
-    sequentially-carried steps and syncs by fetching the loss value; the
-    fixed tunnel RTT is subtracted, clamped to at most 90% of the window
+    ``chunks`` maps label -> chunk state; ``None`` values are skipped
+    (failed compiles in sweeps).  The default state convention is the
+    :func:`build_chunk` train triple ``(chunk_fn, params, opt_state)``;
+    pass ``call(state, window_index) -> (new_state, value_to_fetch)`` for
+    other shapes (e.g. eval chunks carrying a bare accumulator).  Callers
+    must warm each chunk (one call + value fetch) at build time, BEFORE
+    any env-var kernel knobs are restored — compilation happens on that
+    first call.  Each timed window runs ``steps_per_call``
+    sequentially-carried steps and syncs by fetching a value; the fixed
+    tunnel RTT is subtracted, clamped to at most 90% of the window
     (RTT-estimate noise floor).  Mutates ``chunks`` with the advanced
-    (params, opt_state) and returns {label: [samples/s per window]}.
+    state and returns {label: [samples/s per window]}.
     """
+    if call is None:
+        def call(state, r):
+            c, p, s = state
+            p, s, loss = c(p, s, jnp.int32(r * steps_per_call))
+            return (c, p, s), loss
+
     res = {m: [] for m, v in chunks.items() if v is not None}
     for r in range(1, rounds + 1):
         for m in res:
-            c, p, s = chunks[m]
             t0 = time.perf_counter()
-            p, s, loss = c(p, s, jnp.int32(r * steps_per_call))
-            float(loss)  # value fetch: reliable sync through the tunnel
+            state, fetch = call(chunks[m], r)
+            float(fetch)  # value fetch: reliable sync through the tunnel
             elapsed = time.perf_counter() - t0
-            net = max(elapsed - rtt_s, 0.1 * elapsed)
-            res[m].append(batch * steps_per_call / net)
-            chunks[m] = (c, p, s)
+            res[m].append(
+                batch * steps_per_call / net_window(elapsed, rtt_s)
+            )
+            chunks[m] = state
     return res
 
 

@@ -47,16 +47,15 @@ CONFIGS = {
 
 
 def _rtt():
-    from bench import measure_tunnel_rtt
+    from bench import cached_tunnel_rtt
 
-    global _RTT
-    if "_RTT" not in globals():
-        _RTT = measure_tunnel_rtt()
-    return _RTT
+    return cached_tunnel_rtt()
 
 
 def _net(elapsed):
-    return max(elapsed - _rtt(), 0.1 * elapsed)
+    from bench import net_window
+
+    return net_window(elapsed, _rtt())
 
 
 def _time_windows(chunks, rounds):
@@ -178,6 +177,12 @@ def main():
     )
     args = ap.parse_args()
     phases = set(args.phases.split(","))
+    unknown = phases - {"read", "fwd", "step"}
+    if unknown:
+        # a typo'd phase would otherwise be skipped silently, exiting 0
+        # with a partial artifact the user believes was re-measured
+        raise SystemExit(f"unknown --phases {sorted(unknown)}; "
+                         "choose from read,fwd,step")
 
     from bench import enable_persistent_cache
 

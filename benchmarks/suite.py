@@ -32,24 +32,27 @@ import jax.numpy as jnp
 import numpy as np
 
 
-_RTT = None
+_ANNOUNCED = False
 
 
 def tunnel_rtt():
-    """Cached fixed per-fetch transport cost (see bench.measure_tunnel_rtt)."""
-    global _RTT
-    if _RTT is None:
-        from bench import measure_tunnel_rtt
+    """Process-cached transport cost (bench.cached_tunnel_rtt), announced
+    once."""
+    global _ANNOUNCED
+    from bench import cached_tunnel_rtt
 
-        _RTT = measure_tunnel_rtt()
-        print(f"tunnel rtt: {_RTT * 1e3:.1f}ms (subtracted from windows)",
+    rtt = cached_tunnel_rtt()
+    if not _ANNOUNCED:
+        _ANNOUNCED = True
+        print(f"tunnel rtt: {rtt * 1e3:.1f}ms (subtracted from windows)",
               flush=True)
-    return _RTT
+    return rtt
 
 
 def _net(elapsed):
-    # never subtract more than 90% of the window (RTT estimate noise)
-    return max(elapsed - tunnel_rtt(), 0.1 * elapsed)
+    from bench import net_window
+
+    return net_window(elapsed, tunnel_rtt())
 
 
 def throughput(batch, modalities, embed, heads, impl, quick):
@@ -100,6 +103,9 @@ def _parity_once():
         init_fusion_query,
     )
 
+    if jax.default_backend() != "tpu":
+        return {"skipped": "no TPU"}  # before the oracle compile: on a
+        # 1-vCPU box compiles dominate, don't pay one to skip
     E, M, B = 256, 3, 128
     params = init_attention_pool_params(jax.random.key(0), E)
     query = init_fusion_query(jax.random.key(1), E)
@@ -113,8 +119,6 @@ def _parity_once():
             num_heads=1,
             need_weights=True,
         )
-    if jax.default_backend() != "tpu":
-        return {"skipped": "no TPU"}
     from aecf_tpu.kernels import fused_fusion_pool_shared
 
     out_k, w_k, _, info = fused_fusion_pool_shared(
@@ -147,14 +151,18 @@ def bwd_ab(quick):
     rounds = 3 if quick else 5
 
     chunks = {}
-    for mode in ("xla", "pallas"):
-        os.environ["AECF_SHARED_BWD"] = mode
-        # kv_grad=True: full-cotangent backward, comparable across rounds.
-        c, p, s = build_chunk(B, M, E, H, "pallas", K, kv_grad=True)
-        p, s, loss = c(p, s, jnp.int32(0))
-        float(loss)  # value fetch: reliable sync through the tunnel
-        chunks[mode] = (c, p, s)
-    os.environ.pop("AECF_SHARED_BWD", None)
+    try:
+        for mode in ("xla", "pallas"):
+            os.environ["AECF_SHARED_BWD"] = mode
+            # kv_grad=True: full-cotangent backward, comparable per round.
+            c, p, s = build_chunk(B, M, E, H, "pallas", K, kv_grad=True)
+            p, s, loss = c(p, s, jnp.int32(0))
+            float(loss)  # value fetch: reliable sync through the tunnel
+            chunks[mode] = (c, p, s)
+    finally:
+        # section() swallows exceptions by design — a compile failure must
+        # not leak the forced backward into every later A/B section
+        os.environ.pop("AECF_SHARED_BWD", None)
 
     from bench import ab_train_windows
 
@@ -358,18 +366,15 @@ def eval_forward_ab(quick, B=8192, M=4, E=1024):
         float(acc)  # value fetch: reliable sync through the tunnel
         chunks[m] = (c, acc)
 
-    # eval chunks carry a bare accumulator, not the (params, opt_state)
-    # triple bench.ab_train_windows expects — this is the one window loop
-    # kept inline.
-    res = {m: [] for m in chunks}
-    for _ in range(rounds):
-        for m in chunks:
-            c, acc = chunks[m]
-            t0 = time.perf_counter()
-            acc = c(acc)
-            float(acc)
-            res[m].append(B * K / _net(time.perf_counter() - t0))
-            chunks[m] = (c, acc)
+    from bench import ab_train_windows
+
+    def eval_call(state, _r):
+        c, acc = state
+        acc = c(acc)
+        return (c, acc), acc
+
+    res = ab_train_windows(chunks, B, K, rounds, tunnel_rtt(),
+                           call=eval_call)
     med = {m: statistics.median(v) for m, v in res.items()}
     return {
         "config": f"B={B},M={M},E={E},H=1 eval fwd",
@@ -450,13 +455,23 @@ def serving_frozen_bench(quick):
         per_thread = 5 if quick else 20
         rows_per_req = 4
 
+        completed = [0] * n_threads
+        failures: list = []
+
         def worker(i):
             lo = (i * rows_per_req) % 512
             for _ in range(per_thread):
-                mb(
-                    image=img[lo : lo + rows_per_req],
-                    text=txt[lo : lo + rows_per_req],
-                )
+                # count what actually ran: join() returns normally even
+                # when a worker died, and throughput computed from the
+                # PLANNED row count would silently inflate the artifact
+                try:
+                    mb(
+                        image=img[lo : lo + rows_per_req],
+                        text=txt[lo : lo + rows_per_req],
+                    )
+                    completed[i] += 1
+                except Exception as e:  # noqa: BLE001 — artifact boundary
+                    failures.append(f"{type(e).__name__}: {str(e)[:120]}")
 
         threads = [
             threading.Thread(target=worker, args=(i,))
@@ -469,18 +484,20 @@ def serving_frozen_bench(quick):
             t.join()
         elapsed = time.perf_counter() - t0
         mb.stop()
-        total_rows = n_threads * per_thread * rows_per_req
+        done_requests = sum(completed)
+        total_rows = done_requests * rows_per_req
         results["microbatcher_frozen"] = {
             "total_rows": total_rows,
-            "requests": n_threads * per_thread,
+            "requests": done_requests,
             "device_calls": frozen.calls - calls_before,
             "samples_per_sec": round(total_rows / elapsed, 1),
             "coalescing": round(
-                (n_threads * per_thread)
-                / max(frozen.calls - calls_before, 1),
-                1,
+                done_requests / max(frozen.calls - calls_before, 1), 1
             ),
         }
+        if failures:
+            results["microbatcher_frozen"]["failed_requests"] = len(failures)
+            results["microbatcher_frozen"]["failures"] = failures[:5]
     return results
 
 
@@ -518,11 +535,10 @@ def vlm_throughput(quick):
             state.params
         )
         upd, opt_state = opt.update(grads, state.opt_state, state.params)
-        import optax as _o
 
         return (
             TrainState(
-                _o.apply_updates(state.params, upd),
+                optax.apply_updates(state.params, upd),
                 opt_state,
                 state.step + 1,
             ),
@@ -543,6 +559,16 @@ def vlm_throughput(quick):
     float(loss)  # value fetch: reliable sync through the tunnel
     sps = B * rounds * K / _net(time.perf_counter() - t0)
     return sps, (chunk, (state,), B)
+
+
+def _write_json_atomic(path, obj):
+    """tmp + os.replace: a kill mid-dump must not truncate an artifact
+    holding hours of already-measured sections (the same pattern as
+    loader.build_native)."""
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=2)
+    os.replace(tmp, path)
 
 
 def main():
@@ -679,8 +705,7 @@ def main():
                 }
             print(f"{key}: {results[key]}", flush=True)
             if args.json:  # checkpoint partial results
-                with open(args.json, "w") as f:
-                    json.dump(results, f, indent=2)
+                _write_json_atomic(args.json, results)
 
         section("shared_bwd_ab_large", bwd_ab, args.quick)
         section("kv_grad_ab_north_star", kv_grad_ab, args.quick)
@@ -711,8 +736,7 @@ def main():
         section("serving_frozen", serving_frozen_bench, args.quick)
 
     if args.json:
-        with open(args.json, "w") as f:
-            json.dump(results, f, indent=2)
+        _write_json_atomic(args.json, results)
         print(f"wrote {args.json}")
 
 

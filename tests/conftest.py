@@ -34,8 +34,13 @@ else:
     jax.config.update("jax_default_matmul_precision", "highest")
 
 # Persistent compilation cache: this box has 1 vCPU and XLA compiles dominate
-# test wall-clock; cache compiled executables across pytest runs.
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+# test wall-clock; cache compiled executables across pytest runs.  Derived
+# from this file's location so checkouts elsewhere keep their cache local.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"),
+)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 

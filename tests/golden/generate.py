@@ -10,7 +10,7 @@ parity (SURVEY.md §4 test plan, item b).
 The resulting .npz files are committed; tests/test_golden_parity.py consumes
 them without needing torch or the reference present.
 
-Usage:  python tests/golden/generate.py
+Usage:  python tests/golden/generate.py   (no PYTHONPATH needed)
 """
 
 import os
@@ -21,6 +21,15 @@ import torch
 
 REFERENCE = os.environ.get("AECF_REFERENCE_PATH", "/root/reference")
 sys.path.insert(0, REFERENCE)
+# Repo root on the path at module top, BEFORE any file is overwritten: in
+# script mode sys.path[0] is tests/golden, so the aecf_tpu imports further
+# down would otherwise fail AFTER main() already rewrote the first .npz,
+# leaving an internally inconsistent golden corpus.
+sys.path.insert(
+    0,
+    os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))),
+)
 
 from aecf import CurriculumMasking  # noqa: E402  (the reference package)
 
@@ -249,8 +258,7 @@ def generate_torch_ckpt_golden():
 
     # Export direction: our converter's state_dict must strict-load back
     # into a fresh reference pool and reproduce the same eval output.
-    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__)))))
+    # (repo root is on sys.path at module top)
     from aecf_tpu.contrib.torch_compat import (
         attention_pool_params_from_state_dict,
         attention_pool_state_dict,

@@ -128,3 +128,40 @@ def test_constructor_validation_is_backend_independent():
         BatchLoader(bad1d, batch_size=4)
     with pytest.raises(ValueError, match="backend"):
         BatchLoader(data, batch_size=4, backend="natve")  # typo'd
+
+
+@pytest.mark.skipif(
+    not native_available(), reason="g++/native pipeline unavailable"
+)
+def test_native_acquire_after_end_of_stream_returns_zero():
+    """The EOS sentinel is terminal: a consumer that re-acquires after
+    rows==0 (generic retry logic against the C ABI) must get 0 again
+    immediately, not block forever on a dead worker."""
+    import ctypes
+
+    from aecf_tpu.data.loader import _load_lib
+
+    lib = _load_lib()
+    fp = ctypes.POINTER(ctypes.c_float)
+    arr = np.arange(32, dtype=np.float32).reshape(8, 4).copy()
+    h = lib.aecf_batcher_create(
+        arr.ctypes.data_as(fp), arr.ctypes.data_as(fp),
+        arr.ctypes.data_as(fp), 8, 4, 4, 4, 4, 1, 2, 0, 0, 1,
+    )
+    assert h
+    ip, tp, lp = fp(), fp(), fp()
+    ep = ctypes.c_int64()
+
+    def acquire():
+        return lib.aecf_batcher_acquire(
+            h, ctypes.byref(ip), ctypes.byref(tp), ctypes.byref(lp),
+            ctypes.byref(ep),
+        )
+
+    seen = 0
+    while acquire():
+        seen += 1
+    assert seen == 2  # 8 rows / batch 4, drop_last
+    for _ in range(3):
+        assert acquire() == 0
+    lib.aecf_batcher_destroy(ctypes.c_void_p(h))
