@@ -88,10 +88,14 @@ def _load_lib():
             # remember failure: re-running the (up to 120s) g++ attempt on
             # every BatchLoader construction would stall each one
             return None
+        existed = os.path.exists(_LIB_PATH)
         lib = _dlopen(build_native())
-        if lib is None:
-            # a stale pre-atomic-build corrupt .so can still exist on
-            # disk: drop it and rebuild once before giving up
+        if lib is None and existed:
+            # a PRE-EXISTING .so that fails to dlopen is presumed stale/
+            # corrupt (pre-atomic-build artifact): drop it and rebuild
+            # once.  When the library didn't exist, the failure was the
+            # fresh build/dlopen itself — retrying would just double the
+            # up-to-120s g++ stall (and deleting would be a no-op).
             try:
                 os.remove(_LIB_PATH)
             except OSError:

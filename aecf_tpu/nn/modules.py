@@ -450,12 +450,16 @@ class MultimodalAttentionPool:
             if self.apply_masking_to_output:
                 from ..core.attention import apply_pooled_weights
 
-                attn_output = apply_pooled_weights(
-                    params,
-                    masked_weights,
-                    value,
-                    num_heads=self.num_heads,
-                )
+                # same precision context as attend(): this opt-in output
+                # recomputation is always on the XLA path and its three
+                # einsum GEMMs would otherwise run single-pass bf16
+                with jax.default_matmul_precision("highest"):
+                    attn_output = apply_pooled_weights(
+                        params,
+                        masked_weights,
+                        value,
+                        num_heads=self.num_heads,
+                    )
             info.update(mask_info)
             # Grad-carrying raw weights (reference AECFLayer.py:538).
             info["attention_weights"] = pooled_weights

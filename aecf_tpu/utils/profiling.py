@@ -8,6 +8,7 @@ import time
 from typing import Iterator
 
 import jax
+import jax.numpy as jnp
 
 __all__ = ["trace", "named_scope", "StepTimer"]
 
@@ -72,13 +73,15 @@ class StepTimer:
     def _sync(self, result) -> None:
         jax.block_until_ready(result)
         if self.sync == "fetch":
-            leaves = jax.tree_util.tree_leaves(result)
-            if leaves:
-                leaf = leaves[0]
-                if hasattr(leaf, "ndim"):
-                    # one-element fetch: forces completion through
-                    # transports where block_until_ready returns early
-                    float(leaf.reshape(-1)[0])
+            # one-element fetch from the first NON-EMPTY array leaf:
+            # forces completion through transports where
+            # block_until_ready returns early.  leaves[0] alone would
+            # silently skip the fetch when it happens to be a Python
+            # scalar (and crash on a zero-size array).
+            for leaf in jax.tree_util.tree_leaves(result):
+                if getattr(leaf, "size", 0):
+                    float(jnp.reshape(leaf, (-1,))[0])
+                    break
 
     @contextlib.contextmanager
     def step(self) -> Iterator[_StepHandle]:

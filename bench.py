@@ -504,11 +504,10 @@ def main():
     import statistics
 
     # Fixed per-fetch transport cost — subtracted from every timed window.
-    rtt = measure_tunnel_rtt()
+    rtt = cached_tunnel_rtt()
 
     def window_sps(elapsed, steps):
-        # never subtract more than 90% of the window (RTT estimate noise)
-        return batch * steps / max(elapsed - rtt, 0.1 * elapsed)
+        return batch * steps / net_window(elapsed, rtt)
 
     # Per-round timing (one fetch per window) ...
     round_sps = []

@@ -93,16 +93,18 @@ def select_distinct(cases, pathologies, per_pathology):
     return selected
 
 
-def render(selected, pathologies, per_pathology, out_path):
+def render(selected, pathologies, per_pathology, out_path, layout="row"):
     import matplotlib
 
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
     from PIL import Image
 
-    if per_pathology == 1:
+    if layout == "row":
         # --layout row: one example per pathology in a 1×N strip (the
-        # documented reference visualization), not an N×1 column
+        # documented reference visualization), not an N×1 column.
+        # Keyed on the FLAG, not per_pathology==1: --layout grid
+        # --examples-per 1 must still render an N×1 grid.
         rows, cols = 1, len(pathologies)
         cells = [(0, c, p, 0) for c, p in enumerate(pathologies)]
     else:
@@ -168,7 +170,7 @@ def main():
 
     per = 1 if args.layout == "row" else args.examples_per
     selected = select_distinct(cases, args.pathologies, per)
-    render(selected, args.pathologies, per, args.out)
+    render(selected, args.pathologies, per, args.out, layout=args.layout)
 
 
 if __name__ == "__main__":

@@ -204,10 +204,16 @@ def main():
     )
     # Clamp to the activation epoch: with short runs (--quick: 6/3) the
     # last-5 window would otherwise include pre-activation epochs and
-    # dilute the effect means.
-    post = range(
-        max(args.curriculum_epoch, args.epochs - 5), args.epochs
+    # dilute the effect means.  When activation never happens
+    # (curriculum_epoch >= epochs) fall back to the plain last-5 window
+    # instead of an EMPTY range (np.mean of [] is nan) — the effect
+    # report will correctly show no activation.
+    post_start = (
+        max(args.curriculum_epoch, args.epochs - 5)
+        if args.curriculum_epoch < args.epochs
+        else max(0, args.epochs - 5)
     )
+    post = range(post_start, args.epochs)
     effect = print_curriculum_effect(results, pre, post)
     improvements = analyze_pathology_improvements(
         results, num_classes, pre, post
