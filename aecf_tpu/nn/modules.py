@@ -229,6 +229,7 @@ class MultimodalAttentionPool:
         params: Optional[AttentionPoolParams] = None,
         implementation: str = "auto",
         apply_masking_to_output: bool = False,
+        precision: str = "highest",
     ):
         self.config = AttentionPoolConfig(
             embed_dim=embed_dim,
@@ -249,6 +250,22 @@ class MultimodalAttentionPool:
         if implementation not in ("auto", "xla", "pallas"):
             raise ValueError(f"unknown implementation {implementation!r}")
         self.implementation = implementation
+        # MXU matmul precision for the pool's GEMMs.  "highest" (default)
+        # runs f32 dots as 3-pass MXU sequences and is bit-for-bit with
+        # the torch-f32 reference on both dispatch paths — the parity-
+        # first contract.  "default" opts into 1-pass bf16-input GEMMs: a
+        # measured 2.1x (fused north star) / 4.8x (heads8 XLA) step-time
+        # win at ~1e-3 relative output error (docs/design.md "Precision
+        # policy"; suite precision_ab_* sections keep the gap measured).
+        # The per-row-query fused kernel (batch query, H<=2) always
+        # computes in-kernel dots at HIGHEST regardless — numerically
+        # stronger than requested, never weaker.
+        if precision not in ("default", "high", "highest"):
+            raise ValueError(
+                f"precision must be 'default', 'high', or 'highest', "
+                f"got {precision!r}"
+            )
+        self.precision = precision
 
         if params is None:
             params = init_attention_pool_params(
@@ -421,11 +438,11 @@ class MultimodalAttentionPool:
             # (replaces torch.utils.checkpoint, reference AECFLayer.py:500-512).
             attend = jax.checkpoint(attend)
 
-        # Match the Pallas paths' HIGHEST matmul precision: on TPU, f32
-        # dots otherwise default to bf16 MXU passes, and auto-dispatch
-        # would silently change numerics between fused and fallback
-        # configs (same fix as ops.fusion_pool's xla branch).
-        with jax.default_matmul_precision("highest"):
+        # Honor self.precision (default "highest": on TPU, f32 dots
+        # otherwise run single-pass bf16 MXU, and auto-dispatch would
+        # silently change numerics between fused and fallback configs —
+        # same fix as ops.fusion_pool's xla branch).
+        with jax.default_matmul_precision(self.precision):
             attn_output, attn_weights = attend(query, key, value)
 
         info: Dict[str, Any] = {}
@@ -453,7 +470,7 @@ class MultimodalAttentionPool:
                 # same precision context as attend(): this opt-in output
                 # recomputation is always on the XLA path and its three
                 # einsum GEMMs would otherwise run single-pass bf16
-                with jax.default_matmul_precision("highest"):
+                with jax.default_matmul_precision(self.precision):
                     attn_output = apply_pooled_weights(
                         params,
                         masked_weights,
@@ -552,7 +569,7 @@ class MultimodalAttentionPool:
         )
         if query.shape[0] == 1 and kv.shape[0] >= 1:
             out, weights, masked, mask_info = fused_fusion_pool_shared(
-                params, query, kv, precision="highest", **kwargs
+                params, query, kv, precision=self.precision, **kwargs
             )
         else:
             out, weights, masked, mask_info = fused_fusion_pool(

@@ -286,6 +286,87 @@ def xla_roofline(samples_per_sec, batch, jitted, args):
     return out
 
 
+def xla_pool_step_cost_model(batch, modalities, embed, heads, *,
+                             kv_grad, feat_bytes=4):
+    """Analytic (flops, mandatory_hbm_bytes) per full train step on the
+    XLA-dispatched pool path (``attention_pool_core`` + curriculum mask +
+    quadratic/entropy loss + SGD — the exact ``build_chunk`` ``impl='xla'``
+    step).
+
+    FLOP side (exact — validated against XLA's post-fusion cost analysis,
+    which reports 38.79e9 for heads8 vs 38.82e9 here, 0.07%):
+      fwd GEMM MACs   (2M+2)·B·E²  — q/k/v in-proj (T=1, S=M) + out-proj
+      bwd GEMM MACs   (2M+4)·B·E²  — dW for all four + d_context + d_query
+                      (+2M·B·E² more when kv_grad: d_kv through Wk/Wv)
+      attention contractions  6·B·M·E MACs fwd+bwd (scores, context)
+      VPU mask/softmax/entropy chain ~14·B·M·E flops
+    ``heads`` does not appear: the per-head GEMMs partition E exactly.
+
+    Byte side is a fusion-independent LOWER BOUND ("mandatory traffic"),
+    not a materialization model: XLA's fusion choices for the B·M·E
+    intermediates (k/v projections, their gradients) are opaque and a
+    count-every-operand model provably exceeds the physical roofline at
+    the measured step time, i.e. overcounts (that is exactly what XLA's
+    own bytes-accessed does here — kept alongside as a flagged
+    cross-check).  What MUST cross HBM regardless of fusion:
+      kv read fwd + read again bwd (dW_k/dW_v):  2·B·M·E·feat_bytes
+      (+ d_kv write when kv_grad)
+      out write + loss-bwd read:                  2·B·E·4
+      w/mw/entropy/rate side outputs:             ~(5M+4)·B·4
+      proj weights read fwd + bwd:                2·4E²·4
+      optimizer param/grad streams (SGD):         3·4E²·4
+    Configs this models are MXU-bound (t_flops > t_bytes under both this
+    bound and XLA's overcount), so mfu is the utilization claim and
+    hbm_frac is context.
+    """
+    macs_gemm = (4 * modalities + 6) * batch * embed * embed
+    if kv_grad:
+        macs_gemm += 2 * modalities * batch * embed * embed
+    macs_attn = 6 * batch * modalities * embed
+    flops = 2 * (macs_gemm + macs_attn) + 14 * batch * modalities * embed
+    kv_bytes = batch * modalities * embed * feat_bytes
+    bytes_mandatory = (
+        2 * kv_bytes
+        + (kv_bytes if kv_grad else 0)
+        + 2 * batch * embed * 4
+        + (5 * modalities + 4) * batch * 4
+        + 2 * (4 * embed * embed) * 4
+        + 3 * (4 * embed * embed) * 4
+    )
+    return flops, bytes_mandatory
+
+
+def xla_pool_roofline(samples_per_sec, batch, modalities, embed, heads, *,
+                      kv_grad, feat_bytes=4):
+    """Roofline for XLA-dispatched pool configs (heads8) from the analytic
+    model above: exact GEMM flops, mandatory-traffic byte lower bound.
+    Replaces the bytes-overcounting ``xla_roofline`` entry as the primary
+    number (round-4 ROADMAP item); callers keep ``xla_roofline`` nested as
+    a cross-check."""
+    flops, bytes_lb = xla_pool_step_cost_model(
+        batch, modalities, embed, heads,
+        kv_grad=kv_grad, feat_bytes=feat_bytes,
+    )
+    steps_per_sec = samples_per_sec / batch
+    mfu = flops * steps_per_sec / V5E_PEAK_FLOPS
+    hbm_frac = bytes_lb * steps_per_sec / V5E_PEAK_HBM_BYTES
+    out = {
+        "model": "analytic-mxu-bound",
+        "mfu": round(mfu, 4),
+        "hbm_frac": round(hbm_frac, 4),
+        "flops_per_step": flops,
+        "hbm_bytes_per_step": bytes_lb,
+        "note": "flops exact (matches XLA cost analysis to <0.1%); "
+        "hbm_bytes is the fusion-independent mandatory-traffic lower "
+        "bound — this config is MXU-bound, mfu is the utilization claim",
+    }
+    if 1.0 / steps_per_sec < DISPATCH_FLOOR_S:
+        out["dispatch_bound"] = True
+    if mfu > 1.0 or hbm_frac > 1.0:
+        out["model_exceeds_roofline"] = True
+    return out
+
+
 def streamed_step_cost_model(batch, modalities, embed, heads, *,
                              kv_grad, feat_bytes=4):
     """Analytic (flops, hbm_bytes) per train step on the STREAMED split

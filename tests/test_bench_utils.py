@@ -57,6 +57,55 @@ def test_ab_train_windows_rtt_clamp():
     assert all(v > 0 for v in res["x"])
 
 
+def test_xla_pool_cost_model_matches_xla_cost_analysis():
+    """The analytic flop model for the XLA-dispatched pool path must match
+    XLA's own post-fusion count — that agreement is the evidence the
+    heads8 roofline entry cites.  Checked against a freshly compiled
+    build_chunk step (K=1, CPU) rather than hardcoded numbers."""
+    import jax.numpy as jnp
+
+    from bench import build_chunk, xla_pool_step_cost_model
+
+    B, M, E, H = 256, 3, 128, 4
+    chunk, p, s = build_chunk(B, M, E, H, "xla", 1)
+    ca = chunk.lower(p, s, jnp.int32(0)).compile().cost_analysis()
+    if isinstance(ca, list):
+        ca = ca[0]
+    flops_xla = float(ca.get("flops", float("nan")))
+    if flops_xla != flops_xla:  # cost_analysis may omit keys
+        import pytest
+
+        pytest.skip("cost_analysis omitted flops on this backend")
+    flops_model, bytes_lb = xla_pool_step_cost_model(
+        B, M, E, H, kv_grad=False
+    )
+    assert abs(flops_model - flops_xla) / flops_xla < 0.02
+    # byte lower bound: strictly below XLA's overcounting bytes-accessed
+    # and at least the two mandatory kv passes
+    assert bytes_lb >= 2 * B * M * E * 4
+    # kv_grad adds exactly the d_kv GEMM flops + its write
+    f2, b2 = xla_pool_step_cost_model(B, M, E, H, kv_grad=True)
+    assert f2 - flops_model == 2 * 2 * M * B * E * E
+    assert b2 - bytes_lb == B * M * E * 4
+
+
+def test_xla_pool_roofline_flags():
+    from bench import xla_pool_roofline
+
+    B, M, E, H = 4096, 3, 512, 8
+    # plausible throughput: physical entry, no flags
+    rl = xla_pool_roofline(16e6, B, M, E, H, kv_grad=False)
+    assert 0 < rl["mfu"] <= 1.0 and 0 < rl["hbm_frac"] <= 1.0
+    assert "model_exceeds_roofline" not in rl
+    assert rl["model"] == "analytic-mxu-bound"
+    # absurd throughput: must come back flagged, never silently >1.0
+    rl = xla_pool_roofline(1e9, B, M, E, H, kv_grad=False)
+    assert rl["model_exceeds_roofline"]
+    # sub-floor step time: flagged dispatch_bound
+    rl = xla_pool_roofline(1e9, 64, M, E, H, kv_grad=False)
+    assert rl["dispatch_bound"]
+
+
 def test_suite_rejects_unknown_only_section():
     """A typo'd --only must fail loudly instead of writing an artifact
     that silently measured nothing (round-4 review finding)."""

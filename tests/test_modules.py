@@ -39,6 +39,31 @@ class TestConstructorValidation:
         with pytest.raises(ValueError, match="dropout"):
             MultimodalAttentionPool(embed_dim=8, dropout=1.5)
 
+    def test_precision_validated(self):
+        with pytest.raises(ValueError, match="precision"):
+            MultimodalAttentionPool(embed_dim=8, precision="fast")
+
+
+def test_precision_knob_plumbs_both_paths():
+    """precision= is the documented training-speed knob (docs/design.md
+    "Precision policy"): 'default' opts into 1-pass bf16-input GEMMs.  On
+    CPU both settings are plain f32, so outputs must agree exactly —
+    this checks the plumbing (constructor → XLA context / fused kernel
+    arg), not the TPU numerics (suite precision_ab_* measures those)."""
+    q = jax.random.normal(jax.random.key(1), (4, 1, 32))
+    kv = jax.random.normal(jax.random.key(2), (4, 3, 32))
+    base = MultimodalAttentionPool(embed_dim=32, key=KEY).eval()
+    fast = MultimodalAttentionPool(
+        embed_dim=32, key=KEY, precision="default"
+    ).eval()
+    assert fast.precision == "default"
+    np.testing.assert_allclose(
+        np.asarray(base(q, kv)), np.asarray(fast(q, kv)), rtol=1e-6
+    )
+    # flows through create_fusion_pool's **kwargs too
+    _, pool = create_fusion_pool(32, 3, key=KEY, precision="default")
+    assert pool.precision == "default"
+
 
 class TestForwardValidation:
     def setup_method(self):
