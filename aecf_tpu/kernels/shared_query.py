@@ -103,6 +103,26 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _kv_tile_slices(kv_ref, scales_ref, M: int, E: int):
+    """Length-M list of f32 ``(TB, E)`` feature slices from a flattened
+    ``(TB, M*E)`` tile — shared by every forward AND backward kernel so
+    the dequant semantics cannot diverge.  ``scales_ref`` (``(TB, M)``
+    per-(row, modality) scales) dequantizes int8 tiles in VMEM; ``None``
+    (f32/bf16 storage) just upcasts.  M is tiny (2-4 modalities): callers
+    unroll it so every op is a clean 2-D array with native (8, 128)
+    tiling — 3-D broadcast-reduce chains cost Mosaic relayouts."""
+    if scales_ref is None:
+        return [
+            kv_ref[:, m * E : (m + 1) * E].astype(jnp.float32)
+            for m in range(M)
+        ]
+    return [
+        kv_ref[:, m * E : (m + 1) * E].astype(jnp.float32)
+        * scales_ref[:, m : m + 1]
+        for m in range(M)
+    ]
+
+
 # E cap of the resident-weight kernels: they keep the full (E, E) context
 # weights in VMEM.  Above this, H == 1 switches to the streamed split
 # (_forward_streamed / _bwd_streamed: Pallas one-pass-over-kv + XLA E×E
@@ -335,14 +355,8 @@ def _shared_kernel(
 ):
     TB, M = pad_ref.shape
     E = kv_ref.shape[1] // M
-    # M is tiny (2-4 modalities): unroll it so every op is a clean 2-D
-    # (TB, E) or (TB, M) array with native (8, 128) tiling — 3-D
-    # broadcast-reduce chains cost Mosaic relayouts.
     # bf16 feature storage halves HBM traffic; all math stays f32 in VMEM.
-    kv_slices = [
-        kv_ref[:, m * E : (m + 1) * E].astype(jnp.float32)
-        for m in range(M)
-    ]
+    kv_slices = _kv_tile_slices(kv_ref, None, M, E)
     _shared_body(
         kv_slices, seed_ref, mask_prob_ref, u_ref, c_ref, pad_ref,
         wctx_ref, wo_ref, bctx_ref, bo_ref,
@@ -365,11 +379,7 @@ def _shared_kernel_q8(
     E = kv_ref.shape[1] // M
     # int8 features quarter the kv HBM traffic; dequantize per slice in
     # VMEM (f32 math throughout, like the bf16 path).
-    kv_slices = [
-        kv_ref[:, m * E : (m + 1) * E].astype(jnp.float32)
-        * scales_ref[:, m : m + 1]
-        for m in range(M)
-    ]
+    kv_slices = _kv_tile_slices(kv_ref, scales_ref, M, E)
     _shared_body(
         kv_slices, seed_ref, mask_prob_ref, u_ref, c_ref, pad_ref,
         wctx_ref, wo_ref, bctx_ref, bo_ref,
@@ -585,11 +595,7 @@ def _mix_kernel(
          mix_ref, w_ref, mw_ref, ent_ref, rate_ref) = refs
     TB, M = pad_ref.shape
     E = kv_ref.shape[1] // M
-    kv_slices = [
-        kv_ref[:, m * E : (m + 1) * E].astype(jnp.float32)
-        * (scales_ref[:, m : m + 1] if quantized else 1.0)
-        for m in range(M)
-    ]
+    kv_slices = _kv_tile_slices(kv_ref, scales_ref, M, E)
     heads = _weights_entropy_mask(
         kv_slices, seed_ref, mask_prob_ref, u_ref, c_ref, pad_ref,
         w_ref, mw_ref, ent_ref, rate_ref, num_heads=num_heads, **static_kw,
@@ -966,15 +972,11 @@ def _tile_softmax_bwd(kv_slices, u, bias, d_mix, d_w, *, want_dkv):
 
 def _bwd_kernel(
     kv_ref,  # (TB, M*E) — flattened, lane-sliced (see _shared_kernel doc)
-    dout_ref,  # (TB, E)
-    dw_ref,  # (TB, M)   cotangent on the returned raw weights
-    bias_ref,  # (TB, M)  pad bias + score offset c, pre-folded
-    u_ref,  # (1, E)
-    wvo_ref,  # (E, E)   W_vo = Wo @ Wv (precomputed, f32)
-    # out refs: [dkv_ref (TB, M*E) when want_dkv] + g/du/dvec accumulators
-    *out_refs,
+    *refs,  # [scales_ref (TB, M) when quantized] + dout, dw, bias, u,
+    #         wvo + out refs ([dkv_ref when want_dkv] + g/du/dvec accs)
     mxu_precision,
     want_dkv: bool = True,
+    quantized: bool = False,
 ):
     """Fused backward for the H==1 shared-query pool.
 
@@ -990,7 +992,16 @@ def _bwd_kernel(
     caller does not differentiate w.r.t. the features (the torch-baseline
     protocol: frozen/input features, only params trained), the 25MB/step
     d_kv write is a third of the backward's HBM traffic for nothing.
+
+    ``quantized`` reads int8 kv tiles with a per-(row, modality) dequant
+    in VMEM (int8 training path — always frozen features, so callers pass
+    ``want_dkv=False``); same slice helper as the forward kernels.
     """
+    if quantized:
+        scales_ref, *refs = refs
+    else:
+        scales_ref = None
+    dout_ref, dw_ref, bias_ref, u_ref, wvo_ref, *out_refs = refs
     if want_dkv:
         dkv_ref, g_ref, du_ref, dvec_ref = out_refs
     else:
@@ -1007,9 +1018,7 @@ def _bwd_kernel(
         du_ref[:] = jnp.zeros((1, E), f32)
         dvec_ref[:] = jnp.zeros((2, E), f32)
 
-    kv_slices = [
-        kv_ref[:, m * E : (m + 1) * E].astype(f32) for m in range(M)
-    ]
+    kv_slices = _kv_tile_slices(kv_ref, scales_ref, M, E)
     d_out = dout_ref[:]
     u = u_ref[0, :]
 
@@ -1135,8 +1144,16 @@ def _assemble_d_params(dWq, dWk, dWv, dWo, d_qp, d_bk, d_bv, dbo, has_bias):
     )
 
 
-def _bwd_pallas(residuals, cots, *, precision, interpret, want_dkv=True):
-    """Pallas backward (H == 1): one kv read, two GEMMs per tile."""
+def _bwd_pallas(residuals, cots, *, precision, interpret, want_dkv=True,
+                kv_scales=None):
+    """Pallas backward (H == 1): one kv read, two GEMMs per tile.
+
+    ``kv_scales`` (int8 training path): kv is int8, dequantized per tile
+    in VMEM — the backward's kv re-read drops to a quarter of the f32
+    bytes.  int8 features are frozen by construction, so quantized
+    callers always pass ``want_dkv=False``."""
+    q8 = kv_scales is not None
+    assert not (q8 and want_dkv), "int8 features are frozen: no d_kv"
     params, qrow, kv, key_padding_mask = residuals
     d_out, d_w, _d_mw, _d_ent, _d_rate = cots
     B, M, E = kv.shape
@@ -1184,6 +1201,11 @@ def _bwd_pallas(residuals, cots, *, precision, interpret, want_dkv=True):
     elif E > 512 and kv.dtype.itemsize == 2:
         TB = _pick_tile(384, "AECF_BWD_TB", B)
     else:
+        # int8 does NOT admit a larger tile at E=1024 despite its 4x
+        # smaller kv blocks — swept within-run (sweep_q8_bwd_e1024.json):
+        # 256 beats 512 by 17% and 384 by 40%; 768 fails remote compile.
+        # The f32 d_out/d_mix tiles dominate the budget, so the f32
+        # defaults carry over.
         TB = _pick_tile(512 if E <= 512 else 256, "AECF_BWD_TB", B)
     B_pad = _round_up(B, TB)
     kv_flat = kv.reshape(B, M * E)  # lane-sliced in-kernel
@@ -1193,13 +1215,19 @@ def _bwd_pallas(residuals, cots, *, precision, interpret, want_dkv=True):
         d_out = jnp.pad(d_out, ((0, B_pad - B), (0, 0)))
         d_w = jnp.pad(d_w, ((0, B_pad - B), (0, 0)))
         bias = jnp.pad(bias, ((0, B_pad - B), (0, 0)))
+        if q8:
+            kv_scales = jnp.pad(kv_scales, ((0, B_pad - B), (0, 0)))
 
     mxu_precision = prec
     kernel = functools.partial(
-        _bwd_kernel, mxu_precision=mxu_precision, want_dkv=want_dkv
+        _bwd_kernel, mxu_precision=mxu_precision, want_dkv=want_dkv,
+        quantized=q8,
     )
     tile = lambda i: (i, 0)  # noqa: E731
     whole = lambda i: (0, 0)  # noqa: E731
+    scales_specs = (
+        [pl.BlockSpec((TB, M), tile, memory_space=pltpu.VMEM)] if q8 else []
+    )
     dkv_specs = (
         [pl.BlockSpec((TB, M * E), tile, memory_space=pltpu.VMEM)]
         if want_dkv else []
@@ -1214,6 +1242,7 @@ def _bwd_pallas(residuals, cots, *, precision, interpret, want_dkv=True):
         grid=(B_pad // TB,),
         in_specs=[
             pl.BlockSpec((TB, M * E), tile, memory_space=pltpu.VMEM),
+        ] + scales_specs + [
             pl.BlockSpec((TB, E), tile, memory_space=pltpu.VMEM),
             pl.BlockSpec((TB, M), tile, memory_space=pltpu.VMEM),
             pl.BlockSpec((TB, M), tile, memory_space=pltpu.VMEM),
@@ -1232,12 +1261,18 @@ def _bwd_pallas(residuals, cots, *, precision, interpret, want_dkv=True):
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * B_pad * E * E + 10 * B_pad * M * E,
-            bytes_accessed=4 * ((2 if want_dkv else 1) * B_pad * M * E
-                                + 2 * B_pad * E + 2 * E * E),
+            bytes_accessed=(
+                (2 if want_dkv else 1) * B_pad * M * E * kv_dtype.itemsize
+                + 4 * (2 * B_pad * E + 2 * E * E)
+            ),
             transcendentals=B_pad * M,
         ),
         interpret=interpret,
-    )(kv_flat, d_out, d_w, bias, u.reshape(1, E), wvo)
+    )(
+        kv_flat,
+        *([kv_scales] if q8 else []),
+        d_out, d_w, bias, u.reshape(1, E), wvo,
+    )
 
     if want_dkv:
         d_kv, G, du, dvec = outs
@@ -1269,18 +1304,22 @@ def _bwd_pallas(residuals, cots, *, precision, interpret, want_dkv=True):
 
 def _bwd_kernel_streamed(
     kv_ref,  # (TB, M*E) — flattened, lane-sliced
-    dmix_ref,  # (TB, E)  d_mix = d_out @ W_vo, precomputed in XLA
-    dw_ref,  # (TB, M)
-    bias_ref,  # (TB, M)  pad bias + score offset c, pre-folded
-    u_ref,  # (1, E)
-    *out_refs,  # [dkv_ref (TB, M*E) when want_dkv] + du/dc accumulator
+    *refs,  # [scales_ref (TB, M) when quantized] + dmix, dw, bias, u +
+    #         out refs ([dkv_ref when want_dkv] + du/dc accumulator)
     want_dkv: bool = True,
+    quantized: bool = False,
 ):
     """Streamed-path backward: one pass over each kv tile, no (E, E)
     matrix in VMEM.  The two E×E GEMMs of the fused backward (d_mix and
     G) run in XLA outside; this kernel recomputes the softmax from
     (kv, u), runs the softmax backward, writes d_kv, and accumulates
-    du = Σ d_s·kv and dc = Σ d_s."""
+    du = Σ d_s·kv and dc = Σ d_s.  ``quantized``: int8 kv tiles with the
+    per-(row, modality) dequant in VMEM (frozen features ⇒ no d_kv)."""
+    if quantized:
+        scales_ref, *refs = refs
+    else:
+        scales_ref = None
+    dmix_ref, dw_ref, bias_ref, u_ref, *out_refs = refs
     if want_dkv:
         dkv_ref, acc_ref = out_refs
     else:
@@ -1295,9 +1334,7 @@ def _bwd_kernel_streamed(
     def _():
         acc_ref[:] = jnp.zeros((2, E), f32)
 
-    kv_slices = [
-        kv_ref[:, m * E : (m + 1) * E].astype(f32) for m in range(M)
-    ]
+    kv_slices = _kv_tile_slices(kv_ref, scales_ref, M, E)
     _a, d_s, du_acc, dkv_terms = _tile_softmax_bwd(
         kv_slices, u_ref[0, :], bias_ref[:], dmix_ref[:], dw_ref[:],
         want_dkv=want_dkv,
@@ -1318,21 +1355,24 @@ def _bwd_kernel_streamed(
 
 def _bwd_kernel_streamed_mh(
     kv_ref,  # (TB, M*E) — flattened, lane-sliced
-    dmix_ref,  # (TB, H*E)  per-head d_mix, precomputed in XLA
-    dw_ref,  # (TB, M)
-    pad_ref,  # (TB, M)   additive pad bias only (c is per-head, in c_ref)
-    u_ref,  # (H, E)
-    c_ref,  # (1, H)
-    *out_refs,  # [dkv_ref (TB, M*E) when want_dkv] + acc (H+1, E)
+    *refs,  # [scales_ref (TB, M) when quantized] + dmix (TB, H*E), dw,
+    #         pad, u (H, E), c (1, H) + outs ([dkv_ref] + acc (H+1, E))
     num_heads: int,
     want_dkv: bool = True,
+    quantized: bool = False,
 ):
     """H ≥ 2 streamed backward: one pass over each kv tile recomputes the
     per-head softmax, runs the softmax backward, writes d_kv (summed over
     heads), and accumulates du_h = Σ d_s_h·kv (rows 0..H-1) and
     dc_h = Σ d_s_h (row H, col h).  The XLA einsum backward re-reads kv
     three times (scores, d_a, du einsums) plus once more for d_kv; this
-    reads it once."""
+    reads it once.  ``quantized``: int8 kv tiles, dequant in VMEM
+    (frozen features ⇒ no d_kv)."""
+    if quantized:
+        scales_ref, *refs = refs
+    else:
+        scales_ref = None
+    dmix_ref, dw_ref, pad_ref, u_ref, c_ref, *out_refs = refs
     if want_dkv:
         dkv_ref, acc_ref = out_refs
     else:
@@ -1348,9 +1388,7 @@ def _bwd_kernel_streamed_mh(
     def _():
         acc_ref[:] = jnp.zeros((H + 1, E), f32)
 
-    kv_slices = [
-        kv_ref[:, m * E : (m + 1) * E].astype(f32) for m in range(M)
-    ]
+    kv_slices = _kv_tile_slices(kv_ref, scales_ref, M, E)
     dkv_acc = [jnp.zeros((TB, E), f32) for _ in range(M)] if want_dkv else None
     du_rows = []
     dc_vals = []
@@ -1385,9 +1423,14 @@ def _bwd_kernel_streamed_mh(
 
 
 def _bwd_streamed_mh(residuals, cots, mix, *, num_heads, precision,
-                     interpret, want_dkv=True):
+                     interpret, want_dkv=True, kv_scales=None):
     """Backward for the streamed H ≥ 2 path: per-head V/out GEMMs in XLA,
-    one-pass-over-kv Pallas kernel for softmax backward + d_kv + du/dc."""
+    one-pass-over-kv Pallas kernel for softmax backward + d_kv + du/dc.
+
+    ``kv_scales``: int8 kv (training path), dequantized per tile in
+    VMEM; int8 features are frozen so ``want_dkv`` must be False."""
+    q8 = kv_scales is not None
+    assert not (q8 and want_dkv), "int8 features are frozen: no d_kv"
     params, qrow, kv, key_padding_mask = residuals
     d_out, d_w, _d_mw, _d_ent, _d_rate = cots
     B, M, E = kv.shape
@@ -1449,12 +1492,18 @@ def _bwd_streamed_mh(residuals, cots, mix, *, num_heads, precision,
         d_mix = jnp.pad(d_mix, ((0, B_pad - B), (0, 0)))
         d_w = jnp.pad(d_w, ((0, B_pad - B), (0, 0)))
         pad_bias = jnp.pad(pad_bias, ((0, B_pad - B), (0, 0)))
+        if q8:
+            kv_scales = jnp.pad(kv_scales, ((0, B_pad - B), (0, 0)))
 
     kernel = functools.partial(
-        _bwd_kernel_streamed_mh, num_heads=H, want_dkv=want_dkv
+        _bwd_kernel_streamed_mh, num_heads=H, want_dkv=want_dkv,
+        quantized=q8,
     )
     tile = lambda i: (i, 0)  # noqa: E731
     whole = lambda i: (0, 0)  # noqa: E731
+    scales_specs = (
+        [pl.BlockSpec((TB, M), tile, memory_space=pltpu.VMEM)] if q8 else []
+    )
     dkv_specs = (
         [pl.BlockSpec((TB, M * E), tile, memory_space=pltpu.VMEM)]
         if want_dkv else []
@@ -1467,6 +1516,7 @@ def _bwd_streamed_mh(residuals, cots, mix, *, num_heads, precision,
         grid=(B_pad // TB,),
         in_specs=[
             pl.BlockSpec((TB, M * E), tile, memory_space=pltpu.VMEM),
+        ] + scales_specs + [
             pl.BlockSpec((TB, H * E), tile, memory_space=pltpu.VMEM),
             pl.BlockSpec((TB, M), tile, memory_space=pltpu.VMEM),
             pl.BlockSpec((TB, M), tile, memory_space=pltpu.VMEM),
@@ -1487,7 +1537,11 @@ def _bwd_streamed_mh(residuals, cots, mix, *, num_heads, precision,
             transcendentals=B_pad * M * H,
         ),
         interpret=interpret,
-    )(kv_flat, d_mix, d_w, pad_bias, u, c.reshape(1, H))
+    )(
+        kv_flat,
+        *([kv_scales] if q8 else []),
+        d_mix, d_w, pad_bias, u, c.reshape(1, H),
+    )
 
     if want_dkv:
         d_kv, acc = outs
@@ -1512,8 +1566,13 @@ def _bwd_streamed_mh(residuals, cots, mix, *, num_heads, precision,
 
 
 def _bwd_streamed(residuals, cots, mix, *, precision, interpret,
-                  want_dkv=True):
-    """Backward for the streamed H == 1 path (E > resident cap)."""
+                  want_dkv=True, kv_scales=None):
+    """Backward for the streamed H == 1 path (E > resident cap).
+
+    ``kv_scales``: int8 kv (training path), dequantized per tile in
+    VMEM; int8 features are frozen so ``want_dkv`` must be False."""
+    q8 = kv_scales is not None
+    assert not (q8 and want_dkv), "int8 features are frozen: no d_kv"
     params, qrow, kv, key_padding_mask = residuals
     d_out, d_w, _d_mw, _d_ent, _d_rate = cots
     B, M, E = kv.shape
@@ -1568,10 +1627,17 @@ def _bwd_streamed(residuals, cots, mix, *, precision, interpret,
         d_mix = jnp.pad(d_mix, ((0, B_pad - B), (0, 0)))
         d_w = jnp.pad(d_w, ((0, B_pad - B), (0, 0)))
         bias = jnp.pad(bias, ((0, B_pad - B), (0, 0)))
+        if q8:
+            kv_scales = jnp.pad(kv_scales, ((0, B_pad - B), (0, 0)))
 
-    kernel = functools.partial(_bwd_kernel_streamed, want_dkv=want_dkv)
+    kernel = functools.partial(
+        _bwd_kernel_streamed, want_dkv=want_dkv, quantized=q8
+    )
     tile = lambda i: (i, 0)  # noqa: E731
     whole = lambda i: (0, 0)  # noqa: E731
+    scales_specs = (
+        [pl.BlockSpec((TB, M), tile, memory_space=pltpu.VMEM)] if q8 else []
+    )
     dkv_specs = (
         [pl.BlockSpec((TB, M * E), tile, memory_space=pltpu.VMEM)]
         if want_dkv else []
@@ -1584,6 +1650,7 @@ def _bwd_streamed(residuals, cots, mix, *, precision, interpret,
         grid=(B_pad // TB,),
         in_specs=[
             pl.BlockSpec((TB, M * E), tile, memory_space=pltpu.VMEM),
+        ] + scales_specs + [
             pl.BlockSpec((TB, E), tile, memory_space=pltpu.VMEM),
             pl.BlockSpec((TB, M), tile, memory_space=pltpu.VMEM),
             pl.BlockSpec((TB, M), tile, memory_space=pltpu.VMEM),
@@ -1603,7 +1670,11 @@ def _bwd_streamed(residuals, cots, mix, *, precision, interpret,
             transcendentals=B_pad * M,
         ),
         interpret=interpret,
-    )(kv_flat, d_mix, d_w, bias, u.reshape(1, E))
+    )(
+        kv_flat,
+        *([kv_scales] if q8 else []),
+        d_mix, d_w, bias, u.reshape(1, E),
+    )
 
     if want_dkv:
         d_kv, acc = outs
@@ -1752,6 +1823,119 @@ def _shared_bwd_impl(num_heads, residuals, cots, kv_grad=True):
 _shared_core.defvjp(_shared_fwd, _shared_bwd)
 
 
+def _q8_dispatch(params, qrow, kv_q8, kv_scales, seed, mask_prob,
+                 key_padding_mask, num_heads, min_active, training,
+                 precision, interpret):
+    """Quantized forward dispatch shared by the q8 primal and its vjp
+    forward: resident int8 kernel at E ≤ cap, streamed split (H ≤ 2)
+    above it.  Returns ``(outs, mix-or-None)`` — the streamed backward
+    reuses ``mix`` so it never re-reads kv for the G GEMM."""
+    if kv_q8.shape[-1] > _RESIDENT_E_CAP:
+        *outs, mix = _forward_streamed(
+            params, qrow, kv_q8, seed, mask_prob, key_padding_mask,
+            min_active=min_active, training=training, precision=precision,
+            interpret=interpret, kv_scales=kv_scales, num_heads=num_heads,
+        )
+        return tuple(outs), mix
+    outs = _forward_q8(
+        params, qrow, kv_q8, kv_scales, seed, mask_prob, key_padding_mask,
+        num_heads=num_heads, min_active=min_active, training=training,
+        precision=precision, interpret=interpret,
+    )
+    return outs, None
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
+def _shared_core_q8(
+    params, qrow, kv_q8, kv_scales, seed, mask_prob, key_padding_mask,
+    num_heads, min_active, training, precision, interpret,
+):
+    """int8-feature shared-query pool, differentiable w.r.t. params and
+    the query row.
+
+    int8 features are frozen by construction (quantization is not
+    differentiable), so this is the kv_grad=False contract with the kv
+    stream at a QUARTER of the f32 bytes in both passes — on a path the
+    roofline shows 85-94% HBM-bound, that is the dominant stream in the
+    forward AND in the backward's dW_k/dW_v re-read."""
+    outs, _ = _q8_dispatch(
+        params, qrow, kv_q8, kv_scales, seed, mask_prob, key_padding_mask,
+        num_heads, min_active, training, precision, interpret,
+    )
+    return outs
+
+
+def _shared_q8_fwd(
+    params, qrow, kv_q8, kv_scales, seed, mask_prob, key_padding_mask,
+    num_heads, min_active, training, precision, interpret,
+):
+    outs, mix = _q8_dispatch(
+        params, qrow, kv_q8, kv_scales, seed, mask_prob, key_padding_mask,
+        num_heads, min_active, training, precision, interpret,
+    )
+    # outs[1] (head-averaged weights) rides along for the entropy
+    # cotangent fold, exactly like _shared_fwd.
+    return outs, (
+        params, qrow, kv_q8, kv_scales, key_padding_mask, outs[1], mix
+    )
+
+
+def _shared_q8_bwd(
+    num_heads, min_active, training, precision, interpret,
+    residuals, cots,
+):
+    """q8 backward: same dispatch shape as _shared_bwd with kv_grad
+    pinned False — Pallas kernels re-read kv as int8 (quarter bytes);
+    the resident H > 1 fallback dequantizes in XLA, where the dequant
+    fuses into the einsum consumers so HBM still sees int8 reads."""
+    import os
+
+    (params, qrow, kv_q8, kv_scales, key_padding_mask,
+     w_res, mix_res) = residuals
+    d_out, d_w, _d_mw, d_ent, _d_rate = cots
+    d_w = _fold_entropy_cotangent(d_w, d_ent, w_res, kv_q8.shape[1])
+    cots = (d_out, d_w, _d_mw, None, _d_rate)
+    res4 = (params, qrow, kv_q8, key_padding_mask)
+
+    override = os.environ.get("AECF_SHARED_BWD", "auto")
+    if override != "xla" and mix_res is not None:
+        if num_heads == 1:
+            d_params, d_qrow, *_ = _bwd_streamed(
+                res4, cots, mix_res, precision=precision,
+                interpret=interpret, want_dkv=False, kv_scales=kv_scales,
+            )
+        else:
+            d_params, d_qrow, *_ = _bwd_streamed_mh(
+                res4, cots, mix_res, num_heads=num_heads,
+                precision=precision, interpret=interpret,
+                want_dkv=False, kv_scales=kv_scales,
+            )
+    elif (
+        override != "xla"
+        and num_heads == 1
+        and (interpret or jax.default_backend() == "tpu")
+    ):
+        d_params, d_qrow, *_ = _bwd_pallas(
+            res4, cots, precision=precision, interpret=interpret,
+            want_dkv=False, kv_scales=kv_scales,
+        )
+    else:
+        kv = kv_q8.astype(jnp.float32) * kv_scales[:, :, None]
+        with jax.default_matmul_precision(
+            "highest" if precision == "highest" else "default"
+        ):
+            d_params, d_qrow, *_ = _shared_bwd_impl(
+                num_heads, (params, qrow, kv, key_padding_mask), cots,
+                kv_grad=False,
+            )
+    # int8 kv and its scales are non-differentiable inputs: None
+    # cotangents (like seed/mask_prob), never a fake d_kv.
+    return d_params, d_qrow, None, None, None, None, None
+
+
+_shared_core_q8.defvjp(_shared_q8_fwd, _shared_q8_bwd)
+
+
 def fused_fusion_pool_shared(
     params: AttentionPoolParams,
     query: jax.Array,  # (1, 1, E) — the unexpanded fusion query
@@ -1781,10 +1965,14 @@ def fused_fusion_pool_shared(
     weights/entropy are f32-exact either way) or "highest" (full f32 MXU,
     output parity ~1e-6 with the fp32 oracle).
 
-    Quantized serving path: pass ``kv`` as int8 with ``kv_scales (B, M)``
-    (see :func:`quantize_features`) — quarters the kv HBM traffic at the
-    memory-bound shapes.  Inference-only: no gradients flow through this
-    path (there is no custom_vjp for it).
+    Quantized path: pass ``kv`` as int8 with ``kv_scales (B, M)`` (see
+    :func:`quantize_features`) — quarters the kv HBM traffic at the
+    memory-bound shapes, serving AND training.  int8 features are frozen
+    by construction (the reference's own protocol trains the pool on
+    pre-extracted CLIP features): gradients flow to ``params`` and
+    ``query``, never to ``kv``, and the backward re-reads the kv stream
+    as int8 too.  Storage quantization changes numerics (~1e-2 relative
+    on outputs) — opt-in, like bf16 features.
 
     ``kv_grad=False`` declares that the caller never differentiates w.r.t.
     ``kv`` (frozen/pre-extracted features — the reference's own training
@@ -1812,33 +2000,18 @@ def fused_fusion_pool_shared(
             raise ValueError(
                 "int8 kv requires kv_scales (see quantize_features)"
             )
-        if kv.shape[-1] > _RESIDENT_E_CAP:
+        if kv.shape[-1] > _RESIDENT_E_CAP and num_heads > 2:
             # Streamed split (H ≤ 2): int8 dequant in the mix kernel,
             # E×E GEMM(s) in XLA — same structure as the f32 streamed path.
-            if num_heads > 2:
-                raise ValueError(
-                    f"int8 kv above E={_RESIDENT_E_CAP} needs num_heads<=2 "
-                    "(the streamed split); dequantize to f32 for H > 2"
-                )
-            out, w, mw, ent, rate, _mix = _forward_streamed(
-                params,
-                query[0, 0, :],
-                kv,
-                seed,
-                jnp.asarray(base_mask_prob, jnp.float32),
-                key_padding_mask,
-                min_active=min_active,
-                training=training,
-                precision=precision,
-                interpret=interpret,
-                kv_scales=kv_scales,
-                num_heads=num_heads,
+            raise ValueError(
+                f"int8 kv above E={_RESIDENT_E_CAP} needs num_heads<=2 "
+                "(the streamed split); dequantize to f32 for H > 2"
             )
-            return _package_outputs(
-                out, w, mw, ent, rate, training=training, M=M,
-                entropy_target=entropy_target,
-            )
-        out, w, mw, ent, rate = _forward_q8(
+        # Differentiable core (round 4): gradients flow to params and the
+        # query; the int8 features themselves are frozen by construction
+        # (kv_grad is implicitly False — the backward re-reads kv as int8
+        # and never materializes a d_kv).
+        out, w, mw, ent, rate = _shared_core_q8(
             params,
             query[0, 0, :],
             kv,
@@ -1846,11 +2019,11 @@ def fused_fusion_pool_shared(
             seed,
             jnp.asarray(base_mask_prob, jnp.float32),
             key_padding_mask,
-            num_heads=num_heads,
-            min_active=min_active,
-            training=training,
-            precision=precision,
-            interpret=interpret,
+            num_heads,
+            min_active,
+            training,
+            precision,
+            interpret,
         )
         return _package_outputs(
             out, w, mw, ent, rate, training=training, M=M,

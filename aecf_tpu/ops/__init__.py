@@ -55,6 +55,7 @@ def fusion_pool(
     implementation: str = "auto",
     precision: str = "highest",
     kv_grad: bool = True,
+    kv_scales: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, Dict[str, jax.Array]]:
     """Fused attention-pool + curriculum masking with backend dispatch.
 
@@ -67,15 +68,32 @@ def fusion_pool(
     ``kv_grad=False`` declares the features non-differentiable (frozen
     CLIP-style inputs): the fused backward skips the ``(B, M, E)`` d_kv
     write — a third of its HBM traffic — and ``kv`` is stop-gradiented.
+
+    int8 features: pass ``kv`` as int8 with ``kv_scales (B, M)`` (see
+    :func:`aecf_tpu.kernels.quantize_features`) — quarters the kv HBM
+    stream, serving and training (gradients flow to params/query only;
+    int8 features are frozen by construction).  The shared-query kernel
+    dequantizes per tile in VMEM; non-kernel paths dequantize in XLA,
+    which fuses the multiply into consumers so HBM still sees int8 reads.
     """
     if implementation not in ("auto", "xla", "pallas"):
         raise ValueError(
             f"unknown implementation {implementation!r} "
             "(expected 'auto', 'xla', or 'pallas')"
         )
+    q8 = kv.dtype == jnp.int8
+    if q8 and kv_scales is None:
+        raise ValueError(
+            "int8 kv requires kv_scales (see quantize_features)"
+        )
+    if kv_scales is not None and not q8:
+        raise ValueError(
+            f"kv_scales passed with {kv.dtype} kv — quantized dispatch "
+            "needs int8 features (see quantize_features)"
+        )
     B = kv.shape[0]
     E = query.shape[-1]
-    if not kv_grad:
+    if not kv_grad and not q8:
         # Before dispatch so every backend honors it (the generic per-row
         # kernel has no kv_grad fast path; its d_kv is computed then
         # dropped here, still correct).
@@ -102,6 +120,13 @@ def fusion_pool(
             else "xla"
         )
 
+    if impl == "pallas" and q8 and query.shape[0] != 1:
+        # The generic per-row kernel has no quantized variant: dequantize
+        # up front (correct, just without the int8-bandwidth win).
+        kv = kv.astype(jnp.float32) * kv_scales[..., None]
+        q8 = False
+        kv = jax.lax.stop_gradient(kv)  # int8 features are frozen
+
     if impl == "pallas":
         if query.shape[0] == 1:
             return fused_fusion_pool_shared(
@@ -116,7 +141,8 @@ def fusion_pool(
                 min_active=min_active,
                 key_padding_mask=key_padding_mask,
                 precision=precision,
-                kv_grad=kv_grad,
+                kv_grad=kv_grad and not q8,
+                kv_scales=kv_scales if q8 else None,
             )
         return fused_fusion_pool(
             params,
@@ -129,6 +155,13 @@ def fusion_pool(
             entropy_target=entropy_target,
             min_active=min_active,
             key_padding_mask=key_padding_mask,
+        )
+
+    if q8:
+        # XLA oracle path: dequantize explicitly; XLA fuses the multiply
+        # into the projection GEMMs, so HBM reads stay int8.
+        kv = jax.lax.stop_gradient(
+            kv.astype(jnp.float32) * kv_scales[..., None]
         )
 
     q_full = (

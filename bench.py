@@ -79,6 +79,7 @@ def build_chunk(batch, modalities, embed, heads, impl, steps_per_call,
                     p["pool"], p["query"], modal, num_heads=heads,
                     rng=rng, training=True, base_mask_prob=0.15,
                     precision=precision, kv_grad=kv_grad,
+                    kv_scales=kv_scales,
                 )
             else:
                 q = jnp.broadcast_to(p["query"], (batch, 1, embed))
@@ -103,7 +104,20 @@ def build_chunk(batch, modalities, embed, heads, impl, steps_per_call,
 
     modal = jax.random.normal(
         jax.random.key(2), (batch, modalities, embed)
-    ).astype(features_dtype)
+    )
+    kv_scales = None
+    if features_dtype == "int8":
+        # int8 feature storage (training path, round 4): quantized once
+        # up front like a pre-extracted feature store; the kernel
+        # dequantizes per tile in VMEM and re-reads kv as int8 in the
+        # backward (features frozen by construction = kv_grad=False).
+        if impl != "pallas":
+            raise ValueError("int8 features bench requires impl='pallas'")
+        from aecf_tpu.kernels import quantize_features
+
+        modal, kv_scales = quantize_features(modal)
+    else:
+        modal = modal.astype(features_dtype)
 
     @jax.jit
     def chunk(params, opt_state, start):

@@ -255,6 +255,41 @@ def features_dtype_ab(quick, B=4096, M=3, E=512, H=1):
     }
 
 
+def features_q8_ab(quick, B=4096, M=3, E=512, H=1):
+    """Within-run A/B of f32 vs int8 feature storage on the full train
+    step (round 4: the q8 custom_vjp makes int8 a TRAINING option, not
+    just serving).  The kv stream — dominant in both passes at these
+    memory-bound shapes — drops to a quarter of the f32 bytes; features
+    are frozen by construction, the exact kv_grad=False protocol.
+    Same >=50ms-window discipline as features_dtype_ab."""
+    import statistics
+
+    from bench import ab_train_windows, build_chunk
+
+    K = 40 if quick else 400
+    rounds = 3 if quick else 6
+
+    chunks = {}
+    for dt in ("float32", "int8"):
+        c, p, s = build_chunk(B, M, E, H, "pallas", K,
+                              features_dtype=dt, kv_grad=False)
+        p, s, loss = c(p, s, jnp.int32(0))
+        float(loss)  # value fetch: reliable sync through the tunnel
+        chunks[dt] = (c, p, s)
+
+    res = ab_train_windows(chunks, B, K, rounds, tunnel_rtt())
+    med = {m: statistics.median(v) for m, v in res.items()}
+    return {
+        "config": f"B={B},M={M},E={E},H={H},kv_grad=False",
+        "f32_median_sps": round(med["float32"], 1),
+        "int8_median_sps": round(med["int8"], 1),
+        "int8_speedup_median": round(med["int8"] / med["float32"], 3),
+        "int8_speedup_best": round(
+            max(res["int8"]) / max(res["float32"]), 3
+        ),
+    }
+
+
 def streamed_e2048_ab(quick, B=4096, M=4, E=2048, H=1):
     """Within-run A/B at E=2048 (beyond the resident-weight kernels' VMEM
     cap): the streamed split (Pallas one-pass-over-kv + XLA E×E GEMMs) vs
@@ -639,6 +674,8 @@ def main():
         "kv_grad_ab_north_star",
         "features_dtype_ab_north_star",
         "features_dtype_ab_large",
+        "features_q8_ab_north_star",
+        "features_q8_ab_large",
         "eval_fwd_ab_large",
         "eval_fwd_ab_e2048",
         "precision_ab_north_star",
@@ -792,6 +829,15 @@ def main():
         # backward tile (TB=384) — kept in the artifact so it can't rot.
         section(
             "features_dtype_ab_large", features_dtype_ab, args.quick,
+            B=8192, M=4, E=1024,
+        )
+        # int8 feature storage on the TRAINING path (round 4): quarter
+        # kv bytes in both passes, grads to params/query only.
+        section(
+            "features_q8_ab_north_star", features_q8_ab, args.quick
+        )
+        section(
+            "features_q8_ab_large", features_q8_ab, args.quick,
             B=8192, M=4, E=1024,
         )
         section("eval_fwd_ab_large", eval_forward_ab, args.quick)

@@ -37,7 +37,7 @@ def main():
     ap.add_argument("--bwd-tiles", default="default")
     ap.add_argument("--kv-grad", action="store_true")
     ap.add_argument("--features-dtype", default="float32",
-                    choices=["float32", "bfloat16"])
+                    choices=["float32", "bfloat16", "int8"])
     ap.add_argument("--steps", type=int, default=60)
     ap.add_argument("--rounds", type=int, default=5)
     ap.add_argument("--json", default=None)

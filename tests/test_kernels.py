@@ -724,3 +724,86 @@ def test_shared_kernel_config_sweep(B, M, E, bias, pad):
     jax.tree.map(
         lambda a, b: np.testing.assert_allclose(a, b, atol=2e-4), gk, go
     )
+
+
+def test_q8_training_grads_on_chip():
+    """int8-feature TRAINING on real hardware (round 4): the quantized
+    Pallas backward's grads match the f32 kernel on the dequantized
+    features with kv_grad=False — quantization lives in the data, so
+    grads agree to f32 tolerance.  training=True exercises the in-kernel
+    PRNG together with the quantized backward."""
+    from aecf_tpu.kernels import fused_fusion_pool_shared, quantize_features
+
+    E, M, B = 512, 3, 256
+    params = init_attention_pool_params(jax.random.key(0), E)
+    query = init_fusion_query(jax.random.key(1), E)
+    kv = jax.random.normal(jax.random.key(2), (B, M, E))
+    q8, scales = quantize_features(kv)
+    deq = q8.astype(jnp.float32) * scales[..., None]
+    rng = jax.random.key(3)
+
+    def loss_q(p, qq):
+        out, w, _, info = fused_fusion_pool_shared(
+            p, qq, q8, kv_scales=scales, rng=rng, training=True,
+            precision="highest",
+        )
+        return (
+            jnp.sum(out**2) + jnp.sum(w) + 0.1 * jnp.sum(info["entropy"])
+        )
+
+    def loss_o(p, qq):
+        out, w, _, info = fused_fusion_pool_shared(
+            p, qq, jax.lax.stop_gradient(deq), rng=rng, training=True,
+            precision="highest", kv_grad=False,
+        )
+        return (
+            jnp.sum(out**2) + jnp.sum(w) + 0.1 * jnp.sum(info["entropy"])
+        )
+
+    gq = jax.jit(jax.grad(loss_q, argnums=(0, 1)))(params, query)
+    go = jax.jit(jax.grad(loss_o, argnums=(0, 1)))(params, query)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4
+        ),
+        gq,
+        go,
+    )
+
+
+def test_q8_training_grads_streamed_on_chip():
+    """Quantized streamed backward (E > resident cap) on real hardware,
+    both head counts of the H ≤ 2 split."""
+    from aecf_tpu.kernels import fused_fusion_pool_shared, quantize_features
+
+    E, M, B = 2048, 3, 128
+    params = init_attention_pool_params(jax.random.key(0), E)
+    query = init_fusion_query(jax.random.key(1), E)
+    kv = jax.random.normal(jax.random.key(2), (B, M, E))
+    q8, scales = quantize_features(kv)
+    deq = q8.astype(jnp.float32) * scales[..., None]
+
+    for H in (1, 2):
+        def loss_q(p, qq):
+            out, w, _, _ = fused_fusion_pool_shared(
+                p, qq, q8, kv_scales=scales, num_heads=H, training=False,
+                precision="highest",
+            )
+            return jnp.sum(out**2) + jnp.sum(w)
+
+        def loss_o(p, qq):
+            out, w, _, _ = fused_fusion_pool_shared(
+                p, qq, jax.lax.stop_gradient(deq), num_heads=H,
+                training=False, precision="highest", kv_grad=False,
+            )
+            return jnp.sum(out**2) + jnp.sum(w)
+
+        gq = jax.jit(jax.grad(loss_q, argnums=(0, 1)))(params, query)
+        go = jax.jit(jax.grad(loss_o, argnums=(0, 1)))(params, query)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4
+            ),
+            gq,
+            go,
+        )

@@ -697,3 +697,152 @@ def test_kv_scales_with_float_kv_raises():
             params, query, kv, kv_scales=jnp.ones((B, M)),
             training=False, interpret=True,
         )
+
+
+class TestQ8TrainingInterpret:
+    """int8-feature TRAINING path (round 4): the q8 custom_vjp flows
+    gradients to params and the query while re-reading kv as int8.
+    Oracle = the f32 kernel path on the DEQUANTIZED features with
+    kv_grad=False — quantization lives in the data, so the grads must
+    match to f32 tolerance, not quant tolerance."""
+
+    def _setup(self, E, M=3, B=16):
+        from aecf_tpu.kernels import quantize_features
+
+        params = init_attention_pool_params(jax.random.key(0), E)
+        query = init_fusion_query(jax.random.key(1), E)
+        kv = jax.random.normal(jax.random.key(2), (B, M, E))
+        q8, scales = quantize_features(kv)
+        deq = q8.astype(jnp.float32) * scales[..., None]
+        return params, query, q8, scales, deq
+
+    @pytest.mark.parametrize(
+        "E,H",
+        [
+            (64, 1),     # resident H=1  -> quantized _bwd_pallas
+            (64, 2),     # resident H=2  -> XLA dequant fallback
+            (64, 4),     # resident H=4  -> XLA dequant fallback
+            (2048, 1),   # streamed H=1  -> quantized _bwd_kernel_streamed
+            (2048, 2),   # streamed H=2  -> quantized _bwd_kernel_streamed_mh
+        ],
+    )
+    def test_q8_grads_match_dequant_oracle(self, E, H):
+        from aecf_tpu.kernels import fused_fusion_pool_shared
+
+        B = 8 if E > 1024 else 16
+        params, query, q8, scales, deq = self._setup(E, B=B)
+
+        def loss_q(p, qq):
+            out, w, _, info = fused_fusion_pool_shared(
+                p, qq, q8, kv_scales=scales, num_heads=H,
+                training=False, precision="highest", interpret=True,
+            )
+            # entropy term exercises the eval-entropy cotangent fold on
+            # the q8 path too (reference AECFLayer.py:150-156 semantics)
+            return (
+                jnp.sum(out**2) + jnp.sum(w) + 0.1 * jnp.sum(info["entropy"])
+            )
+
+        def loss_o(p, qq):
+            out, w, _, info = fused_fusion_pool_shared(
+                p, qq, jax.lax.stop_gradient(deq), num_heads=H,
+                training=False, precision="highest", interpret=True,
+                kv_grad=False,
+            )
+            return (
+                jnp.sum(out**2) + jnp.sum(w) + 0.1 * jnp.sum(info["entropy"])
+            )
+
+        gq = jax.grad(loss_q, argnums=(0, 1))(params, query)
+        go = jax.grad(loss_o, argnums=(0, 1))(params, query)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5
+            ),
+            gq,
+            go,
+        )
+
+    def test_q8_forced_xla_backward_matches(self, monkeypatch):
+        """AECF_SHARED_BWD=xla A/B override reaches the q8 path too: the
+        XLA-dequant backward must equal the quantized Pallas backward."""
+        from aecf_tpu.kernels import fused_fusion_pool_shared
+
+        params, query, q8, scales, _ = self._setup(64)
+
+        def loss(p, qq):
+            out, w, _, _ = fused_fusion_pool_shared(
+                p, qq, q8, kv_scales=scales, training=False,
+                precision="highest", interpret=True,
+            )
+            return jnp.sum(out**2) + jnp.sum(w)
+
+        g_pallas = jax.grad(loss, argnums=(0, 1))(params, query)
+        monkeypatch.setenv("AECF_SHARED_BWD", "xla")
+        g_xla = jax.grad(loss, argnums=(0, 1))(params, query)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5
+            ),
+            g_pallas,
+            g_xla,
+        )
+
+    def test_ops_fusion_pool_q8_validation_and_xla_path(self):
+        """Op-level int8: misuse is loud on every backend, and the XLA
+        fallback dequantizes (grads flow to params, output near-oracle)."""
+        from aecf_tpu import ops
+        from aecf_tpu.kernels import quantize_features
+
+        E, M, B = 32, 3, 8
+        params = init_attention_pool_params(jax.random.key(0), E)
+        query = init_fusion_query(jax.random.key(1), E)
+        kv = jax.random.normal(jax.random.key(2), (B, M, E))
+        q8, scales = quantize_features(kv)
+
+        with pytest.raises(ValueError, match="kv_scales"):
+            ops.fusion_pool(params, query, q8, implementation="xla")
+        with pytest.raises(ValueError, match="int8"):
+            ops.fusion_pool(
+                params, query, kv, kv_scales=scales, implementation="xla"
+            )
+
+        def loss(p):
+            out, _, _, _ = ops.fusion_pool(
+                p, query, q8, kv_scales=scales, implementation="xla",
+                precision="highest",
+            )
+            return jnp.sum(out**2)
+
+        g = jax.grad(loss)(params)
+        assert float(jnp.abs(g.in_proj_weight).max()) > 0.0
+        out_q8, _, _, _ = ops.fusion_pool(
+            params, query, q8, kv_scales=scales, implementation="xla",
+            precision="highest",
+        )
+        out_f32, _, _, _ = ops.fusion_pool(
+            params, query, kv, implementation="xla", precision="highest"
+        )
+        assert float(jnp.abs(out_q8 - out_f32).max()) < 0.1
+
+    def test_q8_descent(self):
+        """A few SGD steps on the q8 kernel path must reduce the loss —
+        the end-to-end 'can you actually train on int8 features' check."""
+        from aecf_tpu.kernels import fused_fusion_pool_shared
+
+        params, query, q8, scales, _ = self._setup(64)
+
+        def loss(p, qq):
+            out, w, _, _ = fused_fusion_pool_shared(
+                p, qq, q8, kv_scales=scales, training=False,
+                precision="highest", interpret=True,
+            )
+            return jnp.mean(out**2)
+
+        l0 = float(loss(params, query))
+        p, q = params, query
+        for _ in range(5):
+            gp, gq = jax.grad(loss, argnums=(0, 1))(p, q)
+            p = jax.tree.map(lambda a, b: a - 0.1 * b, p, gp)
+            q = q - 0.1 * gq
+        assert float(loss(p, q)) < l0
