@@ -7,6 +7,11 @@ the TPU-native equivalent: a C++ ring-buffer pipeline
 buffers on a worker thread while the TPU runs the previous step, exposed
 through ctypes with zero-copy numpy views.
 
+Streams are generic (ABI v2): any number of named 2-D arrays of any dtype
+share one shuffled row index — so an int8-quantized feature store (4× more
+rows per host than f32, see :func:`quantize_rows`), its per-row scales, bf16
+tables, and f32 labels all ride the same ring buffer.
+
 Falls back to a pure-numpy implementation with identical semantics when the
 native library can't be built (no compiler); the fallback is also the
 correctness reference in tests.
@@ -22,11 +27,18 @@ from typing import Dict, Iterator, Optional, Tuple
 
 import numpy as np
 
-__all__ = ["BatchLoader", "native_available", "build_native"]
+__all__ = [
+    "BatchLoader",
+    "native_available",
+    "build_native",
+    "quantize_rows",
+]
 
 _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "native")
 _SRC = os.path.join(_NATIVE_DIR, "batcher.cc")
-_LIB_PATH = os.path.join(_NATIVE_DIR, "libaecf_batcher.so")
+# ABI-versioned filename: a pre-v2 .so on disk (fixed 3×f32-stream
+# signature) is simply never opened — no dlopen cache games needed.
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libaecf_batcher_v2.so")
 
 _lib = None
 _lib_failed = False
@@ -79,6 +91,14 @@ def _dlopen(path: Optional[str]):
         return None
 
 
+def _abi_ok(lib) -> bool:
+    try:
+        lib.aecf_batcher_abi.restype = ctypes.c_int32
+        return lib.aecf_batcher_abi() == 2
+    except AttributeError:
+        return False
+
+
 def _load_lib():
     global _lib, _lib_failed
     with _lib_lock:
@@ -90,28 +110,25 @@ def _load_lib():
             return None
         existed = os.path.exists(_LIB_PATH)
         lib = _dlopen(build_native())
-        if lib is None and existed:
-            # a PRE-EXISTING .so that fails to dlopen is presumed stale/
-            # corrupt (pre-atomic-build artifact): drop it and rebuild
-            # once.  When the library didn't exist, the failure was the
-            # fresh build/dlopen itself — retrying would just double the
+        if (lib is None or not _abi_ok(lib)) and existed:
+            # a PRE-EXISTING .so that fails to dlopen or speaks the wrong
+            # ABI is presumed stale/corrupt: drop it and rebuild once.
+            # When the library didn't exist, the failure was the fresh
+            # build/dlopen itself — retrying would just double the
             # up-to-120s g++ stall (and deleting would be a no-op).
             try:
                 os.remove(_LIB_PATH)
             except OSError:
                 pass
             lib = _dlopen(build_native())
-        if lib is None:
+        if lib is None or not _abi_ok(lib):
             _lib_failed = True
             return None
         lib.aecf_batcher_create.restype = ctypes.c_void_p
         lib.aecf_batcher_create.argtypes = [
-            ctypes.POINTER(ctypes.c_float),
-            ctypes.POINTER(ctypes.c_float),
-            ctypes.POINTER(ctypes.c_float),
-            ctypes.c_int64,
-            ctypes.c_int64,
-            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_void_p),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int32,
             ctypes.c_int64,
             ctypes.c_int64,
             ctypes.c_int64,
@@ -123,9 +140,7 @@ def _load_lib():
         lib.aecf_batcher_acquire.restype = ctypes.c_int64
         lib.aecf_batcher_acquire.argtypes = [
             ctypes.c_void_p,
-            ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
-            ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
-            ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+            ctypes.POINTER(ctypes.c_void_p),
             ctypes.POINTER(ctypes.c_int64),
         ]
         lib.aecf_batcher_destroy.argtypes = [ctypes.c_void_p]
@@ -137,12 +152,56 @@ def native_available() -> bool:
     return _load_lib() is not None
 
 
-def _as_f32c(x: np.ndarray) -> np.ndarray:
-    return np.ascontiguousarray(x, dtype=np.float32)
+def quantize_rows(table: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-row symmetric int8 quantization of a 2-D feature table.
+
+    Returns ``(q (N, D) int8, scales (N, 1) f32)`` with
+    ``q * scales ≈ table`` — the same symmetric-absmax scheme as
+    :func:`aecf_tpu.kernels.quantize_features` (which quantizes stacked
+    ``(B, M, E)`` modalities per (row, modality); this is its 2-D
+    feature-store form).  Both outputs are 2-D so they ride the loader as
+    ordinary streams; ``scales`` stays f32 because the dequant multiply
+    happens on device, where XLA fuses it into the consuming GEMM.
+    """
+    table = np.ascontiguousarray(table, dtype=np.float32)
+    if table.ndim != 2:
+        raise ValueError(f"table must be 2-D (rows, dim), got {table.shape}")
+    absmax = np.abs(table).max(axis=1)
+    scales = np.where(absmax > 0, absmax / 127.0, 1.0).astype(np.float32)
+    q = np.clip(
+        np.round(table / scales[:, None]), -127, 127
+    ).astype(np.int8)
+    return q, scales[:, None]
+
+
+def _prep_stream(name: str, x: np.ndarray) -> np.ndarray:
+    x = np.asarray(x)
+    if x.dtype == np.float64:
+        # f64 is never what a TPU pipeline wants; everything else (f32,
+        # bf16, f16, int8, bool labels, ...) is carried at its own dtype.
+        x = x.astype(np.float32)
+    x = np.ascontiguousarray(x)
+    if x.ndim != 2:
+        raise ValueError(
+            f"{name} must be 2-D (rows, features), got shape {x.shape}"
+        )
+    return x
 
 
 class BatchLoader:
-    """Iterate shuffled (image, text, label) batches with prefetch.
+    """Iterate shuffled batches of named streams with prefetch.
+
+    ``data`` maps stream names to 2-D ``(rows, dim)`` arrays sharing a row
+    count; every batch gathers the SAME shuffled rows from each stream.
+    Iteration yields tuples in the dict's insertion order (the canonical
+    ``{image, text, label}`` key set always yields in that order, whatever
+    the insertion order, for reference-protocol compatibility).  Arrays keep
+    their dtype (float64 is downcast to float32), so quantized stores ride
+    as-is::
+
+        q, scales = quantize_rows(clip_features)   # int8 + (N, 1) f32
+        loader = BatchLoader({"image": q, "image_scale": scales,
+                              "label": labels}, batch_size=256)
 
     Args mirror the reference DataLoader usage: ``batch_size=64,
     shuffle=True`` (train_xrays_example.py:247-248), plus ``epochs`` (the
@@ -165,24 +224,25 @@ class BatchLoader:
         prefetch: int = 3,
         backend: str = "auto",
     ):
-        self.image = _as_f32c(data["image"])
-        self.text = _as_f32c(data["text"])
-        self.label = _as_f32c(data["label"])
-        self.n = self.image.shape[0]
+        if not data:
+            raise ValueError("data must contain at least one stream")
+        names = list(data.keys())
+        if set(names) == {"image", "text", "label"}:
+            names = ["image", "text", "label"]
+        self.stream_names = tuple(names)
+        self.streams = {n: _prep_stream(n, data[n]) for n in names}
+        first = self.stream_names[0]
+        self.n = self.streams[first].shape[0]
         # Validate up front, identically for both backends: the C++
-        # pipeline indexes rows 0..n-1 of EVERY array from the image's row
-        # count — a shorter text/label buffer would be read out of bounds.
-        for name in ("image", "text", "label"):
-            arr = getattr(self, name)
-            if arr.ndim != 2:
-                raise ValueError(
-                    f"{name} must be 2-D (rows, features), got shape "
-                    f"{arr.shape}"
-                )
+        # pipeline indexes rows 0..n-1 of EVERY array from the first
+        # stream's row count — a shorter buffer would be read out of
+        # bounds.
+        for name in self.stream_names:
+            arr = self.streams[name]
             if arr.shape[0] != self.n:
                 raise ValueError(
                     f"row mismatch: {name} has {arr.shape[0]} rows, "
-                    f"image has {self.n}"
+                    f"{first} has {self.n}"
                 )
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -218,9 +278,7 @@ class BatchLoader:
         return per_epoch * self.epochs
 
     # -- iteration -------------------------------------------------------------
-    def __iter__(
-        self,
-    ) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    def __iter__(self) -> Iterator[Tuple[np.ndarray, ...]]:
         if self.backend == "native":
             yield from self._iter_native()
         else:
@@ -228,15 +286,19 @@ class BatchLoader:
 
     def _iter_native(self):
         lib = _load_lib()
-        fp = ctypes.POINTER(ctypes.c_float)
+        arrs = [self.streams[n] for n in self.stream_names]
+        S = len(arrs)
+        ptrs = (ctypes.c_void_p * S)(
+            *[a.ctypes.data_as(ctypes.c_void_p) for a in arrs]
+        )
+        row_bytes = (ctypes.c_int64 * S)(
+            *[a.shape[1] * a.itemsize for a in arrs]
+        )
         handle = lib.aecf_batcher_create(
-            self.image.ctypes.data_as(fp),
-            self.text.ctypes.data_as(fp),
-            self.label.ctypes.data_as(fp),
+            ptrs,
+            row_bytes,
+            S,
             self.n,
-            self.image.shape[1],
-            self.text.shape[1],
-            self.label.shape[1],
             self.batch_size,
             self.epochs,
             self.prefetch,
@@ -247,34 +309,34 @@ class BatchLoader:
         if not handle:
             raise RuntimeError("failed to create native batcher")
         try:
-            img_p, txt_p, lab_p = fp(), fp(), fp()
+            out = (ctypes.c_void_p * S)()
             epoch = ctypes.c_int64()
             while True:
                 rows = lib.aecf_batcher_acquire(
-                    handle,
-                    ctypes.byref(img_p),
-                    ctypes.byref(txt_p),
-                    ctypes.byref(lab_p),
-                    ctypes.byref(epoch),
+                    handle, out, ctypes.byref(epoch)
                 )
                 if rows == 0:
                     break
                 # Zero-copy views into the ring buffer — valid until the
                 # next acquire; jnp.asarray/device_put copies them out.
-                img = np.ctypeslib.as_array(
-                    img_p, shape=(rows, self.image.shape[1])
-                )
-                txt = np.ctypeslib.as_array(
-                    txt_p, shape=(rows, self.text.shape[1])
-                )
-                lab = np.ctypeslib.as_array(
-                    lab_p, shape=(rows, self.label.shape[1])
-                )
-                yield img, txt, lab
+                batch = []
+                for s, a in enumerate(arrs):
+                    nbytes = rows * a.shape[1] * a.itemsize
+                    buf = np.ctypeslib.as_array(
+                        ctypes.cast(
+                            out[s], ctypes.POINTER(ctypes.c_uint8)
+                        ),
+                        shape=(nbytes,),
+                    )
+                    batch.append(
+                        buf.view(a.dtype).reshape(rows, a.shape[1])
+                    )
+                yield tuple(batch)
         finally:
             lib.aecf_batcher_destroy(handle)
 
     def _iter_numpy(self):
+        arrs = [self.streams[n] for n in self.stream_names]
         for epoch in range(self.epochs):
             if self.shuffle:
                 # Fisher-Yates with the same per-epoch seeding contract as
@@ -288,4 +350,4 @@ class BatchLoader:
                 sel = idx[start : start + self.batch_size]
                 if self.drop_last and len(sel) < self.batch_size:
                     break
-                yield self.image[sel], self.text[sel], self.label[sel]
+                yield tuple(a[sel] for a in arrs)

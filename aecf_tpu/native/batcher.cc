@@ -2,13 +2,20 @@
 //
 // Role: the framework's data-loader runtime — the TPU-native replacement for
 // the torch DataLoader machinery the reference leans on
-// (xrays/train_xrays_example.py:239-250).  Worker threads shuffle an epoch's
-// indices and gather feature rows into a ring of contiguous batch buffers
-// while the TPU consumes previous batches, so host gather time hides behind
-// device step time.
+// (xrays/train_xrays_example.py:239-250).  A worker thread shuffles an
+// epoch's indices and gathers feature rows into a ring of contiguous batch
+// buffers while the TPU consumes previous batches, so host gather time hides
+// behind device step time.
 //
-// C ABI only (consumed via ctypes from aecf_tpu/data/loader.py); no Python.h
-// dependency.  Build: g++ -O3 -march=native -shared -fPIC -pthread.
+// ABI v2 (round 4): streams are generic — any count, any element size.  The
+// gather is a per-row memcpy of `row_bytes[s]`, so int8 feature stores (4x
+// more rows per host than f32), bf16 tables, f32 labels, and per-row
+// quantization scales all ride the same ring without the pipeline knowing
+// about dtypes; the Python layer (aecf_tpu/data/loader.py) owns the dtype
+// bookkeeping and reinterprets the returned buffers.
+//
+// C ABI only (consumed via ctypes); no Python.h dependency.
+// Build: g++ -O3 -shared -fPIC -pthread.
 
 #include <atomic>
 #include <condition_variable>
@@ -23,20 +30,16 @@
 namespace {
 
 struct Batch {
-  std::vector<float> image;
-  std::vector<float> text;
-  std::vector<float> label;
+  std::vector<std::vector<uint8_t>> bufs;  // one per stream
   int64_t rows = 0;   // actual rows in this batch (tail batch may be short)
   int64_t epoch = 0;  // epoch this batch belongs to
 };
 
 struct Batcher {
   // Source arrays (borrowed; caller keeps them alive).
-  const float* image;
-  const float* text;
-  const float* label;
+  std::vector<const uint8_t*> srcs;
+  std::vector<int64_t> row_bytes;
   int64_t n;
-  int64_t img_d, txt_d, lab_d;
   int64_t batch;
   bool drop_last;
   uint64_t seed;
@@ -81,6 +84,7 @@ void produce_epoch(Batcher* B, int64_t epoch) {
     }
   }
 
+  const size_t S = B->srcs.size();
   for (int64_t start = 0; start < B->n; start += B->batch) {
     int64_t rows = std::min(B->batch, B->n - start);
     if (B->drop_last && rows < B->batch) break;
@@ -96,17 +100,14 @@ void produce_epoch(Batcher* B, int64_t epoch) {
 
     out->rows = rows;
     out->epoch = epoch;
-    float* img = out->image.data();
-    float* txt = out->text.data();
-    float* lab = out->label.data();
-    for (int64_t r = 0; r < rows; ++r) {
-      const int64_t src = idx[start + r];
-      std::memcpy(img + r * B->img_d, B->image + src * B->img_d,
-                  sizeof(float) * B->img_d);
-      std::memcpy(txt + r * B->txt_d, B->text + src * B->txt_d,
-                  sizeof(float) * B->txt_d);
-      std::memcpy(lab + r * B->lab_d, B->label + src * B->lab_d,
-                  sizeof(float) * B->lab_d);
+    for (size_t s = 0; s < S; ++s) {
+      const int64_t rb = B->row_bytes[s];
+      uint8_t* dst = out->bufs[s].data();
+      const uint8_t* src = B->srcs[s];
+      for (int64_t r = 0; r < rows; ++r) {
+        std::memcpy(dst + r * rb, src + idx[start + r] * rb,
+                    static_cast<size_t>(rb));
+      }
     }
 
     {
@@ -130,21 +131,29 @@ void worker_loop(Batcher* B, int64_t epochs) {
 
 extern "C" {
 
+// ABI version handshake: the Python loader checks this before trusting a
+// pre-built .so (a v1 library had a fixed 3×f32-stream signature).
+int32_t aecf_batcher_abi(void) { return 2; }
+
 // Creates the pipeline and starts prefetching `epochs` epochs of batches.
-void* aecf_batcher_create(const float* image, const float* text,
-                          const float* label, int64_t n, int64_t img_d,
-                          int64_t txt_d, int64_t lab_d, int64_t batch,
-                          int64_t epochs, int32_t n_prefetch, uint64_t seed,
-                          int32_t shuffle, int32_t drop_last) {
-  if (n <= 0 || batch <= 0 || n_prefetch <= 0) return nullptr;
+// `streams[s]` is a C-contiguous (n, row_bytes[s]) byte matrix; the caller
+// keeps all stream arrays alive for the pipeline's lifetime.
+void* aecf_batcher_create(const void* const* streams,
+                          const int64_t* row_bytes, int32_t n_streams,
+                          int64_t n, int64_t batch, int64_t epochs,
+                          int32_t n_prefetch, uint64_t seed, int32_t shuffle,
+                          int32_t drop_last) {
+  if (n <= 0 || batch <= 0 || n_prefetch <= 0 || n_streams <= 0)
+    return nullptr;
+  for (int32_t s = 0; s < n_streams; ++s) {
+    if (streams[s] == nullptr || row_bytes[s] <= 0) return nullptr;
+  }
   auto* B = new Batcher();
-  B->image = image;
-  B->text = text;
-  B->label = label;
+  B->srcs.reserve(n_streams);
+  B->row_bytes.assign(row_bytes, row_bytes + n_streams);
+  for (int32_t s = 0; s < n_streams; ++s)
+    B->srcs.push_back(static_cast<const uint8_t*>(streams[s]));
   B->n = n;
-  B->img_d = img_d;
-  B->txt_d = txt_d;
-  B->lab_d = lab_d;
   B->batch = batch;
   B->drop_last = drop_last != 0;
   B->seed = seed;
@@ -152,9 +161,9 @@ void* aecf_batcher_create(const float* image, const float* text,
   B->capacity = static_cast<size_t>(n_prefetch);
   for (size_t i = 0; i < B->capacity; ++i) {
     auto* b = new Batch();
-    b->image.resize(static_cast<size_t>(batch) * img_d);
-    b->text.resize(static_cast<size_t>(batch) * txt_d);
-    b->label.resize(static_cast<size_t>(batch) * lab_d);
+    b->bufs.resize(n_streams);
+    for (int32_t s = 0; s < n_streams; ++s)
+      b->bufs[s].resize(static_cast<size_t>(batch) * row_bytes[s]);
     B->all.push_back(b);
     B->free_list.push(b);
   }
@@ -163,11 +172,10 @@ void* aecf_batcher_create(const float* image, const float* text,
 }
 
 // Blocks for the next batch.  Returns the row count (0 = end of stream) and
-// fills the pointers with views into an internal buffer that stays valid
-// until the next acquire (the previously held batch is recycled).
-int64_t aecf_batcher_acquire(void* handle, const float** image,
-                             const float** text, const float** label,
-                             int64_t* epoch) {
+// fills `out[s]` with views into internal buffers that stay valid until the
+// next acquire (the previously held batch is recycled).  `out` must have
+// room for n_streams pointers.
+int64_t aecf_batcher_acquire(void* handle, const void** out, int64_t* epoch) {
   auto* B = static_cast<Batcher*>(handle);
   if (B->held != nullptr) {
     {
@@ -194,9 +202,7 @@ int64_t aecf_batcher_acquire(void* handle, const float** image,
     }
   }
   B->held = b;
-  *image = b->image.data();
-  *text = b->text.data();
-  *label = b->label.data();
+  for (size_t s = 0; s < b->bufs.size(); ++s) out[s] = b->bufs[s].data();
   if (epoch) *epoch = b->epoch;
   return b->rows;
 }
