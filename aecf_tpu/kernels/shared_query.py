@@ -131,6 +131,38 @@ _RESIDENT_E_CAP = 1024
 # Streamed-path cap: the kv tile (TB·M·E·itemsize, double-buffered) is
 # the only E-scaling VMEM term; TB floors at the (8, 128) sublane tile.
 _STREAMED_E_CAP = 8192
+# Below the resident cap, H == 2 TRAINING also prefers the streamed
+# split from this E up (see _vjp_wants_streamed); eval keeps resident.
+_STREAMED_H2_MIN_E = 512
+
+
+def _vjp_wants_streamed(num_heads: int, E: int) -> bool:
+    """Dispatch of the DIFFERENTIABLE forward (the custom_vjp fwd rules).
+
+    Above the resident cap the streamed split is the only fused option
+    (H ≤ 2).  Below it, H == 2 with E ≥ 512 ALSO routes to the streamed
+    split when gradients are being taken: its one-pass multi-head Pallas
+    backward reads kv once where the resident path's XLA einsum backward
+    reads it 4×.  Measured within-run (round 4, full train step):
+    streamed 1.16×/1.37× resident at E=512/1024 with kv_grad=False and
+    1.03×/1.18× with kv_grad=True (2.2–2.5× at E=2048 where both heads
+    stream).  The PRIMAL (eval/serving) dispatch is unchanged — the
+    resident kernel wins the gradient-free forward decisively (streamed
+    measured 0.62–0.64× resident at the same shapes), which is exactly
+    the asymmetry custom_vjp allows: `_shared_core` runs resident below
+    the cap, `_shared_fwd` streams.  ``AECF_H2_STREAM=0`` restores the
+    resident dispatch for within-run A/Bs (read at trace time, like
+    ``AECF_SHARED_BWD``).
+    """
+    import os
+
+    if num_heads > 2:
+        return False
+    if E > _RESIDENT_E_CAP:
+        return True
+    if num_heads != 2 or E < _STREAMED_H2_MIN_E:
+        return False
+    return os.environ.get("AECF_H2_STREAM", "auto") != "0"
 
 
 def _draw_seed_words(rng: Optional[jax.Array]) -> jax.Array:
@@ -868,9 +900,10 @@ def _shared_fwd(
     # so the backward can fold an entropy cotangent into d_w — eval-mode
     # entropy is NOT detached in the reference (AECFLayer.py:150-156) and
     # must carry gradient on the kernel path too.  (B, M) f32: negligible
-    # next to the (B, M, E) kv residual.  The streamed path (E > cap)
-    # additionally saves its mix output for the backward's G GEMM.
-    if num_heads <= 2 and kv.shape[-1] > _RESIDENT_E_CAP:
+    # next to the (B, M, E) kv residual.  The streamed path (E > cap, or
+    # H == 2 at E ≥ 512 — see _vjp_wants_streamed) additionally saves its
+    # mix output for the backward's G GEMM.
+    if _vjp_wants_streamed(num_heads, kv.shape[-1]):
         *outs, mix = _forward_streamed(
             params, qrow, kv, seed, mask_prob, key_padding_mask,
             min_active=min_active, training=training,
@@ -1825,12 +1858,20 @@ _shared_core.defvjp(_shared_fwd, _shared_bwd)
 
 def _q8_dispatch(params, qrow, kv_q8, kv_scales, seed, mask_prob,
                  key_padding_mask, num_heads, min_active, training,
-                 precision, interpret):
+                 precision, interpret, differentiable=False):
     """Quantized forward dispatch shared by the q8 primal and its vjp
     forward: resident int8 kernel at E ≤ cap, streamed split (H ≤ 2)
-    above it.  Returns ``(outs, mix-or-None)`` — the streamed backward
-    reuses ``mix`` so it never re-reads kv for the G GEMM."""
-    if kv_q8.shape[-1] > _RESIDENT_E_CAP:
+    above it — and, when ``differentiable`` (the vjp forward), H == 2 at
+    E ≥ 512 streams below the cap too (same measured boundary as the f32
+    path, ``_vjp_wants_streamed``).  Returns ``(outs, mix-or-None)`` —
+    the streamed backward reuses ``mix`` so it never re-reads kv for the
+    G GEMM."""
+    streamed = (
+        _vjp_wants_streamed(num_heads, kv_q8.shape[-1])
+        if differentiable
+        else kv_q8.shape[-1] > _RESIDENT_E_CAP
+    )
+    if streamed and num_heads <= 2:
         *outs, mix = _forward_streamed(
             params, qrow, kv_q8, seed, mask_prob, key_padding_mask,
             min_active=min_active, training=training, precision=precision,
@@ -1872,6 +1913,7 @@ def _shared_q8_fwd(
     outs, mix = _q8_dispatch(
         params, qrow, kv_q8, kv_scales, seed, mask_prob, key_padding_mask,
         num_heads, min_active, training, precision, interpret,
+        differentiable=True,
     )
     # outs[1] (head-averaged weights) rides along for the entropy
     # cotangent fold, exactly like _shared_fwd.

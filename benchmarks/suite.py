@@ -323,6 +323,48 @@ def streamed_e2048_ab(quick, B=4096, M=4, E=2048, H=1):
     }
 
 
+def h2_belowcap_stream_ab(quick, B=8192, M=4, E=1024, H=2,
+                          kv_grad=False):
+    """Within-run A/B of the H=2 BELOW-CAP differentiable dispatch
+    (round 4): resident fused forward + XLA einsum backward
+    (AECF_H2_STREAM=0) vs the streamed split (one-pass two-head mix
+    kernel forward + one-pass multi-head Pallas backward).  The streamed
+    backward reads kv once where the XLA einsum backward reads it 4x,
+    which dominates at these memory-bound shapes even though the
+    resident forward alone is faster — so `_vjp_wants_streamed` routes
+    H=2, E>=512 training through the streamed split while eval keeps
+    the resident kernel."""
+    import statistics
+
+    from bench import ab_train_windows, build_chunk
+
+    K = 20 if quick else 80
+    rounds = 3 if quick else 5
+
+    chunks = {}
+    try:
+        for mode in ("resident", "streamed"):
+            os.environ["AECF_H2_STREAM"] = "0" if mode == "resident" else "auto"
+            c, p, s = build_chunk(B, M, E, H, "pallas", K, kv_grad=kv_grad)
+            p, s, loss = c(p, s, jnp.int32(0))
+            float(loss)  # value fetch: reliable sync through the tunnel
+            chunks[mode] = (c, p, s)
+    finally:
+        os.environ.pop("AECF_H2_STREAM", None)
+
+    res = ab_train_windows(chunks, B, K, rounds, tunnel_rtt())
+    med = {m: statistics.median(v) for m, v in res.items()}
+    return {
+        "config": f"B={B},M={M},E={E},H={H},kv_grad={kv_grad}",
+        "resident_median_sps": round(med["resident"], 1),
+        "streamed_median_sps": round(med["streamed"], 1),
+        "resident_best_sps": round(max(res["resident"]), 1),
+        "streamed_best_sps": round(max(res["streamed"]), 1),
+        "speedup_median": round(med["streamed"] / med["resident"], 3),
+        "speedup_best": round(max(res["streamed"]) / max(res["resident"]), 3),
+    }
+
+
 def precision_ab(quick, B=4096, M=3, E=512, H=1):
     """Within-run A/B of MXU precision for the big GEMMs: 'default'
     (one bf16-input f32-accumulate pass — the standard TPU training
@@ -682,6 +724,8 @@ def main():
         "precision_ab_heads8",
         "streamed_e2048_ab",
         "streamed_h2_e2048_ab",
+        "h2_belowcap_stream_ab_e512",
+        "h2_belowcap_stream_ab_e1024",
         "serving_frozen",
         # config names re-run just that config's sps + roofline
         "quickstart_B32_M2_E512",
@@ -855,6 +899,18 @@ def main():
         # H=2 streamed boundary — measured, not assumed (round-3 verdict
         # Weak #4): two-head mix kernel + XLA V/out GEMMs vs full XLA.
         section("streamed_h2_e2048_ab", streamed_e2048_ab, args.quick, H=2)
+        # H=2 BELOW the resident cap: the round-4 dispatch refinement
+        # routes the differentiable forward through the streamed split
+        # from E=512 up (backward reads kv once vs 4x) — keep both sides
+        # of _vjp_wants_streamed's boundary measured.
+        section(
+            "h2_belowcap_stream_ab_e512", h2_belowcap_stream_ab,
+            args.quick, B=4096, M=3, E=512,
+        )
+        section(
+            "h2_belowcap_stream_ab_e1024", h2_belowcap_stream_ab,
+            args.quick,
+        )
         section("serving_frozen", serving_frozen_bench, args.quick)
 
     if args.json:

@@ -543,6 +543,72 @@ def test_streamed_h2_e2048_on_chip():
     )
 
 
+def test_h2_belowcap_streamed_training_on_chip(monkeypatch):
+    """Round-4 dispatch refinement on real hardware: at H=2, E=512 the
+    DIFFERENTIABLE forward streams (one-pass mh Pallas backward, one kv
+    read) while eval keeps the resident kernel.  Grad parity vs the
+    oracle, resident-vs-streamed vjp agreement (AECF_H2_STREAM=0), and
+    the training-mode PRNG path through the streamed mix kernel."""
+    from aecf_tpu.kernels import fused_fusion_pool_shared
+
+    E, M, B = 512, 3, 256
+    params = init_attention_pool_params(jax.random.key(0), E)
+    query = init_fusion_query(jax.random.key(1), E)
+    kv = jax.random.normal(jax.random.key(2), (B, M, E))
+
+    def loss_k(p, x):
+        o, w, _, _ = fused_fusion_pool_shared(
+            p, query, x, num_heads=2, training=False, precision="highest",
+        )
+        return (o * o).mean() + (w * w).sum()
+
+    def loss_o(p, x):
+        o, w = _oracle(p, jnp.broadcast_to(query, (B, 1, E)), x, 2)
+        return (o * o).mean() + (w * w).sum()
+
+    monkeypatch.delenv("AECF_H2_STREAM", raising=False)
+    gk = jax.grad(loss_k, argnums=(0, 1))(params, kv)
+    go = jax.grad(loss_o, argnums=(0, 1))(params, kv)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-3, rtol=1e-3
+        ),
+        gk,
+        go,
+    )
+
+    # the A/B knob's resident vjp must agree (pure perf choice)
+    monkeypatch.setenv("AECF_H2_STREAM", "0")
+    gr = jax.grad(loss_k, argnums=(0, 1))(params, kv)
+    monkeypatch.delenv("AECF_H2_STREAM", raising=False)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-3, rtol=1e-3
+        ),
+        gk,
+        gr,
+    )
+
+    # training-mode masking draws from the TPU PRNG inside the streamed
+    # mix kernel; grads stay finite and masked weights renormalize
+    def loss_t(p, x):
+        o, w, mw, info = fused_fusion_pool_shared(
+            p, query, x, num_heads=2, training=True,
+            rng=jax.random.key(7), base_mask_prob=0.5,
+            precision="highest",
+        )
+        return (o * o).mean() + (mw * mw).sum(), (info, mw)
+
+    (val, (info, mw)), gt = jax.value_and_grad(
+        loss_t, argnums=(0, 1), has_aux=True
+    )(params, kv)
+    assert np.isfinite(float(val))
+    assert float(info["mask_rate"].mean()) > 0.05
+    np.testing.assert_allclose(np.asarray(mw.sum(-1)), 1.0, rtol=1e-5)
+    for leaf in jax.tree.leaves(gt):
+        assert bool(jnp.isfinite(leaf).all())
+
+
 def test_quantized_kv_on_chip():
     """int8 kv path on real hardware: near-oracle outputs, renormalized
     weights, and training-mode masking still draws from the TPU PRNG."""

@@ -322,6 +322,158 @@ class TestStreamedE2048Interpret:
             np.testing.assert_allclose(np.asarray(gk[2]), 0.0, atol=0)
 
 
+class TestH2BelowCapStreamedVJP:
+    """Round-4 dispatch refinement: at H == 2 with 512 ≤ E ≤ 1024 the
+    DIFFERENTIABLE forward (custom_vjp fwd) routes through the streamed
+    split — its one-pass multi-head Pallas backward reads kv once where
+    the resident path's XLA einsum backward reads it 4× (measured
+    1.16-1.37× on the full train step).  The primal (eval/serving)
+    dispatch keeps the resident kernel, which wins the gradient-free
+    forward.  These tests pin the gate and grad parity on both sides of
+    the AECF_H2_STREAM knob."""
+
+    def test_vjp_wants_streamed_gate(self, monkeypatch):
+        from aecf_tpu.kernels import shared_query as sq
+
+        monkeypatch.delenv("AECF_H2_STREAM", raising=False)
+        # H == 1: resident below the cap, streamed above — unchanged.
+        assert not sq._vjp_wants_streamed(1, 512)
+        assert not sq._vjp_wants_streamed(1, 1024)
+        assert sq._vjp_wants_streamed(1, 2048)
+        # H == 2: streams from E == 512 up.
+        assert not sq._vjp_wants_streamed(2, 256)
+        assert sq._vjp_wants_streamed(2, 512)
+        assert sq._vjp_wants_streamed(2, 1024)
+        assert sq._vjp_wants_streamed(2, 2048)
+        # H > 2 never streams (no multi-head mix kernel beyond 2).
+        assert not sq._vjp_wants_streamed(4, 2048)
+        assert not sq._vjp_wants_streamed(8, 512)
+        # The A/B knob restores the resident dispatch below the cap only;
+        # above the cap streaming is the only fused option.
+        monkeypatch.setenv("AECF_H2_STREAM", "0")
+        assert not sq._vjp_wants_streamed(2, 512)
+        assert not sq._vjp_wants_streamed(2, 1024)
+        assert sq._vjp_wants_streamed(2, 2048)
+
+    @pytest.mark.parametrize("E", [512, 1024])
+    @pytest.mark.parametrize("kv_grad", [True, False])
+    def test_h2_belowcap_grads_match_oracle(self, E, kv_grad):
+        from aecf_tpu.kernels import fused_fusion_pool_shared
+
+        M, B = 3, 8
+        params = init_attention_pool_params(jax.random.key(0), E)
+        query = init_fusion_query(jax.random.key(1), E)
+        kv = jax.random.normal(jax.random.key(2), (B, M, E))
+
+        def loss_k(p, qq, x):
+            o, w, _, info = fused_fusion_pool_shared(
+                p, qq, x, num_heads=2, training=False, interpret=True,
+                precision="highest", kv_grad=kv_grad,
+            )
+            # entropy term exercises the cotangent fold on the streamed
+            # residuals (outs[1] rides along on both dispatch arms)
+            return (
+                (o * o).mean() + (w * w).sum()
+                + 0.1 * jnp.sum(info["entropy"])
+            )
+
+        def loss_o(p, qq, x):
+            from aecf_tpu.core.masking import compute_entropy
+
+            with jax.default_matmul_precision("highest"):
+                o, w = attention_pool_core(
+                    p, jnp.broadcast_to(qq, (B, 1, E)), x, x,
+                    num_heads=2, need_weights=True,
+                )
+            return (
+                (o * o).mean() + (w * w).sum()
+                + 0.1 * jnp.sum(compute_entropy(w))
+            )
+
+        gk = jax.grad(loss_k, argnums=(0, 1, 2))(params, query, kv)
+        go = jax.grad(loss_o, argnums=(0, 1, 2))(params, query, kv)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-4
+            ),
+            (gk[0], gk[1]),
+            (go[0], go[1]),
+        )
+        if kv_grad:
+            np.testing.assert_allclose(
+                np.asarray(gk[2]), np.asarray(go[2]), atol=2e-4
+            )
+        else:
+            np.testing.assert_allclose(np.asarray(gk[2]), 0.0, atol=0)
+
+    def test_h2_stream_knob_off_matches_default(self, monkeypatch):
+        """AECF_H2_STREAM=0 (resident vjp) and the default (streamed vjp)
+        must produce the same gradients — the dispatch is a pure perf
+        choice, not a numerics choice."""
+        from aecf_tpu.kernels import fused_fusion_pool_shared
+
+        E, M, B = 512, 3, 8
+        params = init_attention_pool_params(jax.random.key(0), E)
+        query = init_fusion_query(jax.random.key(1), E)
+        kv = jax.random.normal(jax.random.key(2), (B, M, E))
+
+        def loss(p, qq, x):
+            o, w, _, _ = fused_fusion_pool_shared(
+                p, qq, x, num_heads=2, training=False, interpret=True,
+                precision="highest",
+            )
+            return (o * o).mean() + (w * w).sum()
+
+        monkeypatch.delenv("AECF_H2_STREAM", raising=False)
+        g_stream = jax.grad(loss, argnums=(0, 1, 2))(params, query, kv)
+        monkeypatch.setenv("AECF_H2_STREAM", "0")
+        g_resident = jax.grad(loss, argnums=(0, 1, 2))(params, query, kv)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5
+            ),
+            g_stream,
+            g_resident,
+        )
+
+    def test_q8_h2_belowcap_grads_match_dequant_oracle(self):
+        """The q8 vjp forward rides the same below-cap H == 2 streamed
+        boundary (``_q8_dispatch(differentiable=True)``)."""
+        from aecf_tpu.kernels import fused_fusion_pool_shared, quantize_features
+
+        E, M, B = 1024, 3, 8
+        params = init_attention_pool_params(jax.random.key(0), E)
+        query = init_fusion_query(jax.random.key(1), E)
+        kv = jax.random.normal(jax.random.key(2), (B, M, E))
+        q8, scales = quantize_features(kv)
+        deq = q8.astype(jnp.float32) * scales[..., None]
+
+        def loss_q(p, qq):
+            out, w, _, _ = fused_fusion_pool_shared(
+                p, qq, q8, kv_scales=scales, num_heads=2,
+                training=False, precision="highest", interpret=True,
+            )
+            return jnp.sum(out**2) + jnp.sum(w)
+
+        def loss_o(p, qq):
+            out, w, _, _ = fused_fusion_pool_shared(
+                p, qq, jax.lax.stop_gradient(deq), num_heads=2,
+                training=False, precision="highest", interpret=True,
+                kv_grad=False,
+            )
+            return jnp.sum(out**2) + jnp.sum(w)
+
+        gq = jax.grad(loss_q, argnums=(0, 1))(params, query)
+        go = jax.grad(loss_o, argnums=(0, 1))(params, query)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5
+            ),
+            gq,
+            go,
+        )
+
+
 class TestEvalEntropyGradient:
     """Round-2 verdict Weak #2: eval-mode ``info['entropy']`` is NOT
     detached in the reference (AECFLayer.py:150-156); gradients through it
