@@ -40,6 +40,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..core.attention import AttentionPoolParams
 from ..core.masking import EPS
+from . import tiles
 
 __all__ = ["fused_fusion_pool_shared", "quantize_features"]
 
@@ -59,20 +60,28 @@ def _pick_tile(
     *,
     num_heads: int = 1,
     row_bytes: Optional[int] = None,
+    site: Optional[str] = None,
 ) -> int:
-    """Batch-tile selection, shared by every launch site: measured default,
-    env override (``AECF_FWD_TB``/``AECF_BWD_TB`` for A/B sweeps), per-head
-    VMEM scaling (the unrolled head loop holds ~H/2 extra (TB, E)
-    temporaries), clamp to the padded batch.
+    """Batch-tile selection, shared by every launch site: env override
+    (``AECF_FWD_TB``/``AECF_BWD_TB`` for A/B sweeps) > per-device tile
+    table (:mod:`tiles` — winners measured by ``benchmarks/autotune.py``)
+    > measured v5e default with per-head VMEM scaling (the unrolled head
+    loop holds ~H/2 extra (TB, E) temporaries), clamped to the padded
+    batch.
 
     ``row_bytes`` (streamed launch sites): bytes of TB-scaled block per
     batch row.  The default is clamped so the single-buffered blocks stay
     under :data:`_VMEM_ROW_BUDGET` — at the E=8192 cap the 1/E default
     formulas alone would floor at 32 rows and overflow scoped vmem when
-    d_kv tiles are also resident.  Env overrides get NEITHER the VMEM
-    clamp nor the per-head rescale (sweeps intentionally probe limits and
-    must measure the exact tile they name; Mosaic rejects over-budget
-    tiles with an explicit error)."""
+    d_kv tiles are also resident.  Env overrides and table entries get
+    NEITHER the VMEM clamp nor the per-head rescale (sweeps intentionally
+    probe limits and must measure the exact tile they name; table entries
+    compiled on this device kind when measured; Mosaic rejects over-budget
+    tiles with an explicit error).
+
+    ``site`` is the :func:`tiles.site_key` of the launch site — the table
+    key, and the label under which the chosen tile is recorded when the
+    autotuner is tracing."""
     import os
 
     raw = os.environ.get(env)
@@ -90,13 +99,23 @@ def _pick_tile(
         # Env overrides are honored VERBATIM (modulo the batch clamp):
         # rescaling them per head would make a sweep record "TB=256"
         # datapoints that actually measured TB=64.
-        return min(tb, _round_up(B, 8))
+        tb = min(tb, _round_up(B, 8))
+        tiles.record(site, tb, "env")
+        return tb
+    if site is not None:
+        measured = tiles.lookup(site)
+        if measured is not None:
+            tb = min(measured, _round_up(B, 8))
+            tiles.record(site, tb, "table")
+            return tb
     tb = default
     if row_bytes is not None:
         tb = min(tb, max(8, _VMEM_ROW_BUDGET // row_bytes // 8 * 8))
     if num_heads > 2:
         tb = max(64, tb // (num_heads // 2))
-    return min(tb, _round_up(B, 8))
+    tb = min(tb, _round_up(B, 8))
+    tiles.record(site, tb, "default")
+    return tb
 
 
 def _round_up(x: int, m: int) -> int:
@@ -523,7 +542,10 @@ def _forward(
     # TB=384 now compiles at E=1024 but measures even with 256 within-run
     # (16.4M both, B=8192/M=4), so 256 stays the default.
     TB = _pick_tile(
-        512 if E <= 512 else 256, "AECF_FWD_TB", B, num_heads=num_heads
+        512 if E <= 512 else 256, "AECF_FWD_TB", B, num_heads=num_heads,
+        site=tiles.site_key(
+            "fwd_resident", M=M, E=E, H=num_heads, kv_dtype=kv.dtype.name
+        ),
     )
     B_pad = _round_up(B, TB)
     kv_flat = kv.reshape(B, M * E)  # lane-sliced in-kernel (see kernel doc)
@@ -682,6 +704,9 @@ def _forward_streamed(
     TB = _pick_tile(
         max(32, (1 << 18) // (E * H) // 8 * 8), "AECF_FWD_TB", B,
         row_bytes=E * (M * kv.dtype.itemsize + 4 * H),
+        site=tiles.site_key(
+            "fwd_streamed", M=M, E=E, H=H, kv_dtype=kv.dtype.name
+        ),
     )
     B_pad = _round_up(B, TB)
     kv_flat = kv.reshape(B, M * E)
@@ -801,7 +826,12 @@ def _forward_q8(
     # int8 kv tiles are 4x smaller than f32, so the q8 path affords a
     # larger batch tile at E=1024 than the f32 forward: 384 measured +8%
     # over 192 within-run (eval fwd, B=8192/M=4/E=1024).
-    TB = _pick_tile(384, "AECF_FWD_TB", B, num_heads=num_heads)
+    TB = _pick_tile(
+        384, "AECF_FWD_TB", B, num_heads=num_heads,
+        site=tiles.site_key(
+            "fwd_resident", M=M, E=E, H=num_heads, kv_dtype="int8"
+        ),
+    )
     B_pad = _round_up(B, TB)
     kv_flat = kv_q8.reshape(B, M * E)
     if B_pad != B:
@@ -1229,17 +1259,25 @@ def _bwd_pallas(residuals, cots, *, precision, interpret, want_dkv=True,
     # E=512 the 256 default beats 384/512 by 10-23% within-run
     # (sweep_bf16_dkv_e{512,1024}.json) — the want_dkv branch stays
     # dtype-independent by measurement, not omission.
+    bwd_site = tiles.site_key(
+        "bwd_resident", M=M, E=E, H=1, kv_dtype=kv.dtype.name,
+        want_dkv=want_dkv,
+    )
     if want_dkv:
-        TB = _pick_tile(256 if E <= 512 else 192, "AECF_BWD_TB", B)
+        TB = _pick_tile(
+            256 if E <= 512 else 192, "AECF_BWD_TB", B, site=bwd_site
+        )
     elif E > 512 and kv.dtype.itemsize == 2:
-        TB = _pick_tile(384, "AECF_BWD_TB", B)
+        TB = _pick_tile(384, "AECF_BWD_TB", B, site=bwd_site)
     else:
         # int8 does NOT admit a larger tile at E=1024 despite its 4x
         # smaller kv blocks — swept within-run (sweep_q8_bwd_e1024.json):
         # 256 beats 512 by 17% and 384 by 40%; 768 fails remote compile.
         # The f32 d_out/d_mix tiles dominate the budget, so the f32
         # defaults carry over.
-        TB = _pick_tile(512 if E <= 512 else 256, "AECF_BWD_TB", B)
+        TB = _pick_tile(
+            512 if E <= 512 else 256, "AECF_BWD_TB", B, site=bwd_site
+        )
     B_pad = _round_up(B, TB)
     kv_flat = kv.reshape(B, M * E)  # lane-sliced in-kernel
     if B_pad != B:
@@ -1517,6 +1555,10 @@ def _bwd_streamed_mh(residuals, cots, mix, *, num_heads, precision,
         row_bytes=E * (
             kv_dtype.itemsize * M * (2 if want_dkv else 1) + 4 * H
         ),
+        site=tiles.site_key(
+            "bwd_streamed", M=M, E=E, H=H, kv_dtype=kv_dtype.name,
+            want_dkv=want_dkv,
+        ),
     )
     B_pad = _round_up(B, TB)
     kv_flat = kv.reshape(B, M * E)
@@ -1651,6 +1693,10 @@ def _bwd_streamed(residuals, cots, mix, *, precision, interpret,
         "AECF_BWD_TB", B,
         row_bytes=E * (
             kv_dtype.itemsize * M * (2 if want_dkv else 1) + 4
+        ),
+        site=tiles.site_key(
+            "bwd_streamed", M=M, E=E, H=1, kv_dtype=kv_dtype.name,
+            want_dkv=want_dkv,
         ),
     )
     B_pad = _round_up(B, TB)

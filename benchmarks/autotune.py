@@ -1,0 +1,241 @@
+#!/usr/bin/env python3
+"""One-off on-device batch-tile autotuner — writes the per-device tile table.
+
+The kernel batch-tile defaults were measured on TPU v5e; on another TPU
+generation (different VMEM budget, different compute/bandwidth ratio) they
+may be off.  This tool measures the winners *on the local device* for one
+training config and records them in the per-device-kind tile table
+(``aecf_tpu.kernels.tiles``), which every launch site consults at trace
+time — so one autotune run makes the library self-tuned on that hardware
+with no code changes.
+
+Method (same measurement discipline as benchmarks/suite.py):
+  1. Trace the train step once with tile recording on to discover which
+     launch sites the config exercises and their current defaults.
+  2. Coordinate descent over the two tile knobs: sweep AECF_FWD_TB
+     candidates (bwd at default), pick the winner by median samples/s over
+     alternating within-run windows (tunnel RTT subtracted), then sweep
+     AECF_BWD_TB with the fwd winner pinned.  Candidates that fail to
+     compile (Mosaic VMEM rejection) are recorded and skipped.
+  3. Winners that beat the default by more than ``--margin`` are written
+     to the table under the exact site keys recorded in step 1.
+
+Usage:
+  python benchmarks/autotune.py --batch 4096 --modalities 3 --embed 512 \
+      [--heads 1] [--kv-grad] [--features-dtype float32|bfloat16|int8] \
+      [--steps 60 --rounds 5] [--margin 0.03] [--out PATH] [--dry-run]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import sys
+from typing import Dict, List, Optional
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def candidate_tiles(default: int, batch: int) -> List[int]:
+    """Candidate batch tiles around a measured default: {1/2, 3/4, 1, 3/2,
+    2}x, aligned down to the 8-row sublane tile, clamped to the padded
+    batch, deduplicated ascending.  The default itself is always included
+    (it is the baseline the margin rule compares against)."""
+    pad_b = (batch + 7) // 8 * 8
+    cands = set()
+    for scaled in (
+        default // 2, 3 * default // 4, default, 3 * default // 2,
+        2 * default,
+    ):
+        cands.add(max(8, min(scaled // 8 * 8, pad_b)))
+    cands.add(min(default, pad_b))
+    return sorted(cands)
+
+
+def pick_winner(
+    medians: Dict[int, float], default: int, margin: float
+) -> int:
+    """The tile to record: the best-measured candidate, but only if it
+    beats the default by more than ``margin`` (fractional) — within-noise
+    differences keep the default, so re-running the tuner is idempotent.
+    If the default itself failed to measure (shouldn't happen — it
+    compiled during discovery), fall back to the best candidate."""
+    if not medians:
+        raise ValueError("no candidate produced a measurement")
+    best = max(medians, key=lambda t: medians[t])
+    base = medians.get(default)
+    if base is None:
+        return best
+    return best if medians[best] > base * (1.0 + margin) else default
+
+
+def _sites_for(log, prefix: str) -> Dict[str, int]:
+    """Recorded (site_key -> chosen tile) for one env kind, deduped."""
+    out: Dict[str, int] = {}
+    for key, tb, _src in log:
+        if key.startswith(prefix):
+            out[key] = tb
+    return out
+
+
+def _build(args, fwd_env: Optional[str], bwd_env: Optional[str]):
+    """Build + warm one train chunk with the tile env knobs pinned at
+    TRACE time (restored afterwards).  Returns the chunk state or None on
+    compile failure (recorded by the caller)."""
+    import jax.numpy as jnp
+
+    from bench import build_chunk
+
+    saved = {}
+    for env, val in (("AECF_FWD_TB", fwd_env), ("AECF_BWD_TB", bwd_env)):
+        saved[env] = os.environ.pop(env, None)
+        if val is not None:
+            os.environ[env] = val
+    try:
+        c, p, s = build_chunk(
+            args.batch, args.modalities, args.embed, args.heads,
+            "pallas", args.steps, kv_grad=args.kv_grad,
+            features_dtype=args.features_dtype,
+        )
+        p, s, loss = c(p, s, jnp.int32(0))
+        float(loss)  # warm: compile + one fetch-sync
+        return (c, p, s)
+    except Exception as e:  # noqa: BLE001 — sweeps record failures
+        print(
+            f"  fwd={fwd_env},bwd={bwd_env}: FAILED "
+            f"({type(e).__name__}: {str(e)[:160]})",
+            file=sys.stderr, flush=True,
+        )
+        return None
+    finally:
+        for env, old in saved.items():
+            if old is None:
+                os.environ.pop(env, None)
+            else:
+                os.environ[env] = old
+
+
+def _sweep_kind(args, kind: str, default: int, pinned_fwd: Optional[int],
+                rtt: float) -> Dict:
+    """Sweep one env kind's candidates; returns the sweep record."""
+    from bench import ab_train_windows
+
+    cands = candidate_tiles(default, args.batch)
+    print(f"sweeping {kind}: candidates {cands} (default {default})",
+          file=sys.stderr, flush=True)
+    chunks = {}
+    for tb in cands:
+        if kind == "AECF_FWD_TB":
+            fwd_env, bwd_env = str(tb), None
+        else:
+            fwd_env = None if pinned_fwd is None else str(pinned_fwd)
+            bwd_env = str(tb)
+        print(f"  compiling {kind}={tb}...", file=sys.stderr, flush=True)
+        chunks[tb] = _build(args, fwd_env, bwd_env)
+
+    res = ab_train_windows(
+        chunks, args.batch, args.steps, args.rounds, rtt
+    )
+    medians = {tb: statistics.median(v) for tb, v in res.items()}
+    winner = pick_winner(medians, default, args.margin)
+    return {
+        "default": default,
+        "candidates": cands,
+        "failed": [tb for tb, c in chunks.items() if c is None],
+        "median_sps": {str(tb): round(v, 1) for tb, v in medians.items()},
+        "winner": winner,
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser(
+        description="Measure batch-tile winners on the local device and "
+        "record them in the per-device tile table."
+    )
+    ap.add_argument("--batch", type=int, default=4096)
+    ap.add_argument("--modalities", type=int, default=3)
+    ap.add_argument("--embed", type=int, default=512)
+    ap.add_argument("--heads", type=int, default=1)
+    ap.add_argument("--kv-grad", action="store_true")
+    ap.add_argument("--features-dtype", default="float32",
+                    choices=["float32", "bfloat16", "int8"])
+    ap.add_argument("--steps", type=int, default=60,
+                    help="scan-chained steps per timed window")
+    ap.add_argument("--rounds", type=int, default=5,
+                    help="alternating windows per candidate")
+    ap.add_argument("--margin", type=float, default=0.03,
+                    help="fractional win required to displace the default")
+    ap.add_argument("--out", default=None,
+                    help="table path (default: tiles.table_path())")
+    ap.add_argument("--dry-run", action="store_true",
+                    help="measure and print, write nothing")
+    args = ap.parse_args()
+
+    from bench import enable_persistent_cache, measure_tunnel_rtt
+
+    enable_persistent_cache()
+
+    from aecf_tpu.kernels import tiles
+
+    rtt = measure_tunnel_rtt()
+    print(f"tunnel rtt {rtt*1e3:.1f}ms", file=sys.stderr, flush=True)
+
+    # Step 1: discovery trace — which sites fire, at which defaults.
+    tiles.start_recording()
+    base = _build(args, None, None)
+    log = tiles.stop_recording()
+    if base is None:
+        print("baseline config failed to compile; nothing to tune",
+              file=sys.stderr)
+        sys.exit(1)
+    fwd_sites = _sites_for(log, "fwd_")
+    bwd_sites = _sites_for(log, "bwd_")
+    print(f"sites: fwd={fwd_sites} bwd={bwd_sites}",
+          file=sys.stderr, flush=True)
+
+    sweeps: Dict[str, Dict] = {}
+    entries: Dict[str, int] = {}
+    pinned_fwd = None
+    for kind, sites in (
+        ("AECF_FWD_TB", fwd_sites), ("AECF_BWD_TB", bwd_sites)
+    ):
+        if not sites:
+            continue
+        defaults = sorted(set(sites.values()))
+        if len(defaults) > 1:
+            print(
+                f"warning: {kind} covers {len(sites)} sites with distinct "
+                f"defaults {defaults}; sweeping around the largest — the "
+                "winner is written to every covered site",
+                file=sys.stderr,
+            )
+        rec = _sweep_kind(args, kind, defaults[-1], pinned_fwd, rtt)
+        sweeps[kind] = rec
+        if kind == "AECF_FWD_TB":
+            pinned_fwd = rec["winner"]
+        for site, tb_default in sites.items():
+            if rec["winner"] != tb_default:
+                entries[site] = rec["winner"]
+
+    out = {
+        "config": (
+            f"B={args.batch},M={args.modalities},E={args.embed},"
+            f"H={args.heads},kv_grad={args.kv_grad},"
+            f"feats={args.features_dtype},K={args.steps}"
+        ),
+        "tunnel_rtt_ms": round(rtt * 1e3, 2),
+        "sites": {**fwd_sites, **bwd_sites},
+        "sweeps": sweeps,
+        "new_entries": entries,
+    }
+    if entries and not args.dry_run:
+        out["table_path"] = tiles.update_table(entries, args.out)
+    elif not entries:
+        out["table_path"] = None  # defaults already optimal here
+    print(json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -19,6 +19,14 @@ if _FORCE_CPU:
             flags + " --xla_force_host_platform_device_count=8"
         ).strip()
 
+# Hermeticity: a user/autotuner tile table must never alter kernel launch
+# tiles during tests (tolerances pin semantics, and test_tiles.py asserts
+# exact default picks).  Tests that exercise the table point this at a
+# tmp_path file instead.
+os.environ.setdefault(
+    "AECF_TILE_TABLE", os.path.join(os.path.dirname(__file__), ".no-tile-table.json")
+)
+
 import jax
 import numpy as np
 import pytest
