@@ -42,7 +42,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..core.attention import AttentionPoolParams
 
-from .shared_query import _draw_seed_words, _mask_and_renorm
+from . import tiles
+from .shared_query import _draw_seed_words, _mask_and_renorm, _pick_tile
 
 __all__ = ["fused_fusion_pool", "supports_fused"]
 
@@ -238,11 +239,16 @@ def _forward_pallas(
 
     # Batch tiling: weights stay resident (constant index maps); activations
     # stream.  TB sized to keep the tile working set within VMEM; the
-    # unrolled head loop adds ~H/2 extra (TB, E) temporaries.
-    TB = 256 if E <= 512 else 128
-    if num_heads > 2:
-        TB = max(64, TB // (num_heads // 2))
-    TB = min(TB, _round_up(B, 8))
+    # unrolled head loop adds ~H/2 extra (TB, E) temporaries.  Same
+    # env-override > tile-table > default resolution as every other launch
+    # site (the generic kernel carries a per-row query, so its working set
+    # — and its table key — differ from the shared-query forward's).
+    TB = _pick_tile(
+        256 if E <= 512 else 128, "AECF_FWD_TB", B, num_heads=num_heads,
+        site=tiles.site_key(
+            "fwd_generic", M=M, E=E, H=num_heads, kv_dtype=kv.dtype.name
+        ),
+    )
     B_pad = _round_up(B, TB)
     if B_pad != B:
         pad = B_pad - B

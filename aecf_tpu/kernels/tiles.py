@@ -21,8 +21,8 @@ Resolution order inside ``_pick_tile`` (shared_query.py):
 Table location: ``$AECF_TILE_TABLE`` if set, else
 ``~/.cache/aecf_tpu/tiles_<device-kind>.json`` (device kind slugged, e.g.
 ``tpu-v5-lite``).  A missing file is an empty table.  Entries that fail
-validation (non-integer, < 8) are dropped with a warning rather than
-crashing trace time.
+validation (non-integer, < 8, or off the 8-row sublane grid) are dropped
+with a warning rather than crashing trace time.
 
 Site keys include every factor the VMEM working set depends on —
 site name, modality count M, embed dim E, head count H, kv storage dtype,
@@ -128,6 +128,7 @@ def _validate(raw: object, path: str) -> Dict[str, int]:
             and isinstance(v, int)
             and not isinstance(v, bool)
             and v >= _MIN_TILE
+            and v % _MIN_TILE == 0
         ):
             table[k] = v
         else:
@@ -135,7 +136,8 @@ def _validate(raw: object, path: str) -> Dict[str, int]:
     if bad:
         warnings.warn(
             f"tile table {path!r}: dropping invalid entries {bad!r} "
-            f"(values must be integers >= {_MIN_TILE})",
+            f"(values must be integer multiples of {_MIN_TILE}, "
+            f">= {_MIN_TILE})",
             stacklevel=3,
         )
     return table
@@ -195,9 +197,12 @@ def update_table(
     for k, v in entries.items():
         if not v:
             table.pop(k, None)
-        elif not isinstance(v, int) or v < _MIN_TILE:
+        elif (
+            not isinstance(v, int) or v < _MIN_TILE or v % _MIN_TILE
+        ):
             raise ValueError(
-                f"tile entry {k!r}={v!r}: must be an int >= {_MIN_TILE}"
+                f"tile entry {k!r}={v!r}: must be an int multiple of "
+                f"{_MIN_TILE}, >= {_MIN_TILE}"
             )
         else:
             table[k] = v

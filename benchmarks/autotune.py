@@ -60,14 +60,23 @@ def pick_winner(
     """The tile to record: the best-measured candidate, but only if it
     beats the default by more than ``margin`` (fractional) — within-noise
     differences keep the default, so re-running the tuner is idempotent.
-    If the default itself failed to measure (shouldn't happen — it
-    compiled during discovery), fall back to the best candidate."""
+    If the default itself failed to MEASURE (it compiled during discovery,
+    so any failure here is a transient tunnel/compile flake), keep the
+    default with a warning rather than crowning a candidate the margin
+    rule never vetted."""
+    import warnings
+
     if not medians:
         raise ValueError("no candidate produced a measurement")
     best = max(medians, key=lambda t: medians[t])
     base = medians.get(default)
     if base is None:
-        return best
+        warnings.warn(
+            f"default tile {default} failed to measure (transient compile "
+            f"flake?); keeping it unvetted — re-run to sweep against it",
+            stacklevel=2,
+        )
+        return default
     return best if medians[best] > base * (1.0 + margin) else default
 
 
@@ -162,7 +171,11 @@ def main():
     ap.add_argument("--features-dtype", default="float32",
                     choices=["float32", "bfloat16", "int8"])
     ap.add_argument("--steps", type=int, default=60,
-                    help="scan-chained steps per timed window")
+                    help="scan-chained steps per timed window (auto-grown "
+                    "until the window dwarfs the tunnel RTT; see "
+                    "--max-steps)")
+    ap.add_argument("--max-steps", type=int, default=2000,
+                    help="cap on the auto-grown window length")
     ap.add_argument("--rounds", type=int, default=5,
                     help="alternating windows per candidate")
     ap.add_argument("--margin", type=float, default=0.03,
@@ -195,6 +208,40 @@ def main():
     print(f"sites: fwd={fwd_sites} bwd={bwd_sites}",
           file=sys.stderr, flush=True)
 
+    # Auto-size the timed window: every window pays one tunnel RTT
+    # (0.2-35ms by phase), and net_window can only subtract the *median*
+    # RTT — a window that doesn't dwarf the RTT measures transport noise,
+    # not tiles (a 60-step north-star window is ~8ms vs ~30ms RTT and the
+    # sweep medians come out 2x apart on identical kernels).  Grow K until
+    # the estimated window is >= max(50ms, 20x RTT), like the suite's
+    # K=300-400 A/B sections.
+    import time as _time
+
+    import jax.numpy as _jnp
+
+    from bench import net_window
+
+    elapsed = float("inf")
+    for r in (1, 2):  # two timings, take the faster (phase noise)
+        c, p, s = base
+        t0 = _time.perf_counter()
+        p, s, loss = c(p, s, _jnp.int32(r * args.steps))
+        float(loss)
+        elapsed = min(elapsed, _time.perf_counter() - t0)
+        base = (c, p, s)
+    per_step = net_window(elapsed, rtt) / args.steps
+    target = max(0.05, 20.0 * rtt)
+    want = int(target / per_step) + 1
+    if want > args.steps:
+        # Grow only: an explicit --steps larger than --max-steps stands.
+        args.steps = max(args.steps, min(want, args.max_steps))
+        print(
+            f"window auto-size: ~{per_step*1e6:.0f}us/step -> "
+            f"K={args.steps} (~{per_step*args.steps*1e3:.0f}ms windows "
+            f"vs {rtt*1e3:.1f}ms RTT)",
+            file=sys.stderr, flush=True,
+        )
+
     sweeps: Dict[str, Dict] = {}
     entries: Dict[str, int] = {}
     pinned_fwd = None
@@ -207,8 +254,10 @@ def main():
         if len(defaults) > 1:
             print(
                 f"warning: {kind} covers {len(sites)} sites with distinct "
-                f"defaults {defaults}; sweeping around the largest — the "
-                "winner is written to every covered site",
+                f"defaults {defaults}; sweeping around the largest — only "
+                "sites sharing that default get table entries (the winner "
+                "was never measured against the others' clamped/rescaled "
+                "defaults)",
                 file=sys.stderr,
             )
         rec = _sweep_kind(args, kind, defaults[-1], pinned_fwd, rtt)
@@ -216,7 +265,11 @@ def main():
         if kind == "AECF_FWD_TB":
             pinned_fwd = rec["winner"]
         for site, tb_default in sites.items():
-            if rec["winner"] != tb_default:
+            # Write only where the winner actually displaced THIS site's
+            # default — a site whose default differs (VMEM clamp, per-head
+            # rescale) was not measured by this sweep, and table entries
+            # bypass those clamps.
+            if tb_default == defaults[-1] and rec["winner"] != tb_default:
                 entries[site] = rec["winner"]
 
     out = {

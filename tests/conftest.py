@@ -21,10 +21,11 @@ if _FORCE_CPU:
 
 # Hermeticity: a user/autotuner tile table must never alter kernel launch
 # tiles during tests (tolerances pin semantics, and test_tiles.py asserts
-# exact default picks).  Tests that exercise the table point this at a
-# tmp_path file instead.
-os.environ.setdefault(
-    "AECF_TILE_TABLE", os.path.join(os.path.dirname(__file__), ".no-tile-table.json")
+# exact default picks) — unconditional assignment, so an exported
+# AECF_TILE_TABLE in the developer's shell can't leak in either.  Tests
+# that exercise the table point this at a tmp_path file instead.
+os.environ["AECF_TILE_TABLE"] = os.path.join(
+    os.path.dirname(__file__), ".no-tile-table.json"
 )
 
 import jax

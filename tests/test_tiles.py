@@ -106,10 +106,15 @@ class TestTableIO:
         path = os.environ["AECF_TILE_TABLE"]
         with open(path, "w") as f:
             json.dump({"good": 128, "tiny": 4, "stringy": "64",
-                       "boolean": True}, f)
+                       "boolean": True, "unaligned": 100}, f)
         with pytest.warns(UserWarning, match="dropping invalid"):
             table = tiles.load_table()
         assert table == {"good": 128}
+
+    def test_update_rejects_unaligned_values(self):
+        # every launch path produces //8*8 tiles; the table must too
+        with pytest.raises(ValueError, match="multiple of 8"):
+            tiles.update_table({"k": 100})
 
     def test_non_object_file_warns(self):
         path = os.environ["AECF_TILE_TABLE"]
@@ -189,6 +194,26 @@ class TestPickTilePrecedence:
         log, _ = self._trace(B=16)
         assert log == [(key, 16, "table")]
 
+    def test_generic_kernel_site(self):
+        # the per-row-query kernel resolves through the same mechanism,
+        # under its own site name (different working set)
+        from aecf_tpu.kernels import fused_fusion_pool
+
+        E, M, B = 64, 3, 16
+        params = init_attention_pool_params(jax.random.key(0), E)
+        q = jax.random.normal(jax.random.key(1), (B, 1, E))
+        kv = jax.random.normal(jax.random.key(2), (B, M, E))
+        key = tiles.site_key(
+            "fwd_generic", M=M, E=E, H=1, kv_dtype="float32"
+        )
+        tiles.start_recording()
+        fused_fusion_pool(params, q, kv, training=False, interpret=True)
+        assert tiles.stop_recording() == [(key, 16, "default")]
+        tiles.set_table({key: 8})
+        tiles.start_recording()
+        fused_fusion_pool(params, q, kv, training=False, interpret=True)
+        assert tiles.stop_recording() == [(key, 8, "table")]
+
     def test_recording_off_is_noop(self):
         params = init_attention_pool_params(jax.random.key(0), 64)
         query = init_fusion_query(jax.random.key(1), 64)
@@ -221,8 +246,10 @@ class TestAutotuneHelpers:
         assert at.pick_winner({256: 100.0, 512: 102.0}, 256, 0.03) == 256
         # beats the margin: winner displaces
         assert at.pick_winner({256: 100.0, 512: 110.0}, 256, 0.03) == 512
-        # default missing from measurements: best wins
-        assert at.pick_winner({512: 90.0}, 256, 0.03) == 512
+        # default failed to measure (transient flake): keep it unvetted —
+        # never crown a candidate the margin rule couldn't compare
+        with pytest.warns(UserWarning, match="failed to measure"):
+            assert at.pick_winner({512: 90.0}, 256, 0.03) == 256
         with pytest.raises(ValueError):
             at.pick_winner({}, 256, 0.03)
 
