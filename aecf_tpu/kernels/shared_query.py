@@ -1247,18 +1247,19 @@ def _bwd_pallas(residuals, cots, *, precision, interpret, want_dkv=True,
 
     # Measured with flattened (TB, M*E) tiles: 192 beats 128 by ~5% at
     # E=1024 and 256 still exceeds VMEM (remote-compile failure).  Without
-    # the d_kv output tile (want_dkv=False) the freed VMEM admits larger
-    # tiles, measured within-run: 512 +6% at E=512, 256 +8% at E=1024.
-    # bf16 kv tiles are HALF the bytes, so the no-dkv default at E=1024
-    # rises to 384: +32% within-run (turns bf16 at the large config from
-    # 0.82x to ~1.08x vs f32); 512 exceeds VMEM.  At E<=512 the larger
-    # 768 tile measured -12%, so 512 stays for both dtypes
-    # (docs/artifacts/sweep_bf16_large.json, round 4).  With want_dkv the
-    # d_kv OUTPUT tile doubles the (TB, M*E) residency, so bf16 does NOT
-    # admit larger tiles: at E=1024 256/384 still exceed VMEM and at
-    # E=512 the 256 default beats 384/512 by 10-23% within-run
-    # (sweep_bf16_dkv_e{512,1024}.json) — the want_dkv branch stays
-    # dtype-independent by measurement, not omission.
+    # the d_kv output tile (want_dkv=False) 256 wins at every E and
+    # dtype once windows are long enough to dwarf the tunnel RTT
+    # (K=2000 paired A/Bs, docs/artifacts/sweep_bwd_tb256_e512.json:
+    # f32 +3.5% 12/15 paired rounds, bf16 +4.4% 8/9, int8 +1.0% 7/9 at
+    # E=512; 256 was already +8% at E=1024).  The earlier "512 +6% at
+    # E=512" was a K=120 short-window measurement — RTT noise, retracted.
+    # EXCEPTION: bf16 kv at E=1024 admits 384 (+32% within-run; tiles are
+    # half the bytes; 512 exceeds VMEM — sweep_bf16_large.json).  With
+    # want_dkv the d_kv OUTPUT tile doubles the (TB, M*E) residency, so
+    # bf16 does NOT admit larger tiles: at E=1024 256/384 still exceed
+    # VMEM and at E=512 the 256 default beats 384/512 by 10-23%
+    # within-run (sweep_bf16_dkv_e{512,1024}.json) — the want_dkv branch
+    # stays dtype-independent by measurement, not omission.
     bwd_site = tiles.site_key(
         "bwd_resident", M=M, E=E, H=1, kv_dtype=kv.dtype.name,
         want_dkv=want_dkv,
@@ -1275,9 +1276,7 @@ def _bwd_pallas(residuals, cots, *, precision, interpret, want_dkv=True,
         # 256 beats 512 by 17% and 384 by 40%; 768 fails remote compile.
         # The f32 d_out/d_mix tiles dominate the budget, so the f32
         # defaults carry over.
-        TB = _pick_tile(
-            512 if E <= 512 else 256, "AECF_BWD_TB", B, site=bwd_site
-        )
+        TB = _pick_tile(256, "AECF_BWD_TB", B, site=bwd_site)
     B_pad = _round_up(B, TB)
     kv_flat = kv.reshape(B, M * E)  # lane-sliced in-kernel
     if B_pad != B:

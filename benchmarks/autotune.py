@@ -55,11 +55,22 @@ def candidate_tiles(default: int, batch: int) -> List[int]:
 
 
 def pick_winner(
-    medians: Dict[int, float], default: int, margin: float
+    medians: Dict[int, float], default: int, margin: float,
+    rounds_by_tb: Optional[Dict[int, List[float]]] = None,
 ) -> int:
     """The tile to record: the best-measured candidate, but only if it
     beats the default by more than ``margin`` (fractional) — within-noise
     differences keep the default, so re-running the tuner is idempotent.
+
+    When ``rounds_by_tb`` (per-candidate per-round samples/s, round
+    indices aligned because ``ab_train_windows`` alternates candidates
+    within each round) is given, the candidate must ALSO beat the default
+    in a strict majority of paired rounds.  A median-only rule crowned a
+    winner on tunnel phase drift once: two back-to-back sweeps measured
+    256-vs-512 at +1.6% and +4.2% — the same within-noise difference on
+    either side of the margin.  Pairing is robust to that drift because
+    both tiles see each phase.
+
     If the default itself failed to MEASURE (it compiled during discovery,
     so any failure here is a transient tunnel/compile flake), keep the
     default with a warning rather than crowning a candidate the margin
@@ -77,7 +88,14 @@ def pick_winner(
             stacklevel=2,
         )
         return default
-    return best if medians[best] > base * (1.0 + margin) else default
+    if medians[best] <= base * (1.0 + margin):
+        return default
+    if rounds_by_tb is not None:
+        pairs = list(zip(rounds_by_tb[best], rounds_by_tb[default]))
+        wins = sum(1 for cand, dflt in pairs if cand > dflt)
+        if 2 * wins <= len(pairs):
+            return default
+    return best
 
 
 def _sites_for(log, prefix: str) -> Dict[str, int]:
@@ -148,14 +166,20 @@ def _sweep_kind(args, kind: str, default: int, pinned_fwd: Optional[int],
         chunks, args.batch, args.steps, args.rounds, rtt
     )
     medians = {tb: statistics.median(v) for tb, v in res.items()}
-    winner = pick_winner(medians, default, args.margin)
-    return {
+    winner = pick_winner(medians, default, args.margin, res)
+    rec = {
         "default": default,
         "candidates": cands,
         "failed": [tb for tb, c in chunks.items() if c is None],
         "median_sps": {str(tb): round(v, 1) for tb, v in medians.items()},
         "winner": winner,
     }
+    if default in res:
+        rec["paired_wins_vs_default"] = {
+            str(tb): sum(1 for c, d in zip(v, res[default]) if c > d)
+            for tb, v in res.items() if tb != default
+        }
+    return rec
 
 
 def main():
@@ -176,8 +200,9 @@ def main():
                     "--max-steps)")
     ap.add_argument("--max-steps", type=int, default=2000,
                     help="cap on the auto-grown window length")
-    ap.add_argument("--rounds", type=int, default=5,
-                    help="alternating windows per candidate")
+    ap.add_argument("--rounds", type=int, default=7,
+                    help="alternating windows per candidate (odd keeps "
+                    "the paired majority rule decisive)")
     ap.add_argument("--margin", type=float, default=0.03,
                     help="fractional win required to displace the default")
     ap.add_argument("--out", default=None,

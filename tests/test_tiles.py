@@ -253,6 +253,24 @@ class TestAutotuneHelpers:
         with pytest.raises(ValueError):
             at.pick_winner({}, 256, 0.03)
 
+    def test_pick_winner_paired_majority(self):
+        at = _autotune_mod()
+        medians = {256: 100.0, 512: 110.0}  # 512 clears the 3% margin
+        # 512 beats 256 in 4/5 aligned rounds: crowned
+        rounds = {256: [99, 101, 100, 100, 98],
+                  512: [111, 100, 112, 109, 110]}
+        assert at.pick_winner(medians, 256, 0.03, rounds) == 512
+        # median win but only 2/5 paired wins (one huge outlier round
+        # dragged the median): phase drift, default sticks
+        rounds = {256: [100, 100, 100, 100, 100],
+                  512: [200, 99, 110, 98, 97]}
+        assert at.pick_winner(medians, 256, 0.03, rounds) == 256
+        # exact tie in paired wins (even round count): not a strict
+        # majority, default sticks
+        rounds = {256: [100, 100, 100, 100],
+                  512: [111, 99, 112, 98]}
+        assert at.pick_winner(medians, 256, 0.03, rounds) == 256
+
     def test_sites_partition(self):
         at = _autotune_mod()
         log = [
