@@ -48,85 +48,29 @@ CONFIGS = {
 }
 
 
-def build_chunk(batch, modalities, embed, heads, impl, steps_per_call,
-                features_dtype="float32", kv_grad=False,
-                precision="default"):
-    import optax
+# Measurement core lives in the package (aecf_tpu/measure.py) so deployed
+# users get the same discipline; re-exported here for the suite/profile
+# tools and tests that do `from bench import ...`.
+from aecf_tpu.measure import (  # noqa: E402,F401
+    ab_train_windows,
+    build_chunk,
+    cached_tunnel_rtt,
+    measure_tunnel_rtt,
+    net_window,
+)
+from aecf_tpu.measure import (  # noqa: E402
+    enable_persistent_cache as _enable_persistent_cache,
+)
 
-    from aecf_tpu.core.attention import attention_pool_core
-    from aecf_tpu.core.init import (
-        init_attention_pool_params,
-        init_fusion_query,
-    )
-    from aecf_tpu.core.masking import curriculum_mask, entropy_loss
-    if impl == "pallas":
-        from aecf_tpu.kernels import fused_fusion_pool_shared
 
-    params = {
-        "pool": init_attention_pool_params(jax.random.key(0), embed),
-        "query": init_fusion_query(jax.random.key(1), embed),
-    }
-    opt = optax.sgd(1e-3)
-    opt_state = opt.init(params)
+def enable_persistent_cache():
+    """Package cache helper pinned to the repo's own warmed .jax_cache
+    (bench/suite/profile runs must hit the programs warmed during the
+    round, not a cold user cache)."""
+    import os
 
-    def one_step(carry, i):
-        params, opt_state = carry
-        rng = jax.random.fold_in(jax.random.key(42), i)
-
-        def loss_fn(p):
-            if impl == "pallas":
-                out, w, mw, info = fused_fusion_pool_shared(
-                    p["pool"], p["query"], modal, num_heads=heads,
-                    rng=rng, training=True, base_mask_prob=0.15,
-                    precision=precision, kv_grad=kv_grad,
-                    kv_scales=kv_scales,
-                )
-            else:
-                q = jnp.broadcast_to(p["query"], (batch, 1, embed))
-                # same context the library's xla dispatch uses — the
-                # backward einsums inherit the traced precision
-                with jax.default_matmul_precision(precision):
-                    out, w = attention_pool_core(
-                        p["pool"], q, modal, modal, num_heads=heads,
-                        need_weights=True,
-                    )
-                mw, info = curriculum_mask(
-                    w, key=rng, training=True, base_mask_prob=0.15
-                )
-            loss = (out * out).mean() + entropy_loss(
-                info["entropy"], seq_len=modalities
-            )
-            return loss, info
-
-        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        updates, opt_state = opt.update(grads, opt_state, params)
-        return (optax.apply_updates(params, updates), opt_state), loss
-
-    modal = jax.random.normal(
-        jax.random.key(2), (batch, modalities, embed)
-    )
-    kv_scales = None
-    if features_dtype == "int8":
-        # int8 feature storage (training path, round 4): quantized once
-        # up front like a pre-extracted feature store; the kernel
-        # dequantizes per tile in VMEM and re-reads kv as int8 in the
-        # backward (features frozen by construction = kv_grad=False).
-        if impl != "pallas":
-            raise ValueError("int8 features bench requires impl='pallas'")
-        from aecf_tpu.kernels import quantize_features
-
-        modal, kv_scales = quantize_features(modal)
-    else:
-        modal = modal.astype(features_dtype)
-
-    @jax.jit
-    def chunk(params, opt_state, start):
-        (params, opt_state), losses = jax.lax.scan(
-            one_step, (params, opt_state), start + jnp.arange(steps_per_call)
-        )
-        return params, opt_state, losses[-1]
-
-    return chunk, params, opt_state
+    here = os.path.dirname(os.path.abspath(__file__))
+    _enable_persistent_cache(os.path.join(here, ".jax_cache"))
 
 
 # TPU v5e (the bench chip) peak specs, for roofline/MFU reporting.
@@ -430,101 +374,6 @@ def resolve_impl(heads: int, embed: int) -> str:
         )
         and prefers_fused(num_heads=heads)
     ) else "xla"
-
-
-def measure_tunnel_rtt(samples: int = 6) -> float:
-    """Median round-trip of a trivial dispatch+fetch — the fixed transport
-    cost the tunnel adds to every timed window (pure infrastructure, not
-    chip time; subtract it from benchmark windows)."""
-    import statistics
-
-    @jax.jit
-    def _nop(x):
-        return x + 1.0
-
-    z = jnp.float32(0)
-    float(_nop(z))
-    rtts = []
-    for _ in range(samples):
-        t0 = time.perf_counter()
-        z = _nop(z)
-        float(z)
-        rtts.append(time.perf_counter() - t0)
-    return statistics.median(rtts)
-
-
-_CACHED_RTT = None
-
-
-def cached_tunnel_rtt():
-    """:func:`measure_tunnel_rtt`, measured once per process and reused —
-    every window-timing helper must subtract the same fixed transport
-    cost or A/B ratios pick up cross-measurement RTT drift."""
-    global _CACHED_RTT
-    if _CACHED_RTT is None:
-        _CACHED_RTT = measure_tunnel_rtt()
-    return _CACHED_RTT
-
-
-def net_window(elapsed, rtt_s):
-    """RTT-corrected window length: never subtract more than 90% of the
-    raw window (RTT-estimate noise floor).  THE one clamp rule — suite,
-    tile sweeps and byte profiles all ride this."""
-    return max(elapsed - rtt_s, 0.1 * elapsed)
-
-
-def ab_train_windows(chunks, batch, steps_per_call, rounds, rtt_s, *,
-                     call=None):
-    """Alternating timed windows over pre-warmed chunks — the only
-    within-run measurement the tunnel's phase-dependent dispatch latency
-    doesn't poison (docs/design.md "Measurement discipline").
-
-    ``chunks`` maps label -> chunk state; ``None`` values are skipped
-    (failed compiles in sweeps).  The default state convention is the
-    :func:`build_chunk` train triple ``(chunk_fn, params, opt_state)``;
-    pass ``call(state, window_index) -> (new_state, value_to_fetch)`` for
-    other shapes (e.g. eval chunks carrying a bare accumulator).  Callers
-    must warm each chunk (one call + value fetch) at build time, BEFORE
-    any env-var kernel knobs are restored — compilation happens on that
-    first call.  Each timed window runs ``steps_per_call``
-    sequentially-carried steps and syncs by fetching a value; the fixed
-    tunnel RTT is subtracted, clamped to at most 90% of the window
-    (RTT-estimate noise floor).  Mutates ``chunks`` with the advanced
-    state and returns {label: [samples/s per window]}.
-    """
-    if call is None:
-        def call(state, r):
-            c, p, s = state
-            p, s, loss = c(p, s, jnp.int32(r * steps_per_call))
-            return (c, p, s), loss
-
-    res = {m: [] for m, v in chunks.items() if v is not None}
-    for r in range(1, rounds + 1):
-        for m in res:
-            t0 = time.perf_counter()
-            state, fetch = call(chunks[m], r)
-            float(fetch)  # value fetch: reliable sync through the tunnel
-            elapsed = time.perf_counter() - t0
-            res[m].append(
-                batch * steps_per_call / net_window(elapsed, rtt_s)
-            )
-            chunks[m] = state
-    return res
-
-
-def enable_persistent_cache():
-    """Persistent compilation cache (works for axon/TPU executables too —
-    measured: a cached north-star/heads8 chunk loads in seconds vs 10-25
-    minutes of remote compile in bad tunnel phases).  Callers that import
-    bench programmatically should call this too."""
-    import os
-
-    here = os.path.dirname(os.path.abspath(__file__))
-    jax.config.update(
-        "jax_compilation_cache_dir", os.path.join(here, ".jax_cache")
-    )
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 
 def main():
