@@ -1,9 +1,10 @@
 """Per-device tile table (aecf_tpu.kernels.tiles) + autotuner helpers.
 
 The table makes the v5e-measured batch-tile defaults portable: an on-device
-sweep (benchmarks/autotune.py) records winners keyed by launch site, and
-_pick_tile consults them between the env override and the built-in default.
-Everything here is hermetic (CPU, interpret-mode kernels, tmp tables).
+sweep (aecf_tpu.tune, wrapped by benchmarks/autotune.py) records winners
+keyed by launch site, and _pick_tile consults them between the env override
+and the built-in default.  Everything here is hermetic (CPU, interpret-mode
+kernels, tmp tables).
 """
 
 import json
@@ -225,6 +226,28 @@ class TestPickTilePrecedence:
 
 
 class TestAutotuneHelpers:
+    def test_repo_wrapper_reexports_package_tuner(self):
+        # benchmarks/autotune.py must stay a thin alias of the packaged
+        # tuner — divergent copies would tune with different rules.
+        import aecf_tpu.tune as tune
+        at = _autotune_mod()
+        assert at.candidate_tiles is tune.candidate_tiles
+        assert at.pick_winner is tune.pick_winner
+        assert at.main is tune.main
+
+    def test_module_entrypoint_help(self):
+        # `python -m aecf_tpu.tune --help` is the documented deployed-user
+        # entry point; it must parse args without touching any device.
+        import subprocess
+        proc = subprocess.run(
+            [sys.executable, "-m", "aecf_tpu.tune", "--help"],
+            capture_output=True, text=True, timeout=120,
+            cwd=os.path.join(os.path.dirname(__file__), ".."),
+            env={**os.environ, "JAX_PLATFORMS": "cpu"},
+        )
+        assert proc.returncode == 0, proc.stderr
+        assert "--margin" in proc.stdout and "--dry-run" in proc.stdout
+
     def test_candidate_tiles_shape(self):
         at = _autotune_mod()
         cands = at.candidate_tiles(256, 4096)
