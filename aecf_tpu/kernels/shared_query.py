@@ -680,8 +680,10 @@ def _forward_streamed(
 
     Returns ``(out, w, mw, ent, rate, mix)`` — ``mix`` is also an output
     so the streamed backwards can reuse it without re-reading kv (H == 1:
-    the ``G = d_outᵀ @ mix`` GEMM; H == 2: the per-head dWv/ctx GEMMs).  With int8 ``kv`` + ``kv_scales`` the kernel dequantizes in
-    VMEM (inference path; the q8 entry has no vjp).
+    the ``G = d_outᵀ @ mix`` GEMM; H == 2: the per-head dWv/ctx GEMMs).
+    With int8 ``kv`` + ``kv_scales`` the kernel dequantizes in VMEM; the
+    q8 training path differentiates through this via ``_shared_core_q8``'s
+    custom_vjp (quantized backwards re-read kv as int8, kv itself frozen).
     """
     B, M, E = kv.shape
     H = num_heads
@@ -812,7 +814,9 @@ def _forward_q8(
     precision,
     interpret=False,
 ):
-    """int8-feature forward (inference path — no custom_vjp)."""
+    """int8-feature forward primitive.  Inference calls it directly;
+    training reaches it through ``_shared_core_q8``'s custom_vjp (grads
+    flow to params/query, kv stays frozen int8 — see _shared_q8_bwd)."""
     B, M, E = kv_q8.shape
     u, c, wctx, wo, bctx, bo_k = _prep(params, qrow, num_heads, precision)
 
@@ -2072,6 +2076,14 @@ def fused_fusion_pool_shared(
     if query.shape[:2] != (1, 1):
         raise ValueError(
             f"shared-query kernel expects query (1, 1, E), got {query.shape}"
+        )
+    if precision not in ("default", "highest"):
+        # The kernels implement exactly these two modes; accepting e.g.
+        # "high" here would silently run "default" while the XLA dispatch
+        # honors it (the nn/ops gates route "high" to XLA for this reason).
+        raise ValueError(
+            f"fused kernels support precision 'default' or 'highest', got "
+            f"{precision!r} — use the XLA path for other modes"
         )
     M = kv.shape[1]
     # M<=1 masking is an early-return no-op (reference AECFLayer.py:160-167),

@@ -519,6 +519,12 @@ class MultimodalAttentionPool:
             # shared-query H<=2 dispatch (query.shape[0] == 1) has a
             # streamed split that lifts the cap to _STREAMED_E_CAP.
             and self._embed_dim_supported(query)
+            # The fused kernels implement exactly two precision modes
+            # ("highest" = 3-pass parity, "default" = 1-pass bf16);
+            # "high" would silently degrade to "default" there while the
+            # XLA path honors it — route it to XLA so auto-dispatch never
+            # changes numerics vs what the user asked for.
+            and self.precision != "high"
             and not self.apply_masking_to_output
             # detach_info=False (trainable entropy) needs the XLA path: the
             # fused kernels stop_gradient their entropy output, which would

@@ -112,6 +112,10 @@ def fusion_pool(
                 # than the per-head kernel GEMMs (see prefers_fused).
                 and prefers_fused(num_heads=num_heads)
                 and query.dtype == jnp.float32
+                # The fused kernels implement exactly "highest"/"default";
+                # "high" would silently degrade to 1-pass bf16 there while
+                # the XLA branch honors it — keep "high" on XLA.
+                and precision != "high"
                 # M<=1 masking is an early-return no-op that needs no rng;
                 # route it to XLA so training an M=1 stack without a
                 # curriculum key works identically on all backends.

@@ -319,8 +319,10 @@ def main(argv: Optional[List[str]] = None):
     }
     if entries and not args.dry_run:
         out["table_path"] = tiles.update_table(entries, args.out)
-    elif not entries:
-        out["table_path"] = None  # defaults already optimal here
+    else:
+        # None both when defaults are already optimal and on --dry-run —
+        # consumers read table_path to mean "was anything written".
+        out["table_path"] = None
     print(json.dumps(out, indent=2))
 
 

@@ -342,6 +342,8 @@ def h2_belowcap_stream_ab(quick, B=8192, M=4, E=1024, H=2,
     rounds = 3 if quick else 5
 
     chunks = {}
+    prior = os.environ.get("AECF_H2_STREAM")  # restore, don't clobber: a
+    # caller-exported knob must keep governing the rest of the suite run
     try:
         for mode in ("resident", "streamed"):
             os.environ["AECF_H2_STREAM"] = "0" if mode == "resident" else "auto"
@@ -350,7 +352,10 @@ def h2_belowcap_stream_ab(quick, B=8192, M=4, E=1024, H=2,
             float(loss)  # value fetch: reliable sync through the tunnel
             chunks[mode] = (c, p, s)
     finally:
-        os.environ.pop("AECF_H2_STREAM", None)
+        if prior is None:
+            os.environ.pop("AECF_H2_STREAM", None)
+        else:
+            os.environ["AECF_H2_STREAM"] = prior
 
     res = ab_train_windows(chunks, B, K, rounds, tunnel_rtt())
     med = {m: statistics.median(v) for m, v in res.items()}
