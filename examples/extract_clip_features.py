@@ -52,7 +52,13 @@ def build_clip(model_name: str, random_init: bool):
         config = CLIPConfig()
         model = CLIPModel(config)
         try:
-            processor = CLIPProcessor.from_pretrained(model_name)
+            # random-init is the offline pipeline-validation mode: use a
+            # locally cached processor if one exists, but never hit the
+            # hub (otherwise this retries network fetches for ~40s on
+            # airgapped boxes before falling back anyway).
+            processor = CLIPProcessor.from_pretrained(
+                model_name, local_files_only=True
+            )
         except Exception:
             # Fully offline: stock image-processor defaults + a minimal
             # byte-level tokenizer stand-in is NOT available without files,
