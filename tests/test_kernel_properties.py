@@ -120,3 +120,48 @@ def test_shared_kernel_eval_fuzz_grads_match_oracle(B, M, E, H, bias, seed):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=3e-5, rtol=2e-4
         )
+
+
+@given(
+    B=st.integers(1, 6),
+    M=st.integers(2, 4),
+    E=st.sampled_from([64, 128]),
+    H=st.sampled_from([1, 2]),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(deadline=None, max_examples=12)
+def test_q8_kernel_fuzz_matches_dequant_oracle(B, M, E, H, seed):
+    """int8-feature path over randomized configs: kernel output and
+    (params, query) grads must match the f32 oracle applied to the
+    DEQUANTIZED features to f32 tolerance — the quantization error lives
+    in the features, never in the kernel math."""
+    from aecf_tpu.kernels import (
+        fused_fusion_pool_shared,
+        quantize_features,
+    )
+
+    k0, k1, k2 = jax.random.split(jax.random.key(seed), 3)
+    params = init_attention_pool_params(k0, E)
+    query = init_fusion_query(k1, E)
+    kv = 2.0 * jax.random.normal(k2, (B, M, E))
+    kv_q8, scales = quantize_features(kv)
+    kv_deq = kv_q8.astype(jnp.float32) * scales[..., None]
+
+    def loss_k(p, q):
+        out, w, _, _ = fused_fusion_pool_shared(
+            p, q, kv_q8, kv_scales=scales, num_heads=H, training=False,
+            interpret=True, precision="highest",
+        )
+        return (out * out).mean() + (w * w).sum()
+
+    def loss_o(p, q):
+        out, w = _oracle(p, q, kv_deq, H)
+        return (out * out).mean() + (w * w).sum()
+
+    (lk, gk) = jax.value_and_grad(loss_k, argnums=(0, 1))(params, query)
+    (lo, go) = jax.value_and_grad(loss_o, argnums=(0, 1))(params, query)
+    np.testing.assert_allclose(float(lk), float(lo), rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(gk), jax.tree.leaves(go)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=3e-5, rtol=2e-4
+        )
