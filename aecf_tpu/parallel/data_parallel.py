@@ -96,6 +96,7 @@ def make_dp_train_step(
         [jax.Array, jax.Array], jax.Array
     ] = bce_with_logits_loss,
     donate: bool = True,
+    accum_steps: int = 1,
 ) -> Callable:
     """Build a jitted data-parallel ``(state, images, texts, labels, rng) ->
     (state, loss, info)`` step.
@@ -104,7 +105,15 @@ def make_dp_train_step(
     local batch shard; ``loss_fn(logits, labels)`` must be a mean over the
     local shard (default: BCE-with-logits).  Returned loss/info scalars are
     global (pmean'd).
+
+    ``accum_steps > 1`` gradient-accumulates *within each shard* (the local
+    shard is scanned as ``accum_steps`` microbatches before the single
+    global grad reduction + update) — DP × accumulation for global batches
+    larger than ``num_devices`` × per-device memory.  The local shard size
+    must divide evenly.
     """
+    if accum_steps < 1:
+        raise ValueError(f"accum_steps must be >= 1, got {accum_steps}")
 
     @partial(
         jax.shard_map,
@@ -119,17 +128,33 @@ def make_dp_train_step(
             rng, jax.lax.axis_index(axis_name)
         )
 
-        def local_loss(params):
-            logits, info = apply_fn(params, images, texts, shard_rng)
+        def local_loss_on(params, images, texts, labels, rng_):
+            logits, info = apply_fn(params, images, texts, rng_)
             # local_mean / num_shards: the auto-inserted psum on the
             # replicated-params cotangent then reconstructs the exact
             # global-batch-mean gradient.
             local = loss_fn(logits, labels) / axis_size
             return local, info
 
-        (scaled_loss, info), grads = jax.value_and_grad(
-            local_loss, has_aux=True
-        )(state.params)
+        if accum_steps == 1:
+            (scaled_loss, info), grads = jax.value_and_grad(
+                lambda p: local_loss_on(
+                    p, images, texts, labels, shard_rng
+                ),
+                has_aux=True,
+            )(state.params)
+        else:
+            from ..train.trainer import (
+                _split_microbatches,
+                accumulate_grads,
+            )
+
+            mbs = _split_microbatches(
+                (images, texts, labels), accum_steps
+            )
+            scaled_loss, info, grads = accumulate_grads(
+                local_loss_on, state.params, mbs, shard_rng, accum_steps
+            )
         # grads are already globally reduced (see module docstring).
         loss = jax.lax.psum(scaled_loss, axis_name)  # global mean loss
         info = jax.tree.map(

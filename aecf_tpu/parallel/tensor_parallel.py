@@ -120,6 +120,7 @@ def make_tp_train_step(
         [jax.Array, jax.Array], jax.Array
     ] = bce_with_logits_loss,
     donate: bool = True,
+    accum_steps: int = 1,
 ) -> Callable:
     """Build a jitted GSPMD ``(state, images, texts, labels, rng) ->
     (state, loss, info)`` train step for TP (optionally TP × DP) params.
@@ -137,11 +138,19 @@ def make_tp_train_step(
     ``donate=False`` keeps the input state buffers alive — required when
     an ASYNC checkpoint save may still be reading them while the next
     step runs (the :func:`aecf_tpu.train.fit` elastic loop).
+
+    ``accum_steps > 1`` gradient-accumulates: the (global) batch is scanned
+    as ``accum_steps`` equal microbatches — each still sharded over
+    ``data_axis`` — with one optimizer update at the end.  The batch size
+    must divide evenly.
     """
+    if accum_steps < 1:
+        raise ValueError(f"accum_steps must be >= 1, got {accum_steps}")
     if data_axis is not None and data_axis in mesh.axis_names:
         batch_sharding = NamedSharding(mesh, P(data_axis))
+        micro_sharding = NamedSharding(mesh, P(None, data_axis))
     else:
-        batch_sharding = None
+        batch_sharding = micro_sharding = None
 
     @partial(jax.jit, donate_argnums=(0,) if donate else ())
     def tp_step(state, images, texts, labels, rng):
@@ -151,13 +160,35 @@ def make_tp_train_step(
                 for x in (images, texts, labels)
             )
 
-        def local_loss(params):
-            logits, info = apply_fn(params, images, texts, rng)
+        def loss_on(params, images, texts, labels, rng_):
+            logits, info = apply_fn(params, images, texts, rng_)
             return loss_fn(logits, labels), info
 
-        (loss, info), grads = jax.value_and_grad(local_loss, has_aux=True)(
-            state.params
-        )
+        if accum_steps == 1:
+            (loss, info), grads = jax.value_and_grad(
+                lambda p: loss_on(p, images, texts, labels, rng),
+                has_aux=True,
+            )(state.params)
+        else:
+            from ..train.trainer import (
+                _split_microbatches,
+                accumulate_grads,
+            )
+
+            mbs = _split_microbatches(
+                (images, texts, labels), accum_steps
+            )
+            if micro_sharding is not None:
+                # Keep each scanned microbatch sharded over the data axis
+                # (the reshape would otherwise let GSPMD re-lay the
+                # leading accum axis across devices).
+                mbs = tuple(
+                    jax.lax.with_sharding_constraint(x, micro_sharding)
+                    for x in mbs
+                )
+            loss, info, grads = accumulate_grads(
+                loss_on, state.params, mbs, rng, accum_steps
+            )
         updates, opt_state = optimizer.update(
             grads, state.opt_state, state.params
         )

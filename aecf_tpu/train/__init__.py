@@ -14,6 +14,7 @@ from .sweeps import missing_modality_sweep, modality_subsets
 from .trainer import (
     ExperimentConfig,
     TrainState,
+    accumulate_grads,
     bce_with_logits_loss,
     evaluate_model,
     make_train_step,
@@ -36,6 +37,7 @@ __all__ = [
     "modality_subsets",
     "ExperimentConfig",
     "TrainState",
+    "accumulate_grads",
     "bce_with_logits_loss",
     "evaluate_model",
     "make_train_step",

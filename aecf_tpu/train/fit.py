@@ -36,6 +36,7 @@ def fit(
     log_every: int = 0,
     step_fn: Optional[Callable] = None,
     mesh: Optional[Any] = None,
+    accum_steps: int = 1,
 ) -> Tuple[TrainState, Dict[str, list]]:
     """Train for ``num_steps`` with checkpoint/resume.
 
@@ -55,6 +56,12 @@ def fit(
     :func:`aecf_tpu.parallel.shard_params_tp`, the step is
     :func:`make_tp_train_step`, and checkpoints restore straight into
     the sharded layout (the abstract restore tree carries shardings).
+
+    ``accum_steps > 1`` turns on gradient accumulation in whichever
+    default step the loop builds (single-device, DP, or TP) — each
+    ``batch_fn`` batch is scanned as that many microbatches with one
+    optimizer update, so batches larger than device memory keep the same
+    update math.  Ignored when an explicit ``step_fn`` is supplied.
     """
     tp = mesh is not None and "model" in getattr(mesh, "axis_names", ())
     if tp:
@@ -107,16 +114,20 @@ def fit(
             # donate=False: async checkpoint saves may still read the
             # previous state's buffers while the next step runs.
             step_fn = make_tp_train_step(
-                apply_fn, optimizer, mesh, donate=False
+                apply_fn, optimizer, mesh, donate=False,
+                accum_steps=accum_steps,
             )
         elif mesh is not None:
             from ..parallel import make_dp_train_step
 
             step_fn = make_dp_train_step(
-                apply_fn, optimizer, mesh, donate=False
+                apply_fn, optimizer, mesh, donate=False,
+                accum_steps=accum_steps,
             )
         else:
-            step_fn = make_train_step(apply_fn, optimizer, donate=False)
+            step_fn = make_train_step(
+                apply_fn, optimizer, donate=False, accum_steps=accum_steps
+            )
     if mesh is not None:
         from ..parallel import replicate, shard_batch
 

@@ -27,6 +27,7 @@ from .metrics import calculate_metrics
 __all__ = [
     "TrainState",
     "bce_with_logits_loss",
+    "accumulate_grads",
     "make_train_step",
     "mask_modality",
     "evaluate_model",
@@ -48,6 +49,77 @@ def bce_with_logits_loss(logits: jax.Array, labels: jax.Array) -> jax.Array:
     return optax.sigmoid_binary_cross_entropy(logits, labels).mean()
 
 
+def _split_microbatches(arrays: Tuple[jax.Array, ...], accum_steps: int):
+    """Reshape batch-axis-0 arrays to ``(accum_steps, B/accum_steps, ...)``.
+
+    Trace-time error when the batch does not divide evenly — silent
+    truncation would change the effective batch size.
+    """
+    batch = arrays[0].shape[0]
+    if batch % accum_steps:
+        raise ValueError(
+            f"batch size {batch} is not divisible by accum_steps="
+            f"{accum_steps}"
+        )
+    micro = batch // accum_steps
+    return tuple(
+        x.reshape((accum_steps, micro) + tuple(x.shape[1:])) for x in arrays
+    )
+
+
+def _unstack_info(info: Any) -> Any:
+    """Restore the per-sample info contract after a microbatch scan.
+
+    Scan stacks each info leaf to ``(accum_steps, micro, ...)``; collapsing
+    the first two axes recovers the exact full-batch leaf (microbatches
+    partition the batch in order).  Per-microbatch scalars (ndim < 2 after
+    stacking) are left stacked."""
+    return jax.tree.map(
+        lambda x: (
+            x.reshape((x.shape[0] * x.shape[1],) + tuple(x.shape[2:]))
+            if x.ndim >= 2
+            else x
+        ),
+        info,
+    )
+
+
+def accumulate_grads(
+    loss_fn: Callable[..., Tuple[jax.Array, Any]],
+    params: Any,
+    microbatches: Tuple[jax.Array, ...],
+    rng: jax.Array,
+    accum_steps: int,
+):
+    """Scan ``loss_fn(params, *microbatch, rng_i) -> (loss, info)`` over
+    microbatches, averaging loss and grads.
+
+    Returns ``(loss, info, grads)`` where ``loss``/``grads`` equal the
+    full-batch mean-reduced values exactly (equal-sized microbatches of a
+    mean-reduced loss), and ``info`` leaves are re-flattened to the
+    full-batch layout.  Each microbatch ``i`` sees
+    ``jax.random.fold_in(rng, i)``, so masking/dropout draws are i.i.d.
+    across microbatches (the draws differ from a single full-batch call —
+    same distribution, different stream).  Carry cost: one grads-shaped
+    accumulator (the point of accumulation: activation memory scales with
+    the microbatch, not the batch).
+    """
+
+    def body(gsum, xs):
+        *micro, idx = xs
+        (loss, info), g = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, *micro, jax.random.fold_in(rng, idx)
+        )
+        return jax.tree.map(jnp.add, gsum, g), (loss, info)
+
+    zeros = jax.tree.map(jnp.zeros_like, params)
+    gsum, (losses, infos) = jax.lax.scan(
+        body, zeros, (*microbatches, jnp.arange(accum_steps))
+    )
+    grads = jax.tree.map(lambda g: g / accum_steps, gsum)
+    return losses.mean(), _unstack_info(infos), grads
+
+
 def make_train_step(
     apply_fn: Callable[..., Any],
     optimizer: optax.GradientTransformation,
@@ -55,6 +127,7 @@ def make_train_step(
     entropy_coeff: float = 0.0,
     entropy_seq_len: int = 2,
     donate: bool = True,
+    accum_steps: int = 1,
 ) -> Callable:
     """Build a jitted ``(state, images, texts, labels, rng) -> (state, loss,
     info)`` step.
@@ -65,21 +138,39 @@ def make_train_step(
     training (quirk Q2) so this term is monitoring-only by default — we keep
     that contract because ``info['entropy']`` comes out of
     ``curriculum_mask`` already stop-gradiented.
+
+    ``accum_steps > 1`` runs gradient accumulation: the batch is split into
+    ``accum_steps`` equal microbatches scanned with one optimizer update at
+    the end — identical update math (mean of equal-microbatch mean losses ==
+    full-batch mean) with activation memory scaled by the microbatch, for
+    batches larger than HBM allows.  Batch size must divide evenly; each
+    microbatch folds its index into ``rng`` (same distribution as one
+    full-batch draw, different stream).  Per-sample ``info`` leaves come
+    back full-batch-shaped.
     """
+    if accum_steps < 1:
+        raise ValueError(f"accum_steps must be >= 1, got {accum_steps}")
+
+    def loss_on(params, images, texts, labels, rng):
+        logits, info = apply_fn(params, images, texts, rng)
+        loss = bce_with_logits_loss(logits, labels)
+        if entropy_coeff and "entropy" in info:
+            loss = loss + entropy_coeff * entropy_loss(
+                info["entropy"], seq_len=entropy_seq_len
+            )
+        return loss, info
 
     def step(state: TrainState, images, texts, labels, rng):
-        def loss_fn(params):
-            logits, info = apply_fn(params, images, texts, rng)
-            loss = bce_with_logits_loss(logits, labels)
-            if entropy_coeff and "entropy" in info:
-                loss = loss + entropy_coeff * entropy_loss(
-                    info["entropy"], seq_len=entropy_seq_len
-                )
-            return loss, info
-
-        (loss, info), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params
-        )
+        if accum_steps == 1:
+            (loss, info), grads = jax.value_and_grad(
+                lambda p: loss_on(p, images, texts, labels, rng),
+                has_aux=True,
+            )(state.params)
+        else:
+            mbs = _split_microbatches((images, texts, labels), accum_steps)
+            loss, info, grads = accumulate_grads(
+                loss_on, state.params, mbs, rng, accum_steps
+            )
         updates, opt_state = optimizer.update(
             grads, state.opt_state, state.params
         )

@@ -43,6 +43,19 @@ def test_fit_runs_and_counts_steps(tmp_path):
     assert int(state.step) == 5
 
 
+def test_fit_accum_steps(tmp_path):
+    """accum_steps= plumbs through to the default step builder."""
+    apply_fn, opt, params, batch_fn = setup()
+    state, _ = fit(
+        apply_fn, opt, params, batch_fn,
+        num_steps=3, rng=jax.random.key(1), accum_steps=4,
+    )
+    assert int(state.step) == 3
+    assert all(
+        bool(jnp.isfinite(x).all()) for x in jax.tree.leaves(state.params)
+    )
+
+
 def test_resume_matches_uninterrupted(tmp_path):
     apply_fn, opt, params, batch_fn = setup()
 

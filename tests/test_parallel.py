@@ -125,6 +125,79 @@ def test_dp_training_descends():
     assert "entropy" in info
 
 
+def test_dp_accum_matches_dp_single():
+    """DP × gradient accumulation: scanning each shard as 2 microbatches
+    must reproduce the plain DP update (deterministic apply + SGD)."""
+    model, _, _, img, txt, lab = _setup(batch=64)
+    opt = optax.sgd(0.1)
+    mesh = data_mesh(8)
+
+    def apply_fn(params, images, texts, rng):
+        logits = model.apply(params, images, texts, training=False)
+        return logits, {}
+
+    results = []
+    for k in (1, 2):
+        params = model.init(jax.random.key(0))
+        state = replicate(
+            mesh,
+            TrainState(params, opt.init(params), jnp.zeros((), jnp.int32)),
+        )
+        step = make_dp_train_step(
+            apply_fn, opt, mesh, donate=False, accum_steps=k
+        )
+        batch = shard_batch(mesh, (img, txt, lab))
+        new, loss, _ = step(state, *batch, jax.random.key(9))
+        results.append((new, float(loss)))
+    np.testing.assert_allclose(results[0][1], results[1][1], rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5
+        ),
+        results[0][0].params,
+        results[1][0].params,
+    )
+
+
+def test_tp_accum_matches_tp_single():
+    """DP × TP × gradient accumulation on a (4, 2) mesh reproduces the
+    non-accumulated TP update."""
+    model = XrayAECFModel(
+        image_dim=32, text_dim=32, hidden_dim=16, num_classes=5, num_heads=2
+    )
+    img = jax.random.normal(jax.random.key(1), (32, 32))
+    txt = jax.random.normal(jax.random.key(2), (32, 32))
+    lab = (
+        jax.random.uniform(jax.random.key(3), (32, 5)) < 0.3
+    ).astype(jnp.float32)
+    opt = optax.sgd(0.1)
+    mesh = data_model_mesh(8, model_parallelism=2)
+
+    def apply_fn(params, images, texts, rng):
+        logits = model.apply(params, images, texts, training=False)
+        return logits, {}
+
+    results = []
+    for k in (1, 2):
+        params = shard_params_tp(mesh, model.init(jax.random.key(0)))
+        state = TrainState(
+            params, opt.init(params), jnp.zeros((), jnp.int32)
+        )
+        step = make_tp_train_step(
+            apply_fn, opt, mesh, donate=False, accum_steps=k
+        )
+        new, loss, _ = step(state, img, txt, lab, jax.random.key(9))
+        results.append((new, float(loss)))
+    np.testing.assert_allclose(results[0][1], results[1][1], rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5
+        ),
+        results[0][0].params,
+        results[1][0].params,
+    )
+
+
 def test_tp_param_specs_structure():
     """Spec tree mirrors the param tree: pools head-sharded, rest replicated."""
     from jax.sharding import PartitionSpec as P

@@ -4,6 +4,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+import pytest
 
 from aecf_tpu.data import make_synthetic_clip_features
 from aecf_tpu.models import XrayAECFModel, XrayBaselineModel
@@ -62,6 +63,104 @@ def test_train_step_descends():
         losses.append(float(loss))
     assert losses[-1] < losses[0]
     assert int(state.step) == 15
+
+
+class TestGradAccum:
+    """Gradient accumulation: same update math, microbatch-sized memory."""
+
+    def _setup(self, batch=16):
+        model = XrayAECFModel(
+            image_dim=12, text_dim=12, hidden_dim=8, num_classes=4
+        )
+        params = model.init(jax.random.key(0))
+        img = jax.random.normal(jax.random.key(1), (batch, 12))
+        txt = jax.random.normal(jax.random.key(2), (batch, 12))
+        lab = (
+            jax.random.uniform(jax.random.key(3), (batch, 4)) < 0.3
+        ).astype(jnp.float32)
+        return model, params, img, txt, lab
+
+    def test_accum_matches_single_step(self):
+        """accum_steps=4 == accum_steps=1 on a deterministic apply: mean of
+        equal-microbatch mean losses is the full-batch mean, so loss,
+        grads, and the SGD update must agree to reassociation noise."""
+        model, params, img, txt, lab = self._setup()
+        opt = optax.sgd(0.1)
+
+        def apply_fn(p, i, t, rng):
+            return model.apply(p, i, t, training=False, return_info=True)
+
+        new_states, losses, infos = [], [], []
+        for k in (1, 4):
+            state = TrainState(
+                params, opt.init(params), jnp.zeros((), jnp.int32)
+            )
+            step = make_train_step(
+                apply_fn, opt, donate=False, accum_steps=k
+            )
+            s, l, info = step(state, img, txt, lab, jax.random.key(9))
+            new_states.append(s)
+            losses.append(float(l))
+            infos.append(info)
+        np.testing.assert_allclose(losses[0], losses[1], rtol=1e-6)
+        for a, b in zip(
+            jax.tree.leaves(new_states[0].params),
+            jax.tree.leaves(new_states[1].params),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-5
+            )
+        # Per-sample info contract survives the microbatch scan: leaves are
+        # re-flattened to full-batch layout in original row order.
+        w1 = np.asarray(infos[0]["attention_weights"])
+        w4 = np.asarray(infos[1]["attention_weights"])
+        assert w1.shape == w4.shape
+        np.testing.assert_allclose(w1, w4, atol=1e-6)
+
+    def test_accum_with_curriculum_rng_path(self):
+        """The rng-consuming path (curriculum masking + missing-modality
+        sim) traces and descends under the microbatch scan."""
+        model, params, img, txt, lab = self._setup()
+        opt = optax.adamw(1e-3)
+        state = TrainState(
+            params, opt.init(params), jnp.zeros((), jnp.int32)
+        )
+
+        def apply_fn(p, i, t, rng):
+            return model.apply(
+                p, i, t, training=True, rng=rng,
+                curriculum_enabled=True, missing_modality_training=True,
+                return_info=True,
+            )
+
+        step = make_train_step(apply_fn, opt, accum_steps=2)
+        losses = []
+        for i in range(12):
+            state, loss, info = step(state, img, txt, lab, jax.random.key(i))
+            losses.append(float(loss))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0]
+        assert int(state.step) == 12
+        # entropy is per-sample → flattened back to the full batch
+        assert np.asarray(info["entropy"]).shape[0] == img.shape[0]
+
+    def test_indivisible_batch_rejected(self):
+        model, params, img, txt, lab = self._setup(batch=10)
+        opt = optax.sgd(0.1)
+        state = TrainState(
+            params, opt.init(params), jnp.zeros((), jnp.int32)
+        )
+
+        def apply_fn(p, i, t, rng):
+            return model.apply(p, i, t, training=False, return_info=True)
+
+        step = make_train_step(apply_fn, opt, accum_steps=4)
+        with pytest.raises(ValueError, match="not divisible"):
+            step(state, img, txt, lab, jax.random.key(0))
+
+    def test_bad_accum_steps_rejected(self):
+        with pytest.raises(ValueError, match="accum_steps"):
+            make_train_step(lambda *a: None, optax.sgd(0.1), accum_steps=0)
 
 
 def test_evaluate_model_handles_ragged_batches():
