@@ -505,6 +505,50 @@ def test_streamed_h2_e8192_forward_on_chip():
     np.testing.assert_allclose(w_k, w_o, atol=1e-5)
 
 
+def test_streamed_h2_e8192_grads_on_chip():
+    """H=2 gradients at the _STREAMED_E_CAP (both kv_grad modes): the
+    multi-head streamed backward's per-head d_mix tiles + the optional
+    d_kv output tile are the H=2 working-set maximum — this closes the
+    last forward-only corner of the advertised cap (H=1 grads at 8192
+    are covered above)."""
+    from aecf_tpu.kernels import fused_fusion_pool_shared
+    from aecf_tpu.kernels.shared_query import _STREAMED_E_CAP
+
+    E, M, B = _STREAMED_E_CAP, 2, 64
+    params = init_attention_pool_params(jax.random.key(0), E)
+    query = init_fusion_query(jax.random.key(1), E)
+    kv = jax.random.normal(jax.random.key(2), (B, M, E))
+
+    def loss_o(p, x):
+        o, w = _oracle(p, jnp.broadcast_to(query, (B, 1, E)), x, 2)
+        return (o * o).mean() + (w * w).sum()
+
+    go = jax.grad(loss_o, argnums=(0, 1))(params, kv)
+
+    for want_dkv in (True, False):
+        def loss_k(p, x):
+            o, w, _, _ = fused_fusion_pool_shared(
+                p, query, x, num_heads=2, training=False,
+                precision="highest", kv_grad=want_dkv,
+            )
+            return (o * o).mean() + (w * w).sum()
+
+        gk = jax.grad(loss_k, argnums=(0, 1))(params, kv)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=5e-3, rtol=1e-3
+            ),
+            gk[0],
+            go[0],
+        )
+        if want_dkv:
+            np.testing.assert_allclose(
+                np.asarray(gk[1]), np.asarray(go[1]), atol=5e-3, rtol=1e-3
+            )
+        else:
+            assert float(jnp.abs(gk[1]).max()) == 0.0
+
+
 def test_streamed_h2_e2048_on_chip():
     """Two-head streamed split on real hardware (round-3 verdict Next #4):
     eval parity + gradient parity vs the oracle at E=2048/H=2."""
