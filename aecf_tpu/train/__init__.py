@@ -17,6 +17,7 @@ from .trainer import (
     accumulate_grads,
     bce_with_logits_loss,
     evaluate_model,
+    make_scan_train_step,
     make_train_step,
     mask_modality,
     train_parallel_experiment,
@@ -40,6 +41,7 @@ __all__ = [
     "accumulate_grads",
     "bce_with_logits_loss",
     "evaluate_model",
+    "make_scan_train_step",
     "make_train_step",
     "mask_modality",
     "train_parallel_experiment",

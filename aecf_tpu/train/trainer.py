@@ -29,6 +29,7 @@ __all__ = [
     "bce_with_logits_loss",
     "accumulate_grads",
     "make_train_step",
+    "make_scan_train_step",
     "mask_modality",
     "evaluate_model",
     "ExperimentConfig",
@@ -151,6 +152,21 @@ def make_train_step(
     if accum_steps < 1:
         raise ValueError(f"accum_steps must be >= 1, got {accum_steps}")
 
+    loss_on = _make_loss_on(apply_fn, entropy_coeff, entropy_seq_len)
+
+    def step(state: TrainState, images, texts, labels, rng):
+        return _grad_step(
+            state, images, texts, labels, rng,
+            loss_on=loss_on, optimizer=optimizer, accum_steps=accum_steps,
+        )
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def _make_loss_on(apply_fn, entropy_coeff, entropy_seq_len):
+    """The train-step loss: BCE + optional entropy regularizer
+    (README.md:206-208 pattern; see make_train_step's docstring)."""
+
     def loss_on(params, images, texts, labels, rng):
         logits, info = apply_fn(params, images, texts, rng)
         loss = bce_with_logits_loss(logits, labels)
@@ -160,27 +176,87 @@ def make_train_step(
             )
         return loss, info
 
-    def step(state: TrainState, images, texts, labels, rng):
-        if accum_steps == 1:
-            (loss, info), grads = jax.value_and_grad(
-                lambda p: loss_on(p, images, texts, labels, rng),
-                has_aux=True,
-            )(state.params)
-        else:
-            mbs = _split_microbatches((images, texts, labels), accum_steps)
-            loss, info, grads = accumulate_grads(
-                loss_on, state.params, mbs, rng, accum_steps
-            )
-        updates, opt_state = optimizer.update(
-            grads, state.opt_state, state.params
-        )
-        params = optax.apply_updates(state.params, updates)
-        new_state = TrainState(
-            params=params, opt_state=opt_state, step=state.step + 1
-        )
-        return new_state, loss, info
+    return loss_on
 
-    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+def _grad_step(state, images, texts, labels, rng, *, loss_on, optimizer,
+               accum_steps):
+    """One (state, batch, rng) -> (state, loss, info) update — the shared
+    body of make_train_step and make_scan_train_step."""
+    if accum_steps == 1:
+        (loss, info), grads = jax.value_and_grad(
+            lambda p: loss_on(p, images, texts, labels, rng),
+            has_aux=True,
+        )(state.params)
+    else:
+        mbs = _split_microbatches((images, texts, labels), accum_steps)
+        loss, info, grads = accumulate_grads(
+            loss_on, state.params, mbs, rng, accum_steps
+        )
+    updates, opt_state = optimizer.update(
+        grads, state.opt_state, state.params
+    )
+    params = optax.apply_updates(state.params, updates)
+    new_state = TrainState(
+        params=params, opt_state=opt_state, step=state.step + 1
+    )
+    return new_state, loss, info
+
+
+def make_scan_train_step(
+    apply_fn: Callable[..., Any],
+    optimizer: optax.GradientTransformation,
+    *,
+    entropy_coeff: float = 0.0,
+    entropy_seq_len: int = 2,
+    donate: bool = True,
+    accum_steps: int = 1,
+) -> Callable:
+    """Build a jitted MULTI-step training chunk: ``(state, images, texts,
+    labels, rng) -> (state, losses, info)`` where the batch arrays carry a
+    leading steps axis ``(K, B, ...)`` and the K steps run as one
+    ``lax.scan`` on-device — one dispatch, one host sync, K optimizer
+    updates.
+
+    This is the library form of the measurement discipline every benchmark
+    in this repo follows (docs/design.md "Measurement discipline"): when
+    the step time is comparable to the host→device dispatch latency, a
+    host loop measures (and pays) the transport, not the chip.  Chaining
+    steps on-device amortizes it by K.  The trade: K batches must be
+    staged in device memory up front, and per-sample ``info`` is reduced
+    to per-step means (a ``(K, ...)`` leaf per entry) so the carry stays
+    small.
+
+    Step ``i`` consumes ``jax.random.fold_in(rng, i)`` — identical to K
+    sequential :func:`make_train_step` calls fed those keys (parity is
+    tested).  ``losses`` is the per-step ``(K,)`` vector; fetch
+    ``losses[-1]`` (or anything) to synchronize.  ``accum_steps`` composes:
+    each of the K steps microbatches its ``(B, ...)`` slice.
+    """
+    if accum_steps < 1:
+        raise ValueError(f"accum_steps must be >= 1, got {accum_steps}")
+
+    loss_on = _make_loss_on(apply_fn, entropy_coeff, entropy_seq_len)
+
+    def chunk(state: TrainState, images, texts, labels, rng):
+        steps = images.shape[0]
+
+        def body(state, xs):
+            img, txt, lab, i = xs
+            state, loss, info = _grad_step(
+                state, img, txt, lab, jax.random.fold_in(rng, i),
+                loss_on=loss_on, optimizer=optimizer,
+                accum_steps=accum_steps,
+            )
+            # per-step scalar observability: mean over every non-step axis
+            return state, (loss, jax.tree.map(jnp.mean, info))
+
+        state, (losses, infos) = jax.lax.scan(
+            body, state, (images, texts, labels, jnp.arange(steps))
+        )
+        return state, losses, infos
+
+    return jax.jit(chunk, donate_argnums=(0,) if donate else ())
 
 
 def mask_modality(

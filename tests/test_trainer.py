@@ -13,6 +13,7 @@ from aecf_tpu.train import (
     TrainState,
     bce_with_logits_loss,
     evaluate_model,
+    make_scan_train_step,
     make_train_step,
     mask_modality,
     train_parallel_experiment,
@@ -161,6 +162,77 @@ class TestGradAccum:
     def test_bad_accum_steps_rejected(self):
         with pytest.raises(ValueError, match="accum_steps"):
             make_train_step(lambda *a: None, optax.sgd(0.1), accum_steps=0)
+
+
+class TestScanTrainStep:
+    """Compiled multi-step chunk: K steps per dispatch via lax.scan."""
+
+    def _setup(self, K=5, batch=8):
+        model = XrayAECFModel(
+            image_dim=12, text_dim=12, hidden_dim=8, num_classes=4
+        )
+        params = model.init(jax.random.key(0))
+
+        def apply_fn(p, i, t, rng):
+            return model.apply(
+                p, i, t, training=True, rng=rng,
+                curriculum_enabled=True, return_info=True,
+            )
+
+        img = jax.random.normal(jax.random.key(1), (K, batch, 12))
+        txt = jax.random.normal(jax.random.key(2), (K, batch, 12))
+        lab = (
+            jax.random.uniform(jax.random.key(3), (K, batch, 4)) < 0.3
+        ).astype(jnp.float32)
+        return apply_fn, params, img, txt, lab
+
+    def test_scan_chunk_matches_sequential_steps(self):
+        """One K-step scan dispatch == K sequential make_train_step calls
+        fed fold_in(rng, i) — including the curriculum RNG draws (both
+        paths consume identical keys), so parity is exact up to float
+        reassociation between the two compiled programs."""
+        K = 5
+        apply_fn, params, img, txt, lab = self._setup(K=K)
+        opt = optax.sgd(0.1)
+        rng = jax.random.key(9)
+
+        state = TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+        chunk = make_scan_train_step(apply_fn, opt, donate=False)
+        state_scan, losses, infos = chunk(state, img, txt, lab, rng)
+        assert losses.shape == (K,)
+        assert np.asarray(infos["entropy"]).shape == (K,)
+
+        state_seq = TrainState(
+            params, opt.init(params), jnp.zeros((), jnp.int32)
+        )
+        step = make_train_step(apply_fn, opt, donate=False)
+        seq_losses = []
+        for i in range(K):
+            state_seq, loss, _ = step(
+                state_seq, img[i], txt[i], lab[i],
+                jax.random.fold_in(rng, i),
+            )
+            seq_losses.append(float(loss))
+        np.testing.assert_allclose(
+            np.asarray(losses), np.asarray(seq_losses), rtol=1e-6
+        )
+        assert int(state_scan.step) == int(state_seq.step) == K
+        for a, b in zip(
+            jax.tree.leaves(state_scan.params),
+            jax.tree.leaves(state_seq.params),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-5
+            )
+
+    def test_scan_chunk_composes_with_accum(self):
+        apply_fn, params, img, txt, lab = self._setup(K=3, batch=8)
+        opt = optax.adamw(1e-3)
+        state = TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+        chunk = make_scan_train_step(apply_fn, opt, accum_steps=2)
+        state, losses, infos = chunk(state, img, txt, lab, jax.random.key(0))
+        assert losses.shape == (3,) and np.isfinite(np.asarray(losses)).all()
+        assert int(state.step) == 3
 
 
 def test_evaluate_model_handles_ragged_batches():
