@@ -2,6 +2,7 @@
 
 from .data_parallel import (
     make_dp_eval_step,
+    make_dp_scan_train_step,
     make_dp_train_step,
     replicate,
     shard_batch,
@@ -21,6 +22,7 @@ from .tensor_parallel import (
 
 __all__ = [
     "make_dp_train_step",
+    "make_dp_scan_train_step",
     "make_dp_eval_step",
     "replicate",
     "shard_batch",

@@ -39,6 +39,7 @@ from ..train.trainer import TrainState, bce_with_logits_loss
 
 __all__ = [
     "make_dp_train_step",
+    "make_dp_scan_train_step",
     "make_dp_eval_step",
     "shard_batch",
     "replicate",
@@ -178,4 +179,104 @@ def make_dp_train_step(
     # donated alias would delete the caller's arrays).
     return jax.jit(
         sharded_step, donate_argnums=(0,) if donate else ()
+    )
+
+
+def make_dp_scan_train_step(
+    apply_fn: Callable[..., Any],
+    optimizer: optax.GradientTransformation,
+    mesh: Mesh,
+    *,
+    axis_name: str = "data",
+    loss_fn: Callable[
+        [jax.Array, jax.Array], jax.Array
+    ] = bce_with_logits_loss,
+    donate: bool = True,
+    accum_steps: int = 1,
+) -> Callable:
+    """Data-parallel MULTI-step chunk: ``(state, images, texts, labels,
+    rng) -> (state, losses, infos)`` where batch arrays carry a leading
+    steps axis ``(K, B, ...)`` (sharded over ``axis_name`` on the BATCH
+    axis, axis 1) and the K updates run as one on-device ``lax.scan`` —
+    the DP form of :func:`aecf_tpu.train.make_scan_train_step`: one
+    dispatch and one host sync cover K steps × ``num_devices`` shards,
+    with the grad all-reduce inside the scan body.
+
+    Step ``i`` on shard ``s`` consumes
+    ``fold_in(fold_in(rng, i), s)`` — exactly K sequential
+    :func:`make_dp_train_step` calls fed ``fold_in(rng, i)`` (parity is
+    tested).  ``losses`` is the per-step global-mean ``(K,)`` vector;
+    ``infos`` leaves are per-step global means.  ``accum_steps``
+    microbatches each shard slice within each step.
+    """
+    if accum_steps < 1:
+        raise ValueError(f"accum_steps must be >= 1, got {accum_steps}")
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(), P(None, axis_name), P(None, axis_name),
+            P(None, axis_name), P(),
+        ),
+        out_specs=(P(), P(), P()),
+    )
+    def sharded_chunk(state, images, texts, labels, rng):
+        axis_size = jax.lax.axis_size(axis_name)
+        shard_idx = jax.lax.axis_index(axis_name)
+        steps = images.shape[0]
+
+        def local_loss_on(params, img, txt, lab, rng_):
+            logits, info = apply_fn(params, img, txt, rng_)
+            # local_mean / num_shards + the auto-inserted psum on the
+            # replicated-params cotangent == global-batch-mean gradient
+            # (see make_dp_train_step).
+            return loss_fn(logits, lab) / axis_size, info
+
+        def body(state, xs):
+            img, txt, lab, i = xs
+            # step-major fold: identical keys to sequential dp steps fed
+            # fold_in(rng, i)
+            step_rng = jax.random.fold_in(
+                jax.random.fold_in(rng, i), shard_idx
+            )
+            if accum_steps == 1:
+                (scaled_loss, info), grads = jax.value_and_grad(
+                    lambda p: local_loss_on(p, img, txt, lab, step_rng),
+                    has_aux=True,
+                )(state.params)
+            else:
+                from ..train.trainer import (
+                    _split_microbatches,
+                    accumulate_grads,
+                )
+
+                mbs = _split_microbatches((img, txt, lab), accum_steps)
+                scaled_loss, info, grads = accumulate_grads(
+                    local_loss_on, state.params, mbs, step_rng,
+                    accum_steps,
+                )
+            loss = jax.lax.psum(scaled_loss, axis_name)
+            info = jax.tree.map(
+                lambda x: jax.lax.pmean(jnp.mean(x), axis_name), info
+            )
+            updates, opt_state = optimizer.update(
+                grads, state.opt_state, state.params
+            )
+            params = optax.apply_updates(state.params, updates)
+            return (
+                TrainState(
+                    params=params, opt_state=opt_state,
+                    step=state.step + 1,
+                ),
+                (loss, info),
+            )
+
+        state, (losses, infos) = jax.lax.scan(
+            body, state, (images, texts, labels, jnp.arange(steps))
+        )
+        return state, losses, infos
+
+    return jax.jit(
+        sharded_chunk, donate_argnums=(0,) if donate else ()
     )

@@ -159,6 +159,71 @@ def test_dp_accum_matches_dp_single():
     )
 
 
+def test_dp_scan_chunk_matches_sequential_dp_steps():
+    """One K-step DP scan dispatch == K sequential make_dp_train_step
+    calls fed fold_in(rng, i): identical keys reach every shard (the scan
+    folds step-major, then shard), so parity holds including the
+    curriculum RNG path."""
+    from aecf_tpu.parallel import make_dp_scan_train_step
+
+    K, batch = 3, 32
+    model = XrayAECFModel(
+        image_dim=32, text_dim=32, hidden_dim=16, num_classes=5
+    )
+    opt = optax.sgd(0.1)
+    mesh = data_mesh(8)
+
+    def apply_fn(params, images, texts, rng):
+        return model.apply(
+            params, images, texts, training=True, rng=rng,
+            curriculum_enabled=True, return_info=True,
+        )
+
+    img = jax.random.normal(jax.random.key(1), (K, batch, 32))
+    txt = jax.random.normal(jax.random.key(2), (K, batch, 32))
+    lab = (
+        jax.random.uniform(jax.random.key(3), (K, batch, 5)) < 0.3
+    ).astype(jnp.float32)
+    rng = jax.random.key(9)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    params = model.init(jax.random.key(0))
+    state = replicate(
+        mesh, TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+    )
+    chunk = make_dp_scan_train_step(apply_fn, opt, mesh, donate=False)
+    staged = jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P(None, "data"))),
+        (img, txt, lab),
+    )
+    state_scan, losses, infos = chunk(state, *staged, rng)
+    assert losses.shape == (K,)
+    assert np.asarray(infos["entropy"]).shape == (K,)
+
+    state_seq = replicate(
+        mesh, TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+    )
+    step = make_dp_train_step(apply_fn, opt, mesh, donate=False)
+    seq_losses = []
+    for i in range(K):
+        batch_i = shard_batch(mesh, (img[i], txt[i], lab[i]))
+        state_seq, loss, _ = step(
+            state_seq, *batch_i, jax.random.fold_in(rng, i)
+        )
+        seq_losses.append(float(loss))
+    np.testing.assert_allclose(
+        np.asarray(losses), np.asarray(seq_losses), rtol=1e-6
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6
+        ),
+        state_scan.params,
+        state_seq.params,
+    )
+
+
 def test_tp_accum_matches_tp_single():
     """DP × TP × gradient accumulation on a (4, 2) mesh reproduces the
     non-accumulated TP update."""
