@@ -163,6 +163,43 @@ class TestGradAccum:
         with pytest.raises(ValueError, match="accum_steps"):
             make_train_step(lambda *a: None, optax.sgd(0.1), accum_steps=0)
 
+    @pytest.mark.parametrize("batch,k", [(12, 3), (8, 8), (6, 2)])
+    def test_accum_parity_edge_shapes(self, batch, k):
+        """k == B (microbatch of one sample) and odd divisors keep exact
+        parity with the plain step on a linear model."""
+        W = jax.random.normal(jax.random.key(0), (5, 3)) * 0.1
+        V = jax.random.normal(jax.random.key(1), (4, 3)) * 0.1
+        params = {"W": W, "V": V}
+        opt = optax.sgd(0.05)
+
+        def apply_fn(p, i, t, rng):
+            return i @ p["W"] + t @ p["V"], {"probe": (i @ p["W"])}
+
+        img = jax.random.normal(jax.random.key(2), (batch, 5))
+        txt = jax.random.normal(jax.random.key(3), (batch, 4))
+        lab = (
+            jax.random.uniform(jax.random.key(4), (batch, 3)) < 0.5
+        ).astype(jnp.float32)
+        outs = []
+        for kk in (1, k):
+            state = TrainState(
+                params, opt.init(params), jnp.zeros((), jnp.int32)
+            )
+            step = make_train_step(
+                apply_fn, opt, donate=False, accum_steps=kk
+            )
+            s, loss, info = step(state, img, txt, lab, jax.random.key(7))
+            outs.append((s, float(loss), np.asarray(info["probe"])))
+        np.testing.assert_allclose(outs[0][1], outs[1][1], rtol=1e-6)
+        np.testing.assert_allclose(outs[0][2], outs[1][2], atol=1e-6)
+        for a, b in zip(
+            jax.tree.leaves(outs[0][0].params),
+            jax.tree.leaves(outs[1][0].params),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-6
+            )
+
 
 class TestScanTrainStep:
     """Compiled multi-step chunk: K steps per dispatch via lax.scan."""
