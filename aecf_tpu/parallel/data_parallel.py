@@ -202,12 +202,17 @@ def make_dp_scan_train_step(
     dispatch and one host sync cover K steps × ``num_devices`` shards,
     with the grad all-reduce inside the scan body.
 
-    Step ``i`` on shard ``s`` consumes
-    ``fold_in(fold_in(rng, i), s)`` — exactly K sequential
-    :func:`make_dp_train_step` calls fed ``fold_in(rng, i)`` (parity is
-    tested).  ``losses`` is the per-step global-mean ``(K,)`` vector;
-    ``infos`` leaves are per-step global means.  ``accum_steps``
-    microbatches each shard slice within each step.
+    Each update on shard ``s`` consumes
+    ``fold_in(fold_in(rng, state.step), s)`` — the GLOBAL update counter,
+    not the position within the chunk — so for a fresh state step ``i``
+    sees exactly what K sequential :func:`make_dp_train_step` calls fed
+    ``fold_in(rng, i)`` see (parity is tested), and chunks CHAIN: feeding
+    the returned state into another chunk continues the same key stream
+    (the property :func:`aecf_tpu.train.fit` relies on for chunked
+    training with exact resume parity).  ``losses`` is the per-step
+    global-mean ``(K,)`` vector; ``infos`` leaves are per-step global
+    means.  ``accum_steps`` microbatches each shard slice within each
+    step.
     """
     if accum_steps < 1:
         raise ValueError(f"accum_steps must be >= 1, got {accum_steps}")
@@ -224,7 +229,6 @@ def make_dp_scan_train_step(
     def sharded_chunk(state, images, texts, labels, rng):
         axis_size = jax.lax.axis_size(axis_name)
         shard_idx = jax.lax.axis_index(axis_name)
-        steps = images.shape[0]
 
         def local_loss_on(params, img, txt, lab, rng_):
             logits, info = apply_fn(params, img, txt, rng_)
@@ -234,11 +238,11 @@ def make_dp_scan_train_step(
             return loss_fn(logits, lab) / axis_size, info
 
         def body(state, xs):
-            img, txt, lab, i = xs
-            # step-major fold: identical keys to sequential dp steps fed
-            # fold_in(rng, i)
+            img, txt, lab = xs
+            # global-step-major fold: identical keys to sequential dp
+            # steps fed fold_in(rng, step), and chunks chain (docstring)
             step_rng = jax.random.fold_in(
-                jax.random.fold_in(rng, i), shard_idx
+                jax.random.fold_in(rng, state.step), shard_idx
             )
             if accum_steps == 1:
                 (scaled_loss, info), grads = jax.value_and_grad(
@@ -273,7 +277,7 @@ def make_dp_scan_train_step(
             )
 
         state, (losses, infos) = jax.lax.scan(
-            body, state, (images, texts, labels, jnp.arange(steps))
+            body, state, (images, texts, labels)
         )
         return state, losses, infos
 

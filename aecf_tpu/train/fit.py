@@ -18,7 +18,7 @@ import numpy as np
 import optax
 
 from .checkpointing import CheckpointManager
-from .trainer import TrainState, make_train_step
+from .trainer import TrainState, make_scan_train_step, make_train_step
 
 __all__ = ["fit"]
 
@@ -37,6 +37,7 @@ def fit(
     step_fn: Optional[Callable] = None,
     mesh: Optional[Any] = None,
     accum_steps: int = 1,
+    scan_chunk: int = 1,
 ) -> Tuple[TrainState, Dict[str, list]]:
     """Train for ``num_steps`` with checkpoint/resume.
 
@@ -62,8 +63,39 @@ def fit(
     ``batch_fn`` batch is scanned as that many microbatches with one
     optimizer update, so batches larger than device memory keep the same
     update math.  Ignored when an explicit ``step_fn`` is supplied.
+
+    ``scan_chunk=K > 1`` runs the loop in compiled MULTI-step chunks
+    (:func:`make_scan_train_step` / ``make_dp_scan_train_step``): K
+    batches are staged at once and the K updates run as a single
+    on-device ``lax.scan`` — one dispatch and one host sync per K steps,
+    which removes the per-step dispatch latency from the training loop
+    (the dominant cost for sub-millisecond steps; see docs/design.md
+    "Measurement discipline").  The update math and RNG stream are
+    IDENTICAL to the unchunked loop at every step — keys derive from the
+    global ``state.step``, not the chunk position — so checkpoints taken
+    under any chunking resume exactly into any other (parity is tested,
+    including misaligned resume).  Trade-offs: K batches are staged in
+    device memory at once; checkpoints and history/log entries land at
+    chunk boundaries (choose ``save_every`` a multiple of K for an exact
+    cadence); a final partial chunk compiles a second program.  Requires
+    the default step builders (incompatible with ``step_fn=``) and a
+    data-only mesh (no ``'model'`` axis yet).
     """
+    if scan_chunk < 1:
+        raise ValueError(f"scan_chunk must be >= 1, got {scan_chunk}")
     tp = mesh is not None and "model" in getattr(mesh, "axis_names", ())
+    if scan_chunk > 1:
+        if step_fn is not None:
+            raise ValueError(
+                "scan_chunk > 1 builds its own multi-step chunk and cannot "
+                "wrap a custom step_fn; pass scan_chunk=1 (or build a "
+                "chunked step_fn yourself with make_scan_train_step)"
+            )
+        if tp:
+            raise ValueError(
+                "scan_chunk > 1 is not supported on a mesh with a 'model' "
+                "axis (no TP scan-chunk builder); use scan_chunk=1"
+            )
     if tp:
         from ..parallel.tensor_parallel import shard_params_tp
 
@@ -107,7 +139,20 @@ def fit(
             state = restored
             start_step = int(state.step)
 
-    if step_fn is None:
+    chunk_fn = None
+    if scan_chunk > 1:
+        if mesh is not None:
+            from ..parallel import make_dp_scan_train_step
+
+            chunk_fn = make_dp_scan_train_step(
+                apply_fn, optimizer, mesh, donate=False,
+                accum_steps=accum_steps,
+            )
+        else:
+            chunk_fn = make_scan_train_step(
+                apply_fn, optimizer, donate=False, accum_steps=accum_steps
+            )
+    elif step_fn is None:
         if tp:
             from ..parallel.tensor_parallel import make_tp_train_step
 
@@ -135,6 +180,59 @@ def fit(
             state = replicate(mesh, state)
 
     history: Dict[str, list] = {"loss": [], "step": []}
+
+    if chunk_fn is not None:
+        # Compiled multi-step chunks: K updates per dispatch.  Keys derive
+        # from the global state.step inside the chunk, so this loop is
+        # step-for-step identical to the unchunked one below regardless of
+        # how start_step aligns with the chunk size.
+        step_idx = start_step
+        while step_idx < num_steps:
+            k = min(scan_chunk, num_steps - step_idx)
+            staged = [batch_fn(s) for s in range(step_idx, step_idx + k)]
+            arrays = tuple(
+                np.stack([np.asarray(b[j]) for b in staged])
+                for j in range(3)
+            )
+            if mesh is not None:
+                # steps axis replicated, batch axis (1) sharded over 'data'
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                sh = NamedSharding(mesh, PartitionSpec(None, "data"))
+                batch = tuple(jax.device_put(x, sh) for x in arrays)
+            else:
+                batch = tuple(jnp.asarray(x) for x in arrays)
+            state, losses, infos = chunk_fn(state, *batch, rng)
+            if manager is not None:
+                manager.save(step_idx + k, state)
+            if log_every:
+                hits = [
+                    j for j in range(k)
+                    if (step_idx + j) % log_every == 0
+                ]
+                if hits:
+                    losses_np = np.asarray(losses)
+                    infos_np = {
+                        kk: np.asarray(v) for kk, v in (infos or {}).items()
+                    }
+                    for j in hits:
+                        history["loss"].append(float(losses_np[j]))
+                        history["step"].append(step_idx + j)
+                        for kk, v in infos_np.items():
+                            history.setdefault(kk, []).append(float(v[j]))
+                        print(
+                            f"step {step_idx + j}: "
+                            f"loss={float(losses_np[j]):.4f}",
+                            flush=True,
+                        )
+            step_idx += k
+        if manager is not None:
+            if manager.latest_step() != num_steps:
+                manager.save(num_steps, state, force=True)
+            manager.wait()
+            manager.close()
+        return state, history
+
     for step_idx in range(start_step, num_steps):
         images, texts, labels = batch_fn(step_idx)
         step_rng = jax.random.fold_in(rng, step_idx)

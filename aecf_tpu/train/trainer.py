@@ -227,11 +227,17 @@ def make_scan_train_step(
     to per-step means (a ``(K, ...)`` leaf per entry) so the carry stays
     small.
 
-    Step ``i`` consumes ``jax.random.fold_in(rng, i)`` — identical to K
+    Each update consumes ``jax.random.fold_in(rng, state.step)`` — the
+    GLOBAL update counter, not the position within the chunk — so for a
+    fresh state step ``i`` sees ``fold_in(rng, i)``, identical to K
     sequential :func:`make_train_step` calls fed those keys (parity is
-    tested).  ``losses`` is the per-step ``(K,)`` vector; fetch
-    ``losses[-1]`` (or anything) to synchronize.  ``accum_steps`` composes:
-    each of the K steps microbatches its ``(B, ...)`` slice.
+    tested), and feeding the returned state into another chunk CONTINUES
+    the same key stream: N chunks of K steps ≡ one chunk of N·K steps ≡
+    N·K sequential steps.  That chaining property is what lets
+    :func:`aecf_tpu.train.fit` run chunked with exact resume parity at
+    any chunk alignment.  ``losses`` is the per-step ``(K,)`` vector;
+    fetch ``losses[-1]`` (or anything) to synchronize.  ``accum_steps``
+    composes: each of the K steps microbatches its ``(B, ...)`` slice.
     """
     if accum_steps < 1:
         raise ValueError(f"accum_steps must be >= 1, got {accum_steps}")
@@ -239,12 +245,12 @@ def make_scan_train_step(
     loss_on = _make_loss_on(apply_fn, entropy_coeff, entropy_seq_len)
 
     def chunk(state: TrainState, images, texts, labels, rng):
-        steps = images.shape[0]
-
         def body(state, xs):
-            img, txt, lab, i = xs
+            img, txt, lab = xs
+            # global-step fold: chunks chain (see docstring)
             state, loss, info = _grad_step(
-                state, img, txt, lab, jax.random.fold_in(rng, i),
+                state, img, txt, lab,
+                jax.random.fold_in(rng, state.step),
                 loss_on=loss_on, optimizer=optimizer,
                 accum_steps=accum_steps,
             )
@@ -252,7 +258,7 @@ def make_scan_train_step(
             return state, (loss, jax.tree.map(jnp.mean, info))
 
         state, (losses, infos) = jax.lax.scan(
-            body, state, (images, texts, labels, jnp.arange(steps))
+            body, state, (images, texts, labels)
         )
         return state, losses, infos
 

@@ -178,6 +178,127 @@ def test_tp_fit_resume_matches_uninterrupted(tmp_path):
     )
 
 
+def test_fit_scan_chunk_matches_single_step():
+    """fit(scan_chunk=K) reproduces the unchunked loop exactly — the
+    chunk folds the global state.step into the RNG, so every update
+    consumes the same key as the per-step loop, including a partial
+    tail chunk (num_steps=7, K=3 → chunks 3+3+1)."""
+    apply_fn, opt, params, batch_fn = setup()
+    single_state, _ = fit(
+        apply_fn, opt, params, batch_fn,
+        num_steps=7, rng=jax.random.key(1),
+    )
+    chunked_state, _ = fit(
+        apply_fn, opt, params, batch_fn,
+        num_steps=7, rng=jax.random.key(1), scan_chunk=3,
+    )
+    assert int(chunked_state.step) == 7
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6
+        ),
+        single_state.params,
+        chunked_state.params,
+    )
+
+
+def test_fit_scan_chunk_misaligned_resume_matches_uninterrupted(tmp_path):
+    """Chunked resume parity at ANY alignment: an interrupted run
+    checkpointed at step 4 under scan_chunk=2 and resumed under
+    scan_chunk=3 (misaligned with both the checkpoint and num_steps)
+    reproduces the uninterrupted UNCHUNKED run — the global-step RNG
+    fold makes chunking a pure dispatch-batching choice."""
+    apply_fn, opt, params, batch_fn = setup()
+    full_state, _ = fit(
+        apply_fn, opt, params, batch_fn,
+        num_steps=8, rng=jax.random.key(1),
+    )
+    ckpt = str(tmp_path / "elastic_chunked")
+    fit(
+        apply_fn, opt, params, batch_fn,
+        num_steps=4, rng=jax.random.key(1),
+        checkpoint_dir=ckpt, save_every=2, scan_chunk=2,
+    )
+    resumed_state, _ = fit(
+        apply_fn, opt, params, batch_fn,
+        num_steps=8, rng=jax.random.key(1),
+        checkpoint_dir=ckpt, save_every=2, scan_chunk=3,
+    )
+    assert int(resumed_state.step) == 8
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6
+        ),
+        full_state.params,
+        resumed_state.params,
+    )
+
+
+def test_dp_fit_scan_chunk_matches_single_step():
+    """DP fit with compiled chunks == DP fit stepping singly."""
+    import pytest
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    from aecf_tpu.parallel import data_mesh
+
+    apply_fn, opt, params, batch_fn = setup()
+    mesh = data_mesh(8)
+    single_state, _ = fit(
+        apply_fn, opt, params, batch_fn,
+        num_steps=6, rng=jax.random.key(1), mesh=mesh,
+    )
+    chunked_state, _ = fit(
+        apply_fn, opt, params, batch_fn,
+        num_steps=6, rng=jax.random.key(1), mesh=mesh, scan_chunk=3,
+    )
+    assert int(chunked_state.step) == 6
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6
+        ),
+        single_state.params,
+        chunked_state.params,
+    )
+
+
+def test_fit_scan_chunk_history_and_rejections():
+    import pytest
+
+    apply_fn, opt, params, batch_fn = setup()
+    # history cadence matches the unchunked loop's log_every semantics
+    _, history = fit(
+        apply_fn, opt, params, batch_fn,
+        num_steps=6, rng=jax.random.key(1), log_every=2, scan_chunk=4,
+    )
+    assert history["step"] == [0, 2, 4]
+    assert len(history["loss"]) == 3
+    assert "entropy" in history and all(
+        np.isfinite(v) for v in history["entropy"]
+    )
+    # incompatible knobs fail loudly
+    with pytest.raises(ValueError, match="step_fn"):
+        fit(
+            apply_fn, opt, params, batch_fn,
+            num_steps=2, rng=jax.random.key(1), scan_chunk=2,
+            step_fn=lambda *a: None,
+        )
+    with pytest.raises(ValueError, match="scan_chunk must be"):
+        fit(
+            apply_fn, opt, params, batch_fn,
+            num_steps=2, rng=jax.random.key(1), scan_chunk=0,
+        )
+    if len(jax.devices()) >= 8:
+        from aecf_tpu.parallel import data_model_mesh
+
+        with pytest.raises(ValueError, match="model"):
+            fit(
+                apply_fn, opt, params, batch_fn,
+                num_steps=2, rng=jax.random.key(1), scan_chunk=2,
+                mesh=data_model_mesh(8, model_parallelism=2),
+            )
+
+
 def test_fit_history_carries_info_metrics():
     apply_fn, opt, params, batch_fn = setup()
     _, history = fit(

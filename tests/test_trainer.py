@@ -262,6 +262,45 @@ class TestScanTrainStep:
                 np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-5
             )
 
+    def test_scan_chunks_chain_across_dispatches(self):
+        """Two 2-step chunks == one 4-step chunk == 4 sequential steps:
+        keys derive from the global state.step, so feeding a chunk's
+        returned state into the next chunk continues the exact key
+        stream (the property fit(scan_chunk=) relies on)."""
+        K = 4
+        apply_fn, params, img, txt, lab = self._setup(K=K)
+        opt = optax.sgd(0.1)
+        rng = jax.random.key(9)
+        chunk = make_scan_train_step(apply_fn, opt, donate=False)
+
+        state_a = TrainState(
+            params, opt.init(params), jnp.zeros((), jnp.int32)
+        )
+        state_a, losses_a, _ = chunk(state_a, img, txt, lab, rng)
+
+        state_b = TrainState(
+            params, opt.init(params), jnp.zeros((), jnp.int32)
+        )
+        state_b, l0, _ = chunk(
+            state_b, img[:2], txt[:2], lab[:2], rng
+        )
+        state_b, l1, _ = chunk(
+            state_b, img[2:], txt[2:], lab[2:], rng
+        )
+        np.testing.assert_allclose(
+            np.asarray(losses_a),
+            np.concatenate([np.asarray(l0), np.asarray(l1)]),
+            rtol=1e-6,
+        )
+        assert int(state_b.step) == K
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-5
+            ),
+            state_a.params,
+            state_b.params,
+        )
+
     def test_scan_chunk_composes_with_accum(self):
         apply_fn, params, img, txt, lab = self._setup(K=3, batch=8)
         opt = optax.adamw(1e-3)
