@@ -15,6 +15,7 @@ from .mesh import (
 )
 from .tensor_parallel import (
     attention_pool_pspecs,
+    make_tp_scan_train_step,
     make_tp_train_step,
     shard_params_tp,
     tp_param_specs,
@@ -33,5 +34,6 @@ __all__ = [
     "attention_pool_pspecs",
     "tp_param_specs",
     "shard_params_tp",
+    "make_tp_scan_train_step",
     "make_tp_train_step",
 ]

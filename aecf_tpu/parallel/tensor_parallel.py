@@ -50,6 +50,7 @@ __all__ = [
     "tp_param_specs",
     "shard_params_tp",
     "make_tp_train_step",
+    "make_tp_scan_train_step",
 ]
 
 
@@ -203,3 +204,100 @@ def make_tp_train_step(
         )
 
     return tp_step
+
+
+def make_tp_scan_train_step(
+    apply_fn: Callable[..., Any],
+    optimizer: optax.GradientTransformation,
+    mesh: Mesh,
+    *,
+    data_axis: Optional[str] = "data",
+    loss_fn: Callable[
+        [jax.Array, jax.Array], jax.Array
+    ] = bce_with_logits_loss,
+    donate: bool = True,
+    accum_steps: int = 1,
+) -> Callable:
+    """TP (optionally DP × TP) MULTI-step chunk: ``(state, images, texts,
+    labels, rng) -> (state, losses, infos)`` with batch arrays staged
+    ``(K, B, ...)`` and the K updates run as one on-device ``lax.scan`` —
+    the GSPMD form of :func:`aecf_tpu.train.make_scan_train_step`: one
+    dispatch and one host sync per K updates, XLA inserting the TP
+    collectives inside the scan body.
+
+    Each update consumes ``fold_in(rng, state.step)`` (the GLOBAL update
+    counter), so parity with K sequential :func:`make_tp_train_step`
+    calls fed ``fold_in(rng, i)`` is exact for a fresh state and chunks
+    CHAIN across dispatches — the property :func:`aecf_tpu.train.fit`
+    relies on for chunked training with exact resume parity.  When
+    ``data_axis`` names a mesh axis, the staged arrays are constrained to
+    shard over it on the BATCH axis (axis 1; the steps axis stays
+    replicated).  ``accum_steps`` microbatches each step's ``(B, ...)``
+    slice.  ``losses`` is the per-step ``(K,)`` vector; ``infos`` leaves
+    are per-step means.
+    """
+    if accum_steps < 1:
+        raise ValueError(f"accum_steps must be >= 1, got {accum_steps}")
+    if data_axis is not None and data_axis in mesh.axis_names:
+        chunk_sharding = NamedSharding(mesh, P(None, data_axis))
+    else:
+        chunk_sharding = None
+
+    @partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def tp_chunk(state, images, texts, labels, rng):
+        if chunk_sharding is not None:
+            images, texts, labels = (
+                jax.lax.with_sharding_constraint(x, chunk_sharding)
+                for x in (images, texts, labels)
+            )
+
+        def loss_on(params, img, txt, lab, rng_):
+            logits, info = apply_fn(params, img, txt, rng_)
+            return loss_fn(logits, lab), info
+
+        def body(state, xs):
+            img, txt, lab = xs
+            # global-step fold: chunks chain (see docstring)
+            step_rng = jax.random.fold_in(rng, state.step)
+            if accum_steps == 1:
+                (loss, info), grads = jax.value_and_grad(
+                    lambda p: loss_on(p, img, txt, lab, step_rng),
+                    has_aux=True,
+                )(state.params)
+            else:
+                from ..train.trainer import (
+                    _split_microbatches,
+                    accumulate_grads,
+                )
+
+                mbs = _split_microbatches((img, txt, lab), accum_steps)
+                if chunk_sharding is not None:
+                    # (accum, micro, ...) inside the body — keep each
+                    # microbatch sharded over the data axis (axis 1),
+                    # matching make_tp_train_step's accumulation layout.
+                    micro = NamedSharding(mesh, P(None, data_axis))
+                    mbs = tuple(
+                        jax.lax.with_sharding_constraint(x, micro)
+                        for x in mbs
+                    )
+                loss, info, grads = accumulate_grads(
+                    loss_on, state.params, mbs, step_rng, accum_steps
+                )
+            updates, opt_state = optimizer.update(
+                grads, state.opt_state, state.params
+            )
+            params = optax.apply_updates(state.params, updates)
+            return (
+                TrainState(
+                    params=params, opt_state=opt_state,
+                    step=state.step + 1,
+                ),
+                (loss, jax.tree.map(jnp.mean, info)),
+            )
+
+        state, (losses, infos) = jax.lax.scan(
+            body, state, (images, texts, labels)
+        )
+        return state, losses, infos
+
+    return tp_chunk

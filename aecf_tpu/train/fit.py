@@ -78,24 +78,18 @@ def fit(
     device memory at once; checkpoints and history/log entries land at
     chunk boundaries (choose ``save_every`` a multiple of K for an exact
     cadence); a final partial chunk compiles a second program.  Requires
-    the default step builders (incompatible with ``step_fn=``) and a
-    data-only mesh (no ``'model'`` axis yet).
+    the default step builders (incompatible with ``step_fn=``).  Works
+    single-device, DP (shard_map), and TP / DP × TP (GSPMD) alike.
     """
     if scan_chunk < 1:
         raise ValueError(f"scan_chunk must be >= 1, got {scan_chunk}")
     tp = mesh is not None and "model" in getattr(mesh, "axis_names", ())
-    if scan_chunk > 1:
-        if step_fn is not None:
-            raise ValueError(
-                "scan_chunk > 1 builds its own multi-step chunk and cannot "
-                "wrap a custom step_fn; pass scan_chunk=1 (or build a "
-                "chunked step_fn yourself with make_scan_train_step)"
-            )
-        if tp:
-            raise ValueError(
-                "scan_chunk > 1 is not supported on a mesh with a 'model' "
-                "axis (no TP scan-chunk builder); use scan_chunk=1"
-            )
+    if scan_chunk > 1 and step_fn is not None:
+        raise ValueError(
+            "scan_chunk > 1 builds its own multi-step chunk and cannot "
+            "wrap a custom step_fn; pass scan_chunk=1 (or build a "
+            "chunked step_fn yourself with make_scan_train_step)"
+        )
     if tp:
         from ..parallel.tensor_parallel import shard_params_tp
 
@@ -141,7 +135,14 @@ def fit(
 
     chunk_fn = None
     if scan_chunk > 1:
-        if mesh is not None:
+        if tp:
+            from ..parallel import make_tp_scan_train_step
+
+            chunk_fn = make_tp_scan_train_step(
+                apply_fn, optimizer, mesh, donate=False,
+                accum_steps=accum_steps,
+            )
+        elif mesh is not None:
             from ..parallel import make_dp_scan_train_step
 
             chunk_fn = make_dp_scan_train_step(
@@ -195,10 +196,16 @@ def fit(
                 for j in range(3)
             )
             if mesh is not None:
-                # steps axis replicated, batch axis (1) sharded over 'data'
+                # steps axis replicated, batch axis (1) sharded over
+                # 'data' (a pure-TP mesh with no 'data' axis replicates)
                 from jax.sharding import NamedSharding, PartitionSpec
 
-                sh = NamedSharding(mesh, PartitionSpec(None, "data"))
+                spec = (
+                    PartitionSpec(None, "data")
+                    if "data" in mesh.axis_names
+                    else PartitionSpec()
+                )
+                sh = NamedSharding(mesh, spec)
                 batch = tuple(jax.device_put(x, sh) for x in arrays)
             else:
                 batch = tuple(jnp.asarray(x) for x in arrays)

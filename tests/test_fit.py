@@ -288,15 +288,40 @@ def test_fit_scan_chunk_history_and_rejections():
             apply_fn, opt, params, batch_fn,
             num_steps=2, rng=jax.random.key(1), scan_chunk=0,
         )
-    if len(jax.devices()) >= 8:
-        from aecf_tpu.parallel import data_model_mesh
 
-        with pytest.raises(ValueError, match="model"):
-            fit(
-                apply_fn, opt, params, batch_fn,
-                num_steps=2, rng=jax.random.key(1), scan_chunk=2,
-                mesh=data_model_mesh(8, model_parallelism=2),
-            )
+
+def test_tp_fit_scan_chunk_matches_single_step():
+    """DP × TP fit with compiled chunks == DP × TP fit stepping singly
+    (the GSPMD chunk folds the global state.step, same as the per-step
+    TP path)."""
+    import pytest
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    from aecf_tpu.parallel import data_model_mesh
+
+    apply_fn, opt, params, batch_fn = setup()
+    mesh = data_model_mesh(8, model_parallelism=2)
+    single_state, _ = fit(
+        apply_fn, opt, params, batch_fn,
+        num_steps=6, rng=jax.random.key(1), mesh=mesh,
+    )
+    chunked_state, _ = fit(
+        apply_fn, opt, params, batch_fn,
+        num_steps=6, rng=jax.random.key(1), mesh=mesh, scan_chunk=3,
+    )
+    assert int(chunked_state.step) == 6
+    # chunked params stay in the head-sharded TP layout
+    assert len(
+        chunked_state.params.pool.in_proj_weight.sharding.device_set
+    ) == 8
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5
+        ),
+        single_state.params,
+        chunked_state.params,
+    )
 
 
 def test_fit_history_carries_info_metrics():

@@ -263,6 +263,68 @@ def test_tp_accum_matches_tp_single():
     )
 
 
+def test_tp_scan_chunk_matches_sequential_tp_steps():
+    """One K-step GSPMD TP scan dispatch == K sequential
+    make_tp_train_step calls fed fold_in(rng, i): the chunk folds the
+    global state.step, so a fresh state consumes identical keys — and
+    the curriculum RNG path is live (training=True apply)."""
+    from aecf_tpu.parallel import make_tp_scan_train_step
+
+    K, batch = 3, 32
+    model = XrayAECFModel(
+        image_dim=32, text_dim=32, hidden_dim=16, num_classes=5,
+        num_heads=2,
+    )
+    opt = optax.sgd(0.1)
+    mesh = data_model_mesh(8, model_parallelism=2)
+
+    def apply_fn(params, images, texts, rng):
+        return model.apply(
+            params, images, texts, training=True, rng=rng,
+            curriculum_enabled=True, return_info=True,
+        )
+
+    img = jax.random.normal(jax.random.key(1), (K, batch, 32))
+    txt = jax.random.normal(jax.random.key(2), (K, batch, 32))
+    lab = (
+        jax.random.uniform(jax.random.key(3), (K, batch, 5)) < 0.3
+    ).astype(jnp.float32)
+    rng = jax.random.key(9)
+
+    params = shard_params_tp(mesh, model.init(jax.random.key(0)))
+    state = TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+    chunk = make_tp_scan_train_step(apply_fn, opt, mesh, donate=False)
+    state_scan, losses, infos = chunk(state, img, txt, lab, rng)
+    assert losses.shape == (K,)
+    assert np.asarray(infos["entropy"]).shape == (K,)
+    # params stay head-sharded through the scan
+    assert len(
+        state_scan.params.pool.in_proj_weight.sharding.device_set
+    ) == 8
+
+    params2 = shard_params_tp(mesh, model.init(jax.random.key(0)))
+    state_seq = TrainState(
+        params2, opt.init(params2), jnp.zeros((), jnp.int32)
+    )
+    step = make_tp_train_step(apply_fn, opt, mesh, donate=False)
+    seq_losses = []
+    for i in range(K):
+        state_seq, loss, _ = step(
+            state_seq, img[i], txt[i], lab[i], jax.random.fold_in(rng, i)
+        )
+        seq_losses.append(float(loss))
+    np.testing.assert_allclose(
+        np.asarray(losses), np.asarray(seq_losses), rtol=1e-5
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5
+        ),
+        state_scan.params,
+        state_seq.params,
+    )
+
+
 def test_tp_param_specs_structure():
     """Spec tree mirrors the param tree: pools head-sharded, rest replicated."""
     from jax.sharding import PartitionSpec as P
