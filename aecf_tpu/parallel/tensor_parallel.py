@@ -153,6 +153,8 @@ def make_tp_train_step(
     else:
         batch_sharding = micro_sharding = None
 
+    loss_on = _make_tp_loss_on(apply_fn, loss_fn)
+
     @partial(jax.jit, donate_argnums=(0,) if donate else ())
     def tp_step(state, images, texts, labels, rng):
         if batch_sharding is not None:
@@ -160,50 +162,58 @@ def make_tp_train_step(
                 jax.lax.with_sharding_constraint(x, batch_sharding)
                 for x in (images, texts, labels)
             )
-
-        def loss_on(params, images, texts, labels, rng_):
-            logits, info = apply_fn(params, images, texts, rng_)
-            return loss_fn(logits, labels), info
-
-        if accum_steps == 1:
-            (loss, info), grads = jax.value_and_grad(
-                lambda p: loss_on(p, images, texts, labels, rng),
-                has_aux=True,
-            )(state.params)
-        else:
-            from ..train.trainer import (
-                _split_microbatches,
-                accumulate_grads,
-            )
-
-            mbs = _split_microbatches(
-                (images, texts, labels), accum_steps
-            )
-            if micro_sharding is not None:
-                # Keep each scanned microbatch sharded over the data axis
-                # (the reshape would otherwise let GSPMD re-lay the
-                # leading accum axis across devices).
-                mbs = tuple(
-                    jax.lax.with_sharding_constraint(x, micro_sharding)
-                    for x in mbs
-                )
-            loss, info, grads = accumulate_grads(
-                loss_on, state.params, mbs, rng, accum_steps
-            )
-        updates, opt_state = optimizer.update(
-            grads, state.opt_state, state.params
+        state, loss, info = _tp_grad_update(
+            state, images, texts, labels, rng,
+            loss_on=loss_on, optimizer=optimizer,
+            accum_steps=accum_steps, micro_sharding=micro_sharding,
         )
-        params = optax.apply_updates(state.params, updates)
-        info = jax.tree.map(jnp.mean, info)
-        return (
-            TrainState(
-                params=params, opt_state=opt_state, step=state.step + 1
-            ),
-            loss,
-            info,
-        )
+        return state, loss, jax.tree.map(jnp.mean, info)
 
     return tp_step
+
+
+def _make_tp_loss_on(apply_fn, loss_fn):
+    def loss_on(params, images, texts, labels, rng_):
+        logits, info = apply_fn(params, images, texts, rng_)
+        return loss_fn(logits, labels), info
+
+    return loss_on
+
+
+def _tp_grad_update(state, images, texts, labels, step_rng, *, loss_on,
+                    optimizer, accum_steps, micro_sharding):
+    """One GSPMD (state, batch, rng) -> (state, loss, info) update — the
+    shared body of make_tp_train_step and make_tp_scan_train_step (the
+    TP analogue of trainer._grad_step)."""
+    if accum_steps == 1:
+        (loss, info), grads = jax.value_and_grad(
+            lambda p: loss_on(p, images, texts, labels, step_rng),
+            has_aux=True,
+        )(state.params)
+    else:
+        from ..train.trainer import _split_microbatches, accumulate_grads
+
+        mbs = _split_microbatches((images, texts, labels), accum_steps)
+        if micro_sharding is not None:
+            # Keep each scanned microbatch sharded over the data axis
+            # (the reshape would otherwise let GSPMD re-lay the leading
+            # accum axis across devices).
+            mbs = tuple(
+                jax.lax.with_sharding_constraint(x, micro_sharding)
+                for x in mbs
+            )
+        loss, info, grads = accumulate_grads(
+            loss_on, state.params, mbs, step_rng, accum_steps
+        )
+    updates, opt_state = optimizer.update(
+        grads, state.opt_state, state.params
+    )
+    params = optax.apply_updates(state.params, updates)
+    return (
+        TrainState(params=params, opt_state=opt_state, step=state.step + 1),
+        loss,
+        info,
+    )
 
 
 def make_tp_scan_train_step(
@@ -239,9 +249,14 @@ def make_tp_scan_train_step(
     if accum_steps < 1:
         raise ValueError(f"accum_steps must be >= 1, got {accum_steps}")
     if data_axis is not None and data_axis in mesh.axis_names:
+        # (K, B, ...) staged arrays AND the in-body (accum, micro, ...)
+        # microbatch splits shard their axis 1 over the data axis — one
+        # spec serves both (steps/accum axis replicated).
         chunk_sharding = NamedSharding(mesh, P(None, data_axis))
     else:
         chunk_sharding = None
+
+    loss_on = _make_tp_loss_on(apply_fn, loss_fn)
 
     @partial(jax.jit, donate_argnums=(0,) if donate else ())
     def tp_chunk(state, images, texts, labels, rng):
@@ -251,49 +266,16 @@ def make_tp_scan_train_step(
                 for x in (images, texts, labels)
             )
 
-        def loss_on(params, img, txt, lab, rng_):
-            logits, info = apply_fn(params, img, txt, rng_)
-            return loss_fn(logits, lab), info
-
         def body(state, xs):
             img, txt, lab = xs
             # global-step fold: chunks chain (see docstring)
-            step_rng = jax.random.fold_in(rng, state.step)
-            if accum_steps == 1:
-                (loss, info), grads = jax.value_and_grad(
-                    lambda p: loss_on(p, img, txt, lab, step_rng),
-                    has_aux=True,
-                )(state.params)
-            else:
-                from ..train.trainer import (
-                    _split_microbatches,
-                    accumulate_grads,
-                )
-
-                mbs = _split_microbatches((img, txt, lab), accum_steps)
-                if chunk_sharding is not None:
-                    # (accum, micro, ...) inside the body — keep each
-                    # microbatch sharded over the data axis (axis 1),
-                    # matching make_tp_train_step's accumulation layout.
-                    micro = NamedSharding(mesh, P(None, data_axis))
-                    mbs = tuple(
-                        jax.lax.with_sharding_constraint(x, micro)
-                        for x in mbs
-                    )
-                loss, info, grads = accumulate_grads(
-                    loss_on, state.params, mbs, step_rng, accum_steps
-                )
-            updates, opt_state = optimizer.update(
-                grads, state.opt_state, state.params
+            state, loss, info = _tp_grad_update(
+                state, img, txt, lab,
+                jax.random.fold_in(rng, state.step),
+                loss_on=loss_on, optimizer=optimizer,
+                accum_steps=accum_steps, micro_sharding=chunk_sharding,
             )
-            params = optax.apply_updates(state.params, updates)
-            return (
-                TrainState(
-                    params=params, opt_state=opt_state,
-                    step=state.step + 1,
-                ),
-                (loss, jax.tree.map(jnp.mean, info)),
-            )
+            return state, (loss, jax.tree.map(jnp.mean, info))
 
         state, (losses, infos) = jax.lax.scan(
             body, state, (images, texts, labels)

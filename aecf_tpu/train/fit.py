@@ -233,12 +233,7 @@ def fit(
                             flush=True,
                         )
             step_idx += k
-        if manager is not None:
-            if manager.latest_step() != num_steps:
-                manager.save(num_steps, state, force=True)
-            manager.wait()
-            manager.close()
-        return state, history
+        return _finalize(manager, num_steps, state), history
 
     for step_idx in range(start_step, num_steps):
         images, texts, labels = batch_fn(step_idx)
@@ -273,9 +268,15 @@ def fit(
                 history.setdefault(k, []).append(float(jnp.mean(v)))
             print(f"step {step_idx}: loss={float(loss):.4f}", flush=True)
 
+    return _finalize(manager, num_steps, state), history
+
+
+def _finalize(manager, num_steps, state):
+    """Shared end-of-training checkpoint epilogue (both loop shapes):
+    guarantee a terminal checkpoint, drain async saves, release."""
     if manager is not None:
         if manager.latest_step() != num_steps:
             manager.save(num_steps, state, force=True)
         manager.wait()
         manager.close()
-    return state, history
+    return state

@@ -42,7 +42,6 @@ def main():
     ap.add_argument("--chunk", type=int, default=32)
     ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--embed", type=int, default=512)
-    ap.add_argument("--modalities", type=int, default=3)
     ap.add_argument("--rounds", type=int, default=3)
     args = ap.parse_args()
 
@@ -56,9 +55,9 @@ def main():
     from aecf_tpu.models import XrayAECFModel
     from aecf_tpu.train import fit
 
-    B, E, M = args.batch, args.embed, args.modalities
-    # XrayAECFModel: 2 modality encoders feeding the fusion pool — the
-    # closest product-path model to the north-star pool protocol.
+    B, E = args.batch, args.embed
+    # XrayAECFModel: 2 modality encoders (image+text) feeding the fusion
+    # pool — the closest product-path model to the pool protocol.
     model = XrayAECFModel(
         image_dim=E, text_dim=E, hidden_dim=E, num_classes=14
     )
@@ -106,7 +105,7 @@ def main():
     med_chunked = statistics.median(chunked_s)
     out = {
         "metric": (
-            f"fit() per-step wall ms (B={B}, E={E}, M={M}, "
+            f"fit() per-step wall ms (B={B}, E={E}, M=2, "
             f"steps={args.steps}, {jax.default_backend()})"
         ),
         "single_step_ms": round(med_single / args.steps * 1e3, 3),

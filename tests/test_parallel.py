@@ -325,6 +325,54 @@ def test_tp_scan_chunk_matches_sequential_tp_steps():
     )
 
 
+def test_tp_scan_chunk_composes_with_accum():
+    """TP scan chunk × gradient accumulation reproduces the
+    non-accumulated chunk (deterministic apply + SGD, so the only
+    degree of freedom is the accumulation split + its in-body
+    microbatch sharding constraint)."""
+    from aecf_tpu.parallel import make_tp_scan_train_step
+
+    K, batch = 2, 32
+    model = XrayAECFModel(
+        image_dim=32, text_dim=32, hidden_dim=16, num_classes=5,
+        num_heads=2,
+    )
+    opt = optax.sgd(0.1)
+    mesh = data_model_mesh(8, model_parallelism=2)
+
+    def apply_fn(params, images, texts, rng):
+        logits = model.apply(params, images, texts, training=False)
+        return logits, {}
+
+    img = jax.random.normal(jax.random.key(1), (K, batch, 32))
+    txt = jax.random.normal(jax.random.key(2), (K, batch, 32))
+    lab = (
+        jax.random.uniform(jax.random.key(3), (K, batch, 5)) < 0.3
+    ).astype(jnp.float32)
+
+    results = []
+    for k in (1, 2):
+        params = shard_params_tp(mesh, model.init(jax.random.key(0)))
+        state = TrainState(
+            params, opt.init(params), jnp.zeros((), jnp.int32)
+        )
+        chunk = make_tp_scan_train_step(
+            apply_fn, opt, mesh, donate=False, accum_steps=k
+        )
+        state, losses, _ = chunk(state, img, txt, lab, jax.random.key(9))
+        assert losses.shape == (K,)
+        assert int(state.step) == K
+        results.append((state, np.asarray(losses)))
+    np.testing.assert_allclose(results[0][1], results[1][1], rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5
+        ),
+        results[0][0].params,
+        results[1][0].params,
+    )
+
+
 def test_tp_param_specs_structure():
     """Spec tree mirrors the param tree: pools head-sharded, rest replicated."""
     from jax.sharding import PartitionSpec as P
