@@ -296,6 +296,24 @@ for i in range(len(expected)):
     losses.append(float(loss))
 
 np.testing.assert_allclose(losses, expected, rtol=1e-4)
+
+# Chunked form: the SAME K updates as one compiled lax.scan chunk, the
+# DP/TP collectives firing inside the scan body across the slice
+# boundary.  Keys fold the global state.step, so a fresh state consumes
+# exactly the sequential steps' keys (deterministic apply here, but the
+# losses must still match step for step).
+from aecf_tpu.parallel.tensor_parallel import make_tp_scan_train_step
+
+K = len(expected)
+params2 = shard_params_tp(mesh, model.init(jax.random.key(0)))
+state2 = TrainState(params2, opt.init(params2), jnp.zeros((), jnp.int32))
+chunk = make_tp_scan_train_step(apply_fn, opt, mesh, donate=False)
+staged = tuple(
+    globalize(np.stack([x] * K), P(None, "data")) for x in (img, txt, lab)
+)
+state2, chunk_losses, _ = chunk(state2, *staged, jax.random.key(9))
+np.testing.assert_allclose(np.asarray(chunk_losses), expected, rtol=1e-4)
+
 pid = jax.process_index()
 print(f"slice {pid}: cross-slice DP losses match ({losses})", flush=True)
 jax.distributed.shutdown()
