@@ -337,6 +337,43 @@ def test_fit_history_carries_info_metrics():
     assert all(np.isfinite(v) for v in history["entropy"])
 
 
+def test_elastic_example_end_to_end(tmp_path, capsys):
+    """examples/train_elastic.py: the preemptible-TPU recipe (fit +
+    checkpoint/resume x DP x scan chunks x accumulation) runs end-to-end
+    with a simulated preemption and finishes at the requested step."""
+    import importlib.util
+    import json
+    import os
+
+    import pytest
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+
+    spec = importlib.util.spec_from_file_location(
+        "train_elastic",
+        os.path.join(
+            os.path.dirname(__file__), "..", "examples", "train_elastic.py"
+        ),
+    )
+    ex = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ex)
+
+    rc = ex.main([
+        "--steps", "10", "--preempt-at", "4", "--scan-chunk", "3",
+        "--accum", "2", "--save-every", "2", "--mesh", "dp",
+        "--batch", "32", "--hidden", "16", "--classes", "4",
+        "--ckpt-dir", str(tmp_path / "ckpt"),
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    summary = json.loads(out.strip().splitlines()[-1])
+    assert summary["final_step"] == 10
+    assert summary["resumed"] is True
+    assert summary["mesh"] == "dp"
+    assert np.isfinite(summary["loss_last"])
+
+
 def test_pure_tp_fit_matches_single_device():
     """fit() on a pure-TP mesh (no 'data' axis): the batch is replicated
     (make_tp_train_step's data_axis=None mode) — this used to crash on a
