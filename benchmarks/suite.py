@@ -719,6 +719,7 @@ def main():
         "vlm_B256",
         "shared_bwd_ab_large",
         "kv_grad_ab_north_star",
+        "kv_grad_ab_large",
         "features_dtype_ab_north_star",
         "features_dtype_ab_large",
         "features_q8_ab_north_star",
@@ -871,6 +872,13 @@ def main():
 
         section("shared_bwd_ab_large", bwd_ab, args.quick)
         section("kv_grad_ab_north_star", kv_grad_ab, args.quick)
+        # E=1024: kv is a larger traffic fraction, so the d_kv skip is a
+        # real win here (1.37x) while it is phase noise at the north star
+        # (three-run finding, ROADMAP round 4).
+        section(
+            "kv_grad_ab_large", kv_grad_ab, args.quick,
+            B=8192, M=4, E=1024,
+        )
         section(
             "features_dtype_ab_north_star", features_dtype_ab, args.quick
         )
