@@ -165,13 +165,18 @@ def _vjp_wants_streamed(num_heads: int, E: int) -> bool:
     reads it 4×.  Measured within-run (round 4, full train step):
     streamed 1.16×/1.37× resident at E=512/1024 with kv_grad=False and
     1.03×/1.18× with kv_grad=True (2.2–2.5× at E=2048 where both heads
-    stream).  The PRIMAL (eval/serving) dispatch is unchanged — the
-    resident kernel wins the gradient-free forward decisively (streamed
-    measured 0.62–0.64× resident at the same shapes), which is exactly
-    the asymmetry custom_vjp allows: `_shared_core` runs resident below
-    the cap, `_shared_fwd` streams.  ``AECF_H2_STREAM=0`` restores the
-    resident dispatch for within-run A/Bs (read at trace time, like
-    ``AECF_SHARED_BWD``).
+    stream).  The EVAL primal dispatch is unchanged — the resident
+    kernel wins the gradient-free forward decisively (streamed measured
+    0.62–0.64× resident at the same shapes), and eval consumes no RNG so
+    resident-vs-streamed is a pure numerical-tolerance asymmetry (the
+    remat kind custom_vjp allows).  The TRAINING primal follows THIS
+    function too (`_shared_core` streams when it returns True): the two
+    kernels fold different tile grids into the in-kernel PRNG, so a
+    resident primal would draw a different Bernoulli mask than the
+    streamed vjp forward for the same rng — f(x) and value_and_grad(f)(x)
+    must see identical draws.  ``AECF_H2_STREAM=0`` restores the
+    resident dispatch everywhere for within-run A/Bs (read at trace
+    time, like ``AECF_SHARED_BWD``).
     """
     import os
 
@@ -422,8 +427,6 @@ def _shared_kernel_q8(
     scales_ref,  # (TB, M) f32 per-(row, modality) dequant scales
     u_ref, c_ref, pad_ref, wctx_ref, wo_ref, bctx_ref, bo_ref,
     out_ref, w_ref, mw_ref, ent_ref, rate_ref,
-    *,
-    seq_len: int,
     **static_kw,
 ):
     M = pad_ref.shape[1]
@@ -435,7 +438,7 @@ def _shared_kernel_q8(
         kv_slices, seed_ref, mask_prob_ref, u_ref, c_ref, pad_ref,
         wctx_ref, wo_ref, bctx_ref, bo_ref,
         out_ref, w_ref, mw_ref, ent_ref, rate_ref,
-        seq_len=seq_len, **static_kw,
+        **static_kw,
     )
 
 
@@ -474,11 +477,18 @@ def _prep(
     )
     scale = Dh ** -0.5
 
-    qp = qrow @ wq.T + bq  # (E,)
-    qph = qp.reshape(H, Dh)
-    wkh = wk.reshape(H, Dh, E)
-    u = scale * jnp.einsum("hd,hde->he", qph, wkh)  # (H, E)
-    c = scale * (qph * bk.reshape(H, Dh)).sum(-1)  # (H,)
+    # qp/u/c must honor the requested precision like everything else:
+    # the backwards recompute u under the same context, and a default
+    # (bf16-pass) u here against a HIGHEST u there would make gradients
+    # inconsistent with the returned primal at ~bf16 error.
+    with jax.default_matmul_precision(
+        "highest" if precision == "highest" else "default"
+    ):
+        qp = qrow @ wq.T + bq  # (E,)
+        qph = qp.reshape(H, Dh)
+        wkh = wk.reshape(H, Dh, E)
+        u = scale * jnp.einsum("hd,hde->he", qph, wkh)  # (H, E)
+        c = scale * (qph * bk.reshape(H, Dh)).sum(-1)  # (H,)
 
     if H == 1:
         # The weight-fusion GEMM must run at the requested precision — a
@@ -919,6 +929,19 @@ def _shared_core(
     params, qrow, kv, seed, mask_prob, key_padding_mask,
     num_heads, min_active, training, precision, interpret, kv_grad,
 ):
+    # TRAINING must draw the same in-kernel Bernoulli mask whether or not
+    # the call is differentiated: _shared_fwd streams on
+    # _vjp_wants_streamed configs (a different tile grid seeds a
+    # different PRNG stream), so the training primal streams there too.
+    # Gradient-free EVAL keeps the resident kernel below the cap — no RNG
+    # is consumed, so the asymmetry is a pure numerical tolerance.
+    if training and _vjp_wants_streamed(num_heads, kv.shape[-1]):
+        return tuple(_forward_streamed(
+            params, qrow, kv, seed, mask_prob, key_padding_mask,
+            min_active=min_active, training=training,
+            precision=precision, interpret=interpret,
+            num_heads=num_heads,
+        )[:5])
     return _forward(
         params, qrow, kv, seed, mask_prob, key_padding_mask,
         num_heads=num_heads, min_active=min_active, training=training,
@@ -1237,10 +1260,16 @@ def _bwd_pallas(residuals, cots, *, precision, interpret, want_dkv=True,
     scale = E ** -0.5  # H == 1 ⇒ Dh == E
 
     prec = lax.Precision.HIGHEST if precision == "highest" else None
-    qp = qrow @ wq.T + bq  # (E,)
-    # wk rows are output features f: u_e = scale · Σ_f qp_f · wk[f, e]
-    u = scale * (qp @ wk)  # (E,)
-    c = scale * (qp * bk).sum()
+    # Same precision context as _prep: the forward's u and this remat's u
+    # must be the same numbers or the recomputed softmax (and every grad
+    # behind it) drifts from the returned primal at ~bf16 error.
+    with jax.default_matmul_precision(
+        "highest" if precision == "highest" else "default"
+    ):
+        qp = qrow @ wq.T + bq  # (E,)
+        # wk rows are output features f: u_e = scale · Σ_f qp_f · wk[f, e]
+        u = scale * (qp @ wk)  # (E,)
+        c = scale * (qp * bk).sum()
     wvo = jnp.matmul(wo, wv, precision=prec)  # (E, E)
 
     bias = jnp.full((B, M), c, f32)
@@ -1667,9 +1696,14 @@ def _bwd_streamed(residuals, cots, mix, *, precision, interpret,
     scale = E ** -0.5  # H == 1 ⇒ Dh == E
 
     prec = lax.Precision.HIGHEST if precision == "highest" else None
-    qp = qrow @ wq.T + bq  # (E,)
-    u = scale * (qp @ wk)  # (E,)
-    c = scale * (qp * bk).sum()
+    # Same precision context as _prep (see _bwd_pallas): the remat u must
+    # equal the forward's u.
+    with jax.default_matmul_precision(
+        "highest" if precision == "highest" else "default"
+    ):
+        qp = qrow @ wq.T + bq  # (E,)
+        u = scale * (qp @ wk)  # (E,)
+        c = scale * (qp * bk).sum()
     wvo = jnp.matmul(wo, wv, precision=prec)  # (E, E)
 
     # ---- the two E×E GEMMs, in XLA (optimal tiling at any E) ---------------
@@ -1948,9 +1982,14 @@ def _shared_core_q8(
     stream at a QUARTER of the f32 bytes in both passes — on a path the
     roofline shows 85-94% HBM-bound, that is the dominant stream in the
     forward AND in the backward's dW_k/dW_v re-read."""
+    # differentiable=training: the training primal uses the vjp forward's
+    # streamed boundary so Bernoulli draws are identical whether or not
+    # the call is differentiated (see _shared_core); eval keeps the
+    # resident int8 kernel below the cap (no RNG consumed).
     outs, _ = _q8_dispatch(
         params, qrow, kv_q8, kv_scales, seed, mask_prob, key_padding_mask,
         num_heads, min_active, training, precision, interpret,
+        differentiable=training,
     )
     return outs
 
@@ -2086,6 +2125,24 @@ def fused_fusion_pool_shared(
             f"{precision!r} — use the XLA path for other modes"
         )
     M = kv.shape[1]
+    E = kv.shape[-1]
+    # Capability caps, for EVERY kv dtype (the int8 path used to be the
+    # only one that failed cleanly; f32/bf16 would sail into an opaque
+    # Mosaic scoped-vmem error instead):
+    if E > _STREAMED_E_CAP:
+        raise ValueError(
+            f"embed_dim {E} exceeds the streamed-split cap "
+            f"E={_STREAMED_E_CAP} (the kv tile floors at the (8, 128) "
+            "sublane tile); use the XLA path"
+        )
+    if E > _RESIDENT_E_CAP and num_heads > 2:
+        # Above the resident cap only the streamed split (H ≤ 2) avoids
+        # keeping an (E, E) context block resident in VMEM.
+        raise ValueError(
+            f"E={E} above the resident cap E={_RESIDENT_E_CAP} needs "
+            "num_heads<=2 (the streamed split); use the XLA path for "
+            "H > 2"
+        )
     # M<=1 masking is an early-return no-op (reference AECFLayer.py:160-167),
     # so no randomness is consumed and no key is required.
     if training and rng is None and M > 1:
@@ -2098,13 +2155,6 @@ def fused_fusion_pool_shared(
         if kv_scales is None:
             raise ValueError(
                 "int8 kv requires kv_scales (see quantize_features)"
-            )
-        if kv.shape[-1] > _RESIDENT_E_CAP and num_heads > 2:
-            # Streamed split (H ≤ 2): int8 dequant in the mix kernel,
-            # E×E GEMM(s) in XLA — same structure as the f32 streamed path.
-            raise ValueError(
-                f"int8 kv above E={_RESIDENT_E_CAP} needs num_heads<=2 "
-                "(the streamed split); dequantize to f32 for H > 2"
             )
         # Differentiable core (round 4): gradients flow to params and the
         # query; the int8 features themselves are frozen by construction

@@ -653,6 +653,58 @@ def test_h2_belowcap_streamed_training_on_chip(monkeypatch):
         assert bool(jnp.isfinite(leaf).all())
 
 
+def test_training_primal_matches_vjp_forward_draws():
+    """f(x) and value_and_grad(f)(x) must consume the SAME Bernoulli
+    draws: on _vjp_wants_streamed configs (H=2, E=512 here) the vjp
+    forward streams, and the training PRIMAL must stream too — a
+    resident primal would fold a different tile grid into the PRNG and
+    the two evaluations of the identical function would return different
+    masked weights/mask_rate for the same rng (custom_vjp primal/fwd
+    output divergence, caught by review round 4)."""
+    from aecf_tpu.kernels import fused_fusion_pool_shared
+
+    E, M, B = 512, 3, 256
+    params = init_attention_pool_params(jax.random.key(0), E)
+    query = init_fusion_query(jax.random.key(1), E)
+    kv = jax.random.normal(jax.random.key(2), (B, M, E))
+
+    def run(p):
+        o, w, mw, info = fused_fusion_pool_shared(
+            p, query, kv, num_heads=2, training=True,
+            rng=jax.random.key(7), base_mask_prob=0.5,
+        )
+        return (o * o).mean(), (o, mw, info["mask_rate"])
+
+    # primal-only evaluation (no differentiation)
+    _, (o_p, mw_p, rate_p) = run(params)
+    # the same function under value_and_grad: outputs come from the
+    # custom_vjp forward
+    (_, (o_g, mw_g, rate_g)), _ = jax.value_and_grad(
+        run, has_aux=True
+    )(params)
+
+    # identical kernel => identical draws => bit-identical aux outputs
+    np.testing.assert_array_equal(np.asarray(rate_p), np.asarray(rate_g))
+    np.testing.assert_array_equal(np.asarray(mw_p), np.asarray(mw_g))
+    np.testing.assert_array_equal(np.asarray(o_p), np.asarray(o_g))
+
+    # q8 path: same contract through _q8_dispatch(differentiable=training)
+    from aecf_tpu.kernels import quantize_features
+
+    kv_q8, scales = quantize_features(kv)
+
+    def run_q8(p):
+        o, w, mw, info = fused_fusion_pool_shared(
+            p, query, kv_q8, num_heads=2, training=True,
+            rng=jax.random.key(7), base_mask_prob=0.5, kv_scales=scales,
+        )
+        return (o * o).mean(), info["mask_rate"]
+
+    _, rate_qp = run_q8(params)
+    (_, rate_qg), _ = jax.value_and_grad(run_q8, has_aux=True)(params)
+    np.testing.assert_array_equal(np.asarray(rate_qp), np.asarray(rate_qg))
+
+
 def test_quantized_kv_on_chip():
     """int8 kv path on real hardware: near-oracle outputs, renormalized
     weights, and training-mode masking still draws from the TPU PRNG."""

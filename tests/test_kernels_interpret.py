@@ -261,6 +261,39 @@ class TestStreamedE2048Interpret:
             tgt_len=1, num_heads=1, embed_dim=16384, shared_query=True
         )
 
+    def test_capability_caps_fail_loudly_every_dtype(self):
+        """Unsupported shape/head combinations must raise a clear
+        ValueError for EVERY kv dtype — f32/bf16 used to sail past the
+        caps into an opaque Mosaic scoped-vmem failure while only int8
+        failed cleanly (review round 4)."""
+        from aecf_tpu.kernels import fused_fusion_pool_shared
+        from aecf_tpu.kernels.shared_query import (
+            _RESIDENT_E_CAP,
+            _STREAMED_E_CAP,
+        )
+
+        def call(E, H, dtype=jnp.float32):
+            params = init_attention_pool_params(jax.random.key(0), E)
+            query = init_fusion_query(jax.random.key(1), E)
+            kv = jnp.zeros((4, 3, E), dtype)
+            return fused_fusion_pool_shared(
+                params, query, kv, num_heads=H, training=False,
+                interpret=True,
+            )
+
+        # H > 2 above the resident cap: no streamed variant exists
+        with pytest.raises(ValueError, match="num_heads<=2"):
+            call(_RESIDENT_E_CAP * 2, 4)
+        with pytest.raises(ValueError, match="num_heads<=2"):
+            call(_RESIDENT_E_CAP * 2, 4, jnp.bfloat16)
+        # beyond the documented streamed cap: fail, don't guess a tile
+        with pytest.raises(ValueError, match="streamed-split cap"):
+            call(_STREAMED_E_CAP * 2, 1)
+        # at the caps themselves nothing raises (shape checks only:
+        # interpret-mode eval executes the E=2048 H<=2 streamed path)
+        out, *_ = call(_RESIDENT_E_CAP * 2, 2)
+        assert out.shape == (4, 1, _RESIDENT_E_CAP * 2)
+
     def test_eval_forward_h2_matches_oracle(self):
         """Two-head streamed split (round-3 verdict Next #4): per-head
         mixes from the Pallas kernel, V/out projections in XLA."""
