@@ -43,7 +43,12 @@ from jax.experimental.pallas import tpu as pltpu
 from ..core.attention import AttentionPoolParams
 
 from . import tiles
-from .shared_query import _draw_seed_words, _mask_and_renorm, _pick_tile
+from .shared_query import (
+    _draw_seed_words,
+    _mask_and_renorm,
+    _pad_bias_rows,
+    _pick_tile,
+)
 
 __all__ = ["fused_fusion_pool", "supports_fused"]
 
@@ -229,13 +234,7 @@ def _forward_pallas(
 ):
     B, E = query2d.shape
     M = kv.shape[1]
-
-    if key_padding_mask is None:
-        pad_bias = jnp.zeros((B, M), jnp.float32)
-    else:
-        pad_bias = jnp.where(
-            key_padding_mask, jnp.float32(-1e30), jnp.float32(0.0)
-        )
+    pad_bias = _pad_bias_rows(key_padding_mask, B, M)
 
     # Batch tiling: weights stay resident (constant index maps); activations
     # stream.  TB sized to keep the tile working set within VMEM; the

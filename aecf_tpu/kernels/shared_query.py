@@ -122,6 +122,90 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+# ---------------------------------------------------------------------------
+# Driver prologue helpers
+#
+# Every forward/backward driver used to repeat a ~20-line unpack/pad/
+# precision prologue; the copies drifted (a backward once recomputed u
+# under a HIGHEST context while the forward ran it at default precision,
+# skewing gradients at ~bf16 error).  These helpers are the single copy.
+# Pure code motion: each traces exactly the ops the inline copies traced,
+# so compiled programs (and their persistent-cache keys) are unchanged.
+# ---------------------------------------------------------------------------
+
+
+def _ctx_prec(precision: str) -> str:
+    """``jax.default_matmul_precision`` mode for the public precision
+    string — the ONE translation point.  The forward and every backward
+    remat must run qp/u/c under the same mode or recomputed softmax
+    inputs (and every gradient behind them) drift from the returned
+    primal at ~bf16 error."""
+    return "highest" if precision == "highest" else "default"
+
+
+def _dot_prec(precision: str):
+    """Per-dot ``precision=`` override matching :func:`_ctx_prec`."""
+    return lax.Precision.HIGHEST if precision == "highest" else None
+
+
+def _split_params(params: AttentionPoolParams, E: int):
+    """The parameter unpack every driver repeats: per-projection weight
+    rows, the bias triple (zeros when ``bias=False`` — the kernels always
+    add biases so the no-bias config costs nothing extra), ``W_o``, and
+    whether a real input bias exists (grads for synthesized zeros are
+    dropped by ``_assemble_d_params``)."""
+    wq, wk, wv = jnp.split(params.in_proj_weight, 3, axis=0)
+    has_bias = params.in_proj_bias is not None
+    if has_bias:
+        bq, bk, bv = jnp.split(params.in_proj_bias, 3)
+    else:
+        bq = bk = bv = jnp.zeros((E,), jnp.float32)
+    return wq, wk, wv, bq, bk, bv, params.out_proj_weight, has_bias
+
+
+def _score_uc_1d(qrow, wq, bq, wk, bk, E: int, precision: str):
+    """H == 1 remat of :func:`_prep`'s score vector/offset: ``qp`` (E,),
+    ``u = scale·(qp @ W_k)`` (E,), scalar ``c`` — under the SAME precision
+    context as the forward (see :func:`_ctx_prec`)."""
+    scale = E ** -0.5  # H == 1 ⇒ Dh == E
+    with jax.default_matmul_precision(_ctx_prec(precision)):
+        qp = qrow @ wq.T + bq  # (E,)
+        # wk rows are output features f: u_e = scale · Σ_f qp_f · wk[f, e]
+        u = scale * (qp @ wk)  # (E,)
+        c = scale * (qp * bk).sum()
+    return qp, u, c, scale
+
+
+def _pad_bias_rows(key_padding_mask, B: int, M: int, base=None):
+    """(B, M) additive score bias: 0 for live slots, -1e30 for padded
+    ones.  ``base`` (H == 1 backwards) folds the scalar score offset c in
+    instead of zeros — padded slots overwrite it with -1e30 either way."""
+    if base is None:
+        if key_padding_mask is None:
+            return jnp.zeros((B, M), jnp.float32)
+        return jnp.where(
+            key_padding_mask, jnp.float32(-1e30), jnp.float32(0.0)
+        )
+    if key_padding_mask is None:
+        return base
+    return jnp.where(key_padding_mask, jnp.float32(-1e30), base)
+
+
+def _pad_rows(B: int, TB: int, *arrays):
+    """Tile-align the batch: zero-pad each ``(B, cols)`` operand to
+    ``B_pad = round_up(B, TB)`` rows.  Returns ``(B_pad, *padded)``.
+    Zero rows are inert in every kernel (they contribute zero to each
+    whole-block accumulator output, and tile outputs are sliced back to
+    ``[:B]``)."""
+    B_pad = _round_up(B, TB)
+    if B_pad == B:
+        return (B_pad, *arrays)
+    return (
+        B_pad,
+        *(jnp.pad(a, ((0, B_pad - B), (0, 0))) for a in arrays),
+    )
+
+
 def _kv_tile_slices(kv_ref, scales_ref, M: int, E: int):
     """Length-M list of f32 ``(TB, E)`` feature slices from a flattened
     ``(TB, M*E)`` tile — shared by every forward AND backward kernel so
@@ -465,11 +549,7 @@ def _prep(
     E = qrow.shape[-1]
     H = num_heads
     Dh = E // H
-    wq, wk, wv = jnp.split(params.in_proj_weight, 3, axis=0)
-    if params.in_proj_bias is not None:
-        bq, bk, bv = jnp.split(params.in_proj_bias, 3)
-    else:
-        bq = bk = bv = jnp.zeros((E,), jnp.float32)
+    wq, wk, wv, bq, bk, bv, _wo, _ = _split_params(params, E)
     bo = (
         params.out_proj_bias
         if params.out_proj_bias is not None
@@ -478,12 +558,10 @@ def _prep(
     scale = Dh ** -0.5
 
     # qp/u/c must honor the requested precision like everything else:
-    # the backwards recompute u under the same context, and a default
-    # (bf16-pass) u here against a HIGHEST u there would make gradients
-    # inconsistent with the returned primal at ~bf16 error.
-    with jax.default_matmul_precision(
-        "highest" if precision == "highest" else "default"
-    ):
+    # the backwards recompute u under the same context (_ctx_prec), and a
+    # default (bf16-pass) u here against a HIGHEST u there would make
+    # gradients inconsistent with the returned primal at ~bf16 error.
+    with jax.default_matmul_precision(_ctx_prec(precision)):
         qp = qrow @ wq.T + bq  # (E,)
         qph = qp.reshape(H, Dh)
         wkh = wk.reshape(H, Dh, E)
@@ -493,9 +571,7 @@ def _prep(
     if H == 1:
         # The weight-fusion GEMM must run at the requested precision — a
         # bf16 W_vo would poison the f32 context GEMM's output parity.
-        prec = (
-            lax.Precision.HIGHEST if precision == "highest" else None
-        )
+        prec = _dot_prec(precision)
         wctx = jnp.matmul(
             params.out_proj_weight, wv, precision=prec
         )  # W_vo (E, E)
@@ -536,13 +612,7 @@ def _forward(
             num_heads=num_heads,
         )[:5]
     u, c, wctx, wo, bctx, bo_k = _prep(params, qrow, num_heads, precision)
-
-    if key_padding_mask is None:
-        pad_bias = jnp.zeros((B, M), jnp.float32)
-    else:
-        pad_bias = jnp.where(
-            key_padding_mask, jnp.float32(-1e30), jnp.float32(0.0)
-        )
+    pad_bias = _pad_bias_rows(key_padding_mask, B, M)
 
     # Tile size vs the 16MB scoped-vmem budget.  The live set scales with
     # the kv tile (TB·M·E·4, double-buffered) plus per-head temporaries.
@@ -557,15 +627,12 @@ def _forward(
             "fwd_resident", M=M, E=E, H=num_heads, kv_dtype=kv.dtype.name
         ),
     )
-    B_pad = _round_up(B, TB)
-    kv_flat = kv.reshape(B, M * E)  # lane-sliced in-kernel (see kernel doc)
-    if B_pad != B:
-        kv_flat = jnp.pad(kv_flat, ((0, B_pad - B), (0, 0)))
-        pad_bias = jnp.pad(pad_bias, ((0, B_pad - B), (0, 0)))
-
-    mxu_precision = (
-        lax.Precision.HIGHEST if precision == "highest" else None
+    # kv lane-sliced in-kernel from the flattened (B, M*E) layout
+    B_pad, kv_flat, pad_bias = _pad_rows(
+        B, TB, kv.reshape(B, M * E), pad_bias
     )
+
+    mxu_precision = _dot_prec(precision)
     kernel = functools.partial(
         _shared_kernel,
         num_heads=num_heads,
@@ -698,13 +765,7 @@ def _forward_streamed(
     B, M, E = kv.shape
     H = num_heads
     u, c, wctx, wo, bctx, bo_k = _prep(params, qrow, H, precision)
-
-    if key_padding_mask is None:
-        pad_bias = jnp.zeros((B, M), jnp.float32)
-    else:
-        pad_bias = jnp.where(
-            key_padding_mask, jnp.float32(-1e30), jnp.float32(0.0)
-        )
+    pad_bias = _pad_bias_rows(key_padding_mask, B, M)
 
     # No (E, E) block in VMEM — the working set is the double-buffered kv
     # tile (TB·M·E·4) plus the (TB, H·E) mix output.  TB=256 exceeds VMEM
@@ -720,14 +781,13 @@ def _forward_streamed(
             "fwd_streamed", M=M, E=E, H=H, kv_dtype=kv.dtype.name
         ),
     )
-    B_pad = _round_up(B, TB)
-    kv_flat = kv.reshape(B, M * E)
     q8 = kv_scales is not None
-    if B_pad != B:
-        kv_flat = jnp.pad(kv_flat, ((0, B_pad - B), (0, 0)))
-        pad_bias = jnp.pad(pad_bias, ((0, B_pad - B), (0, 0)))
-        if q8:
-            kv_scales = jnp.pad(kv_scales, ((0, B_pad - B), (0, 0)))
+    B_pad, kv_flat, pad_bias, *opt = _pad_rows(
+        B, TB, kv.reshape(B, M * E), pad_bias,
+        *([kv_scales] if q8 else []),
+    )
+    if q8:
+        (kv_scales,) = opt
 
     kernel = functools.partial(
         _mix_kernel,
@@ -784,7 +844,7 @@ def _forward_streamed(
     )
     mix = mix[:B]
     # Context GEMM(s) in XLA (it tiles E×E GEMMs optimally at any size).
-    prec = lax.Precision.HIGHEST if precision == "highest" else None
+    prec = _dot_prec(precision)
     if H == 1:
         out = (
             jnp.matmul(mix, wctx.T, precision=prec,
@@ -829,13 +889,7 @@ def _forward_q8(
     flow to params/query, kv stays frozen int8 — see _shared_q8_bwd)."""
     B, M, E = kv_q8.shape
     u, c, wctx, wo, bctx, bo_k = _prep(params, qrow, num_heads, precision)
-
-    if key_padding_mask is None:
-        pad_bias = jnp.zeros((B, M), jnp.float32)
-    else:
-        pad_bias = jnp.where(
-            key_padding_mask, jnp.float32(-1e30), jnp.float32(0.0)
-        )
+    pad_bias = _pad_bias_rows(key_padding_mask, B, M)
 
     # int8 kv tiles are 4x smaller than f32, so the q8 path affords a
     # larger batch tile at E=1024 than the f32 forward: 384 measured +8%
@@ -846,16 +900,11 @@ def _forward_q8(
             "fwd_resident", M=M, E=E, H=num_heads, kv_dtype="int8"
         ),
     )
-    B_pad = _round_up(B, TB)
-    kv_flat = kv_q8.reshape(B, M * E)
-    if B_pad != B:
-        kv_flat = jnp.pad(kv_flat, ((0, B_pad - B), (0, 0)))
-        scales = jnp.pad(scales, ((0, B_pad - B), (0, 0)))
-        pad_bias = jnp.pad(pad_bias, ((0, B_pad - B), (0, 0)))
-
-    mxu_precision = (
-        lax.Precision.HIGHEST if precision == "highest" else None
+    B_pad, kv_flat, scales, pad_bias = _pad_rows(
+        B, TB, kv_q8.reshape(B, M * E), scales, pad_bias
     )
+
+    mxu_precision = _dot_prec(precision)
     kernel = functools.partial(
         _shared_kernel_q8,
         num_heads=num_heads,
@@ -1250,31 +1299,18 @@ def _bwd_pallas(residuals, cots, *, precision, interpret, want_dkv=True,
     kv_dtype = kv.dtype
     f32 = jnp.float32
 
-    wq, wk, wv = jnp.split(params.in_proj_weight, 3, axis=0)
-    has_bias = params.in_proj_bias is not None
-    if has_bias:
-        bq, bk, bv = jnp.split(params.in_proj_bias, 3)
-    else:
-        bq = bk = bv = jnp.zeros((E,), f32)
-    wo = params.out_proj_weight
-    scale = E ** -0.5  # H == 1 ⇒ Dh == E
-
-    prec = lax.Precision.HIGHEST if precision == "highest" else None
-    # Same precision context as _prep: the forward's u and this remat's u
-    # must be the same numbers or the recomputed softmax (and every grad
-    # behind it) drifts from the returned primal at ~bf16 error.
-    with jax.default_matmul_precision(
-        "highest" if precision == "highest" else "default"
-    ):
-        qp = qrow @ wq.T + bq  # (E,)
-        # wk rows are output features f: u_e = scale · Σ_f qp_f · wk[f, e]
-        u = scale * (qp @ wk)  # (E,)
-        c = scale * (qp * bk).sum()
+    wq, wk, wv, bq, bk, bv, wo, has_bias = _split_params(params, E)
+    prec = _dot_prec(precision)
+    # _score_uc_1d remats qp/u/c under the SAME precision context as
+    # _prep — the forward's u and this remat's u must be the same numbers
+    # or the recomputed softmax (and every grad behind it) drifts from
+    # the returned primal at ~bf16 error.
+    qp, u, c, scale = _score_uc_1d(qrow, wq, bq, wk, bk, E, precision)
     wvo = jnp.matmul(wo, wv, precision=prec)  # (E, E)
 
-    bias = jnp.full((B, M), c, f32)
-    if key_padding_mask is not None:
-        bias = jnp.where(key_padding_mask, jnp.float32(-1e30), bias)
+    bias = _pad_bias_rows(
+        key_padding_mask, B, M, base=jnp.full((B, M), c, f32)
+    )
     if d_w is None:
         d_w = jnp.zeros((B, M), f32)
 
@@ -1310,16 +1346,12 @@ def _bwd_pallas(residuals, cots, *, precision, interpret, want_dkv=True,
         # The f32 d_out/d_mix tiles dominate the budget, so the f32
         # defaults carry over.
         TB = _pick_tile(256, "AECF_BWD_TB", B, site=bwd_site)
-    B_pad = _round_up(B, TB)
-    kv_flat = kv.reshape(B, M * E)  # lane-sliced in-kernel
-    if B_pad != B:
-        # zero-padded rows contribute exactly zero to every output
-        kv_flat = jnp.pad(kv_flat, ((0, B_pad - B), (0, 0)))
-        d_out = jnp.pad(d_out, ((0, B_pad - B), (0, 0)))
-        d_w = jnp.pad(d_w, ((0, B_pad - B), (0, 0)))
-        bias = jnp.pad(bias, ((0, B_pad - B), (0, 0)))
-        if q8:
-            kv_scales = jnp.pad(kv_scales, ((0, B_pad - B), (0, 0)))
+    B_pad, kv_flat, d_out, d_w, bias, *opt = _pad_rows(
+        B, TB, kv.reshape(B, M * E), d_out, d_w, bias,
+        *([kv_scales] if q8 else []),
+    )
+    if q8:
+        (kv_scales,) = opt
 
     mxu_precision = prec
     kernel = functools.partial(
@@ -1388,9 +1420,7 @@ def _bwd_pallas(residuals, cots, *, precision, interpret, want_dkv=True,
     dc = dvec[1, 0]
 
     # ---- reconstruct weight grads from the fused accumulators ----------------
-    with jax.default_matmul_precision(
-        "highest" if precision == "highest" else "default"
-    ):
+    with jax.default_matmul_precision(_ctx_prec(precision)):
         dWo, dWv, d_bv, dbo = _g_epilogue(
             G, dsum_out, wv, wo, bv, params.out_proj_bias is not None
         )
@@ -1542,19 +1572,12 @@ def _bwd_streamed_mh(residuals, cots, mix, *, num_heads, precision,
     kv_dtype = kv.dtype
     f32 = jnp.float32
 
-    wq, wk, wv = jnp.split(params.in_proj_weight, 3, axis=0)
-    has_bias = params.in_proj_bias is not None
-    if has_bias:
-        bq, bk, bv = jnp.split(params.in_proj_bias, 3)
-    else:
-        bq = bk = bv = jnp.zeros((E,), f32)
-    wo = params.out_proj_weight
+    wq, wk, wv, bq, bk, bv, wo, has_bias = _split_params(params, E)
     scale = Dh ** -0.5
 
-    prec = lax.Precision.HIGHEST if precision == "highest" else None
-    with jax.default_matmul_precision(
-        "highest" if precision == "highest" else "default"
-    ):
+    prec = _dot_prec(precision)
+    # remat of _prep's qp/u/c under the SAME precision context (_ctx_prec)
+    with jax.default_matmul_precision(_ctx_prec(precision)):
         qp = qrow @ wq.T + bq  # (E,)
         qph = qp.reshape(H, Dh)
         wkh = wk.reshape(H, Dh, E)
@@ -1569,12 +1592,7 @@ def _bwd_streamed_mh(residuals, cots, mix, *, num_heads, precision,
         )
         d_mix = d_mix.reshape(B, H * E)
 
-    if key_padding_mask is None:
-        pad_bias = jnp.zeros((B, M), f32)
-    else:
-        pad_bias = jnp.where(
-            key_padding_mask, jnp.float32(-1e30), jnp.float32(0.0)
-        )
+    pad_bias = _pad_bias_rows(key_padding_mask, B, M)
     if d_w is None:
         d_w = jnp.zeros((B, M), f32)
 
@@ -1592,15 +1610,12 @@ def _bwd_streamed_mh(residuals, cots, mix, *, num_heads, precision,
             want_dkv=want_dkv,
         ),
     )
-    B_pad = _round_up(B, TB)
-    kv_flat = kv.reshape(B, M * E)
-    if B_pad != B:
-        kv_flat = jnp.pad(kv_flat, ((0, B_pad - B), (0, 0)))
-        d_mix = jnp.pad(d_mix, ((0, B_pad - B), (0, 0)))
-        d_w = jnp.pad(d_w, ((0, B_pad - B), (0, 0)))
-        pad_bias = jnp.pad(pad_bias, ((0, B_pad - B), (0, 0)))
-        if q8:
-            kv_scales = jnp.pad(kv_scales, ((0, B_pad - B), (0, 0)))
+    B_pad, kv_flat, d_mix, d_w, pad_bias, *opt = _pad_rows(
+        B, TB, kv.reshape(B, M * E), d_mix, d_w, pad_bias,
+        *([kv_scales] if q8 else []),
+    )
+    if q8:
+        (kv_scales,) = opt
 
     kernel = functools.partial(
         _bwd_kernel_streamed_mh, num_heads=H, want_dkv=want_dkv,
@@ -1659,9 +1674,7 @@ def _bwd_streamed_mh(residuals, cots, mix, *, num_heads, precision,
     du = acc[:H]  # (H, E)
     dc = acc[H, :H]  # (H,)
 
-    with jax.default_matmul_precision(
-        "highest" if precision == "highest" else "default"
-    ):
+    with jax.default_matmul_precision(_ctx_prec(precision)):
         d_qp, dWk, d_bk, dWq, d_qrow = _query_path_grads(
             scale, qph, wkh, bk, du, dc, wq, qrow, has_bias
         )
@@ -1686,37 +1699,22 @@ def _bwd_streamed(residuals, cots, mix, *, precision, interpret,
     kv_dtype = kv.dtype
     f32 = jnp.float32
 
-    wq, wk, wv = jnp.split(params.in_proj_weight, 3, axis=0)
-    has_bias = params.in_proj_bias is not None
-    if has_bias:
-        bq, bk, bv = jnp.split(params.in_proj_bias, 3)
-    else:
-        bq = bk = bv = jnp.zeros((E,), f32)
-    wo = params.out_proj_weight
-    scale = E ** -0.5  # H == 1 ⇒ Dh == E
-
-    prec = lax.Precision.HIGHEST if precision == "highest" else None
-    # Same precision context as _prep (see _bwd_pallas): the remat u must
-    # equal the forward's u.
-    with jax.default_matmul_precision(
-        "highest" if precision == "highest" else "default"
-    ):
-        qp = qrow @ wq.T + bq  # (E,)
-        u = scale * (qp @ wk)  # (E,)
-        c = scale * (qp * bk).sum()
+    wq, wk, wv, bq, bk, bv, wo, has_bias = _split_params(params, E)
+    prec = _dot_prec(precision)
+    # _score_uc_1d remats qp/u/c under the SAME precision context as
+    # _prep (see _bwd_pallas): the remat u must equal the forward's u.
+    qp, u, c, scale = _score_uc_1d(qrow, wq, bq, wk, bk, E, precision)
     wvo = jnp.matmul(wo, wv, precision=prec)  # (E, E)
 
     # ---- the two E×E GEMMs, in XLA (optimal tiling at any E) ---------------
-    with jax.default_matmul_precision(
-        "highest" if precision == "highest" else "default"
-    ):
+    with jax.default_matmul_precision(_ctx_prec(precision)):
         d_mix = jnp.matmul(d_out, wvo, precision=prec)  # (B, E)
         G = jnp.matmul(d_out.T, mix, precision=prec)  # (E, E)
     dsum_out = d_out.sum(axis=0)  # (E,)
 
-    bias = jnp.full((B, M), c, f32)
-    if key_padding_mask is not None:
-        bias = jnp.where(key_padding_mask, jnp.float32(-1e30), bias)
+    bias = _pad_bias_rows(
+        key_padding_mask, B, M, base=jnp.full((B, M), c, f32)
+    )
     if d_w is None:
         d_w = jnp.zeros((B, M), f32)
 
@@ -1736,15 +1734,12 @@ def _bwd_streamed(residuals, cots, mix, *, precision, interpret,
             want_dkv=want_dkv,
         ),
     )
-    B_pad = _round_up(B, TB)
-    kv_flat = kv.reshape(B, M * E)
-    if B_pad != B:
-        kv_flat = jnp.pad(kv_flat, ((0, B_pad - B), (0, 0)))
-        d_mix = jnp.pad(d_mix, ((0, B_pad - B), (0, 0)))
-        d_w = jnp.pad(d_w, ((0, B_pad - B), (0, 0)))
-        bias = jnp.pad(bias, ((0, B_pad - B), (0, 0)))
-        if q8:
-            kv_scales = jnp.pad(kv_scales, ((0, B_pad - B), (0, 0)))
+    B_pad, kv_flat, d_mix, d_w, bias, *opt = _pad_rows(
+        B, TB, kv.reshape(B, M * E), d_mix, d_w, bias,
+        *([kv_scales] if q8 else []),
+    )
+    if q8:
+        (kv_scales,) = opt
 
     kernel = functools.partial(
         _bwd_kernel_streamed, want_dkv=want_dkv, quantized=q8
@@ -1802,9 +1797,7 @@ def _bwd_streamed(residuals, cots, mix, *, precision, interpret,
     dc = acc[1, 0]
 
     # ---- reconstruct weight grads (same algebra as _bwd_pallas) -------------
-    with jax.default_matmul_precision(
-        "highest" if precision == "highest" else "default"
-    ):
+    with jax.default_matmul_precision(_ctx_prec(precision)):
         dWo, dWv, d_bv, dbo = _g_epilogue(
             G, dsum_out, wv, wo, bv, params.out_proj_bias is not None
         )
@@ -1868,8 +1861,7 @@ def _shared_bwd(
             residuals, cots, precision=precision, interpret=interpret,
             want_dkv=kv_grad,
         )
-    ctx_prec = "highest" if precision == "highest" else "default"
-    with jax.default_matmul_precision(ctx_prec):
+    with jax.default_matmul_precision(_ctx_prec(precision)):
         return _shared_bwd_impl(
             num_heads, residuals, cots, kv_grad=kv_grad
         )
@@ -1882,13 +1874,7 @@ def _shared_bwd_impl(num_heads, residuals, cots, kv_grad=True):
     H = num_heads
     Dh = E // H
 
-    wq, wk, wv = jnp.split(params.in_proj_weight, 3, axis=0)
-    has_bias = params.in_proj_bias is not None
-    if has_bias:
-        bq, bk, bv = jnp.split(params.in_proj_bias, 3)
-    else:
-        bq = bk = bv = jnp.zeros((E,), jnp.float32)
-    wo = params.out_proj_weight
+    wq, wk, wv, bq, bk, bv, wo, has_bias = _split_params(params, E)
     scale = Dh ** -0.5
 
     # ---- recompute forward (remat) -----------------------------------------
@@ -2051,9 +2037,7 @@ def _shared_q8_bwd(
         )
     else:
         kv = kv_q8.astype(jnp.float32) * kv_scales[:, :, None]
-        with jax.default_matmul_precision(
-            "highest" if precision == "highest" else "default"
-        ):
+        with jax.default_matmul_precision(_ctx_prec(precision)):
             d_params, d_qrow, *_ = _shared_bwd_impl(
                 num_heads, (params, qrow, kv, key_padding_mask), cots,
                 kv_grad=False,
