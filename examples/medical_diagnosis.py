@@ -21,12 +21,12 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 
-def main():
+def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=150)
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--platform", choices=["cpu", "tpu"])
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
 
     import jax
 

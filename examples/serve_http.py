@@ -25,14 +25,14 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def main():
+def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--port", type=int, default=0)
     ap.add_argument("--platform", default=None)
     ap.add_argument("--keep-serving", action="store_true")
     ap.add_argument("--frozen", action="store_true",
                     help="export → reload → serve the frozen artifact")
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
 
     import jax
 

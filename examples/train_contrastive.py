@@ -22,7 +22,7 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def main():
+def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--global-batch", type=int, default=8192)
@@ -30,7 +30,7 @@ def main():
     ap.add_argument("--modalities", type=int, default=4)
     ap.add_argument("--temperature", type=float, default=0.1)
     ap.add_argument("--platform", choices=["cpu", "tpu"])
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
 
     import jax
 
