@@ -137,7 +137,7 @@ def plot_results(results, curriculum_epoch, path):
     print(f"saved dashboard → {path}")
 
 
-def main():
+def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=60)
     ap.add_argument("--curriculum-epoch", type=int, default=40)
@@ -153,7 +153,7 @@ def main():
         help="force a JAX backend (tiny-batch quick runs are faster on cpu: "
         "the per-dispatch latency of a remote TPU dominates at batch 64)",
     )
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
 
     if args.platform:
         import jax

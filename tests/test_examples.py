@@ -8,11 +8,14 @@ piece of the migration story.  Tests import the script and call
 ``test_fit.py::test_elastic_example_end_to_end`` — and assert on the
 output the script prints for its own success criteria.
 
-(``train_elastic``, ``train_xrays``, ``show_pathologies`` and
-``extract_clip_features`` already have dedicated tests elsewhere.)
+(``train_elastic``, ``show_pathologies`` and ``extract_clip_features``
+already have dedicated tests elsewhere; ``train_xrays`` gets its --quick
+mode smoked here — the full 60-epoch protocol run is the committed
+artifact in docs/experiments.md.)
 """
 
 import importlib.util
+import json
 import os
 import re
 
@@ -91,6 +94,35 @@ def test_train_contrastive_example(capsys):
         float(x) for x in re.findall(r"infonce=([0-9.]+)", out)
     ]
     assert losses and all(l > 0 for l in losses)
+
+
+def test_train_xrays_quick_example(tmp_path, capsys):
+    """The reference experiment protocol end-to-end in --quick mode
+    (6 epochs, activation at 3): parallel baseline-vs-AECF training,
+    curriculum activation, masked eval sweeps, effect report, artifacts.
+    The full-length signature thresholds are NOT asserted here (6 epochs
+    is too short for the entropy jump to be reliable) — this guards the
+    pipeline, the committed 60-epoch artifact guards the science."""
+    _load("train_xrays").main([
+        "--quick", "--out-dir", str(tmp_path),
+    ])
+    out = capsys.readouterr().out
+    assert "using synthetic CLIP-like features" in out
+    assert "Entropy change:" in out
+    with open(tmp_path / "results.json") as f:
+        saved = json.load(f)
+    eff = saved["curriculum_effect"]
+    import numpy as np
+
+    assert np.isfinite(eff["entropy_change"])
+    assert np.isfinite(eff["robustness_change"])
+    assert eff["activated"] is True
+    # both models tracked for every epoch, all three eval sweeps ran
+    for model in ("baseline", "aecf"):
+        for sweep in ("val_full_map", "val_no_images_map",
+                      "val_no_texts_map"):
+            assert len(saved["results"][model][sweep]) == 6
+    assert (tmp_path / "training_dashboard.png").exists()
 
 
 def test_serve_http_example(capsys):
