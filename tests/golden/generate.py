@@ -283,15 +283,18 @@ def generate_torch_ckpt_golden():
     print(f"wrote {out_path}; export round-trip through torch verified")
 
 
-def generate_random_pool_goldens(n_cases: int = 20):
+def generate_random_pool_goldens(n_cases: int = 24):
     """Randomized config sweep vs the live reference (round-3 verdict
     Next #6): N pool configs spanning H ∈ {1,2,4,8}, bias on/off,
-    batch_first both, M ∈ 2-6, odd batches, with/without key_padding_mask,
-    value≠key, train (injected Bernoulli mask) and eval — each with the
-    reference's exact outputs recorded.  The fixed goldens above pin one
-    corner (H=4, bias on); a systematic torch-vs-JAX divergence hiding in
-    any other corner gets caught here.  Contract anchor: the reference
-    forward, AECFLayer.py:409-547.
+    batch_first both, M ∈ 2-6, tgt_len T ∈ {1,2,3}, odd batches,
+    with/without key_padding_mask, value≠key, train (injected Bernoulli
+    mask) and eval — each with the reference's exact outputs recorded.
+    The fixed goldens above pin one corner (H=4, bias on, T=1); a
+    systematic torch-vs-JAX divergence hiding in any other corner gets
+    caught here.  T>1 exercises the reference's multi-query pooling:
+    head-averaged weights come back (B, T, S) and the masking chain runs
+    over every query row (AECFLayer.py:515-534).  Contract anchor: the
+    reference forward, AECFLayer.py:409-547.
     """
     import json
 
@@ -309,6 +312,7 @@ def generate_random_pool_goldens(n_cases: int = 20):
         Dh = int(rng.choice([4, 8, 16]))
         E = H * Dh
         M = int(rng.integers(2, 7))
+        T = int(rng.choice([1, 1, 2, 3]))  # tgt_len; T=1 stays dominant
         B = int(rng.choice([3, 5, 7, 9, 11, 13, 17]))
         bias = bool(rng.random() < 0.5)
         batch_first = bool(rng.random() < 0.5)
@@ -333,7 +337,7 @@ def generate_random_pool_goldens(n_cases: int = 20):
         )
         pool.train(training)
 
-        q = rng.normal(size=(B, 1, E)).astype(np.float32)
+        q = rng.normal(size=(B, T, E)).astype(np.float32)
         kv = rng.normal(size=(B, M, E)).astype(np.float32)
         value = (
             rng.normal(size=(B, M, E)).astype(np.float32)
@@ -344,7 +348,7 @@ def generate_random_pool_goldens(n_cases: int = 20):
             pad = rng.random((B, M)) < 0.3
             pad[:, 0] = False  # never fully-padded rows
         mask = (
-            (rng.random((B, 1, M)) > 0.5).astype(np.float32)
+            (rng.random((B, T, M)) > 0.5).astype(np.float32)
             if training else None
         )
 
@@ -373,7 +377,7 @@ def generate_random_pool_goldens(n_cases: int = 20):
         name = f"r{i}"
         case_meta.append(
             {
-                "name": name, "E": E, "H": H, "M": M, "B": B,
+                "name": name, "E": E, "H": H, "M": M, "B": B, "T": T,
                 "bias": bias, "batch_first": batch_first,
                 "use_pad": use_pad, "sep_value": sep_value,
                 "training": training,

@@ -113,12 +113,13 @@ def random_golden():
     return data, cases
 
 
-@pytest.mark.parametrize("idx", range(20))
+@pytest.mark.parametrize("idx", range(24))
 def test_random_pool_golden(random_golden, idx):
     """Randomized-config parity vs the live reference (verdict Next #6):
-    H ∈ {1,2,4,8} × bias on/off × batch_first both × M ∈ 2-6 × odd
-    batches × with/without key_padding_mask × value≠key × train/eval,
-    each against torch's recorded outputs — not the in-repo oracle."""
+    H ∈ {1,2,4,8} × bias on/off × batch_first both × M ∈ 2-6 ×
+    tgt_len T ∈ {1,2,3} × odd batches × with/without key_padding_mask ×
+    value≠key × train/eval, each against torch's recorded outputs — not
+    the in-repo oracle."""
     data, cases = random_golden
     if idx >= len(cases):
         pytest.skip("fewer cases in golden file")
