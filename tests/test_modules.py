@@ -424,6 +424,35 @@ def test_batch_first_false_stays_eligible_for_fused_dispatch(monkeypatch):
     assert called.get("yes"), "fused dispatch not taken for batch_first=False"
 
 
+def test_multi_query_falls_back_to_xla_and_matches_oracle():
+    """T>1 (multi-query pooling, reference AECFLayer.py:515-534) is
+    outside the fused kernels' contract: the dispatch gate must route it
+    to the XLA path silently — identical output to an explicit
+    implementation='xla' pool, no kernel-boundary error."""
+    cm = dict(base_mask_prob=0.3, entropy_target=0.6, min_active=1)
+    forced = MultimodalAttentionPool(
+        32, num_heads=2, implementation="pallas",
+        curriculum_masking=CurriculumMasking(**cm), key=KEY,
+    ).train()
+    oracle = MultimodalAttentionPool(
+        32, num_heads=2, implementation="xla",
+        curriculum_masking=CurriculumMasking(**cm),
+        params=forced.params,
+    ).train()
+    q = jax.random.normal(jax.random.key(1), (4, 3, 32))  # T=3
+    kv = jax.random.normal(jax.random.key(2), (4, 5, 32))
+
+    assert not forced._pallas_supported(q, True, None, None, False, None)
+    rng = jax.random.key(7)
+    out_f, info_f = forced(q, kv, rng=rng, return_info=True)
+    out_x, info_x = oracle(q, kv, rng=rng, return_info=True)
+    assert out_f.shape == (4, 3, 32)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_x))
+    assert set(info_f) == set(info_x)
+    # head-averaged weights keep the reference's (B, T, S) contract
+    assert info_f["attention_weights"].shape == (4, 3, 5)
+
+
 def test_detach_info_false_grads_finite_with_padding_mask():
     """detach_info=False routes to the XLA path where a -inf padded slot
     yields an exact-zero weight; the entropy term's gradient must stay
