@@ -331,6 +331,26 @@ class ExperimentConfig:
     eval_batch_size: int = 64
 
 
+def _fusion_rows_mean(x, row_mask):
+    """Sub-batch mean over both-present rows, matching the reference's
+    indexing: the reference runs the fusion pool only on rows where both
+    modalities are present (train_xrays_example.py:211-225), so its logged
+    gate stats (``aecf_info['entropy'].mean()``, :380-383) cover exactly
+    those rows.  Dense TPU compute runs the pool over every row;
+    ``info['fusion_row_mask']`` (models/xray.py) recovers the sub-batch.
+    Returns None when no row fused — the reference then records nothing
+    for the batch (``info`` is never updated when ``both_present.any()``
+    is False)."""
+    if row_mask is None:
+        return float(jnp.mean(x))
+    rows = int(jnp.sum(row_mask))
+    if rows == 0:
+        return None
+    per_row = x.size // row_mask.size
+    m = row_mask.reshape(row_mask.shape + (1,) * (x.ndim - row_mask.ndim))
+    return float(jnp.sum(jnp.where(m, x, 0.0)) / (rows * per_row))
+
+
 def train_parallel_experiment(
     baseline_model,
     aecf_model,
@@ -454,10 +474,17 @@ def train_parallel_experiment(
             )
             base_losses.append(float(base_loss))
             aecf_losses.append(float(aecf_loss))
-            if "entropy" in info:
-                epoch_entropies.append(float(info["entropy"].mean()))
-            if "mask_rate" in info:
-                epoch_mask_rates.append(float(info["mask_rate"].mean()))
+            # Gate stats over both-present rows only (reference :380-383
+            # sees only the fused sub-batch; see _fusion_rows_mean).
+            row_mask = info.get("fusion_row_mask")
+            for key_, sink in (
+                ("entropy", epoch_entropies),
+                ("mask_rate", epoch_mask_rates),
+            ):
+                if key_ in info:
+                    v = _fusion_rows_mean(info[key_], row_mask)
+                    if v is not None:
+                        sink.append(v)
 
         # Per-epoch masked eval sweeps (reference :386-392).
         epoch_evals = {}

@@ -369,3 +369,54 @@ def test_tiny_parallel_experiment_runs():
     assert results["aecf"]["gate_entropy"][1] > 0.0
     assert results["aecf"]["mask_rate"][1] >= 0.0
     assert "_states" in results
+
+
+class TestFusionRowsMean:
+    """Gate-stat aggregation parity: the reference logs entropy/mask_rate
+    over ONLY the both-present sub-batch (it runs the fusion pool on
+    those rows alone, train_xrays_example.py:211-225, :380-383); dense
+    TPU compute must recover that statistic via info['fusion_row_mask']."""
+
+    def test_subbatch_mean_and_edge_cases(self):
+        from aecf_tpu.train.trainer import _fusion_rows_mean
+
+        x = jnp.array([[1.0], [2.0], [3.0], [4.0]])
+        row = jnp.array([True, False, True, False])
+        assert _fusion_rows_mean(x, row) == 2.0  # rows 0 and 2
+        assert _fusion_rows_mean(x, None) == 2.5  # no mask → full mean
+        assert _fusion_rows_mean(x, jnp.zeros(4, bool)) is None  # no fused rows
+
+    def test_matches_reference_subbatch_forward(self):
+        """The masked mean over a full-batch dense forward equals the
+        entropy mean of a forward run on ONLY the both-present rows —
+        exactly the statistic the reference computes via sub-batch
+        indexing.  Eval mode: entropy is pre-mask and row-local, so the
+        two forwards see identical per-row weights."""
+        from aecf_tpu.train.trainer import _fusion_rows_mean
+
+        model = XrayAECFModel(
+            image_dim=12, text_dim=12, hidden_dim=8, num_classes=3
+        )
+        params = model.init(jax.random.key(0))
+        rng = np.random.default_rng(7)
+        img = rng.normal(size=(6, 12)).astype(np.float32)
+        txt = rng.normal(size=(6, 12)).astype(np.float32)
+        txt[1] = 0.0  # rows 1, 4 lose the text modality
+        txt[4] = 0.0
+
+        _, info = model.apply(
+            params, jnp.asarray(img), jnp.asarray(txt),
+            training=False, curriculum_enabled=True, return_info=True,
+        )
+        row = np.asarray(info["fusion_row_mask"])
+        np.testing.assert_array_equal(row, [1, 0, 1, 1, 0, 1])
+
+        _, sub_info = model.apply(
+            params, jnp.asarray(img[row]), jnp.asarray(txt[row]),
+            training=False, curriculum_enabled=True, return_info=True,
+        )
+        got = _fusion_rows_mean(info["entropy"], info["fusion_row_mask"])
+        want = float(sub_info["entropy"].mean())
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+        # and it differs from the naive full-batch mean (the old skew)
+        assert abs(got - float(info["entropy"].mean())) > 1e-9
