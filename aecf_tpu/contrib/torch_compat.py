@@ -78,7 +78,12 @@ def attention_pool_params_from_state_dict(
 
     b_in = maybe(f"{p}in_proj_bias")
     b_out = maybe(f"{p}out_proj.bias")
-    cast = (lambda x: jnp.asarray(x, dtype)) if dtype else jnp.asarray
+    # jnp.array, not jnp.asarray: asarray zero-copy ALIASES suitably aligned
+    # host buffers on CPU jax, and tensor.detach().numpy() shares storage
+    # with the live torch tensor — an aliased conversion would let a later
+    # in-place torch update (optimizer.step) silently mutate these params
+    # (regression: tests/test_torch_trajectory.py).
+    cast = (lambda x: jnp.array(x, dtype)) if dtype else jnp.array
     return AttentionPoolParams(
         in_proj_weight=cast(w_in),
         out_proj_weight=cast(w_out),
@@ -106,7 +111,8 @@ def fusion_query_from_state_dict(
         q = q[None]
     if q.ndim != 3 or q.shape[:2] != (1, 1):
         raise ValueError(f"cannot interpret query of shape {q.shape}")
-    return jnp.asarray(q, dtype) if dtype else jnp.asarray(q)
+    # jnp.array (copying) — see attention_pool_params_from_state_dict.
+    return jnp.array(q, dtype) if dtype else jnp.array(q)
 
 
 def attention_pool_state_dict(

@@ -122,6 +122,36 @@ def test_prefixed_model_state_dict():
     assert q.shape == (1, 1, E)
 
 
+def test_conversion_copies_out_of_live_torch_storage():
+    """Converted params must NOT alias the source buffers.
+
+    ``tensor.detach().numpy()`` shares storage with the live torch tensor and
+    CPU jax's ``jnp.asarray`` zero-copy aliases suitably aligned host
+    buffers, so a non-copying conversion would let an in-place torch update
+    (``optimizer.step()``) silently mutate the converted params.  Regression
+    for the fix in contrib/torch_compat.py (full training-dynamics version:
+    tests/test_torch_trajectory.py)."""
+    torch = pytest.importorskip("torch")
+    E = 16
+    mha = torch.nn.MultiheadAttention(E, 2, batch_first=True)
+    query = torch.nn.Parameter(torch.randn(1, 1, E))
+    sd = {
+        **{
+            f"attention.{k}": v.detach().numpy()
+            for k, v in mha.state_dict().items()
+        },
+        "fusion_query": query.detach().numpy(),
+    }
+    params = attention_pool_params_from_state_dict(sd)
+    q = fusion_query_from_state_dict(sd)
+    before = np.array(params.in_proj_weight), np.array(q)
+    with torch.no_grad():
+        mha.in_proj_weight.add_(100.0)
+        query.add_(100.0)
+    np.testing.assert_array_equal(np.asarray(params.in_proj_weight), before[0])
+    np.testing.assert_array_equal(np.asarray(q), before[1])
+
+
 def test_biasless_and_errors():
     E = 4
     rng = np.random.default_rng(1)
