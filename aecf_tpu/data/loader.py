@@ -210,6 +210,17 @@ class BatchLoader:
 
     ``backend='native'`` requires the C++ pipeline; ``'numpy'`` forces the
     fallback; ``'auto'`` prefers native.
+
+    ``copy_out=False`` (native backend only) yields zero-copy views into the
+    ring buffer instead of fresh arrays.  Expert mode: a view is only valid
+    until the worker reuses its slot (``prefetch`` acquires later) and no
+    later than the end of iteration (the generator's exit frees the ring
+    buffer), and feeding it to jax does NOT guarantee a copy — CPU jax's
+    ``jnp.asarray`` zero-copy aliases suitably aligned host buffers, so a
+    retained or lazily-consumed view can be silently overwritten by a later
+    batch.  Only use it when every byte is consumed (e.g. explicitly
+    copied or fetched to device) before the next ``prefetch`` batches are
+    drawn.
     """
 
     def __init__(
@@ -223,6 +234,7 @@ class BatchLoader:
         seed: int = 0,
         prefetch: int = 3,
         backend: str = "auto",
+        copy_out: bool = True,
     ):
         if not data:
             raise ValueError("data must contain at least one stream")
@@ -250,6 +262,7 @@ class BatchLoader:
         self.epochs = epochs
         self.seed = seed
         self.prefetch = prefetch
+        self.copy_out = copy_out
 
         if backend not in ("auto", "native", "numpy"):
             raise ValueError(
@@ -317,8 +330,12 @@ class BatchLoader:
                 )
                 if rows == 0:
                     break
-                # Zero-copy views into the ring buffer — valid until the
-                # next acquire; jnp.asarray/device_put copies them out.
+                # Views into the ring buffer — only valid until the worker
+                # reuses the slot (`prefetch` acquires later).  Copied out
+                # by default: handing a transient view to the caller is a
+                # correctness trap, because CPU jax's jnp.asarray ALIASES
+                # aligned host buffers instead of copying (see the class
+                # docstring / copy_out).
                 batch = []
                 for s, a in enumerate(arrs):
                     nbytes = rows * a.shape[1] * a.itemsize
@@ -328,9 +345,8 @@ class BatchLoader:
                         ),
                         shape=(nbytes,),
                     )
-                    batch.append(
-                        buf.view(a.dtype).reshape(rows, a.shape[1])
-                    )
+                    view = buf.view(a.dtype).reshape(rows, a.shape[1])
+                    batch.append(np.array(view) if self.copy_out else view)
                 yield tuple(batch)
         finally:
             lib.aecf_batcher_destroy(handle)

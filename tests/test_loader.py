@@ -137,6 +137,45 @@ def test_constructor_validation_is_backend_independent():
 @pytest.mark.skipif(
     not native_available(), reason="g++/native pipeline unavailable"
 )
+def test_native_batches_safe_to_retain_by_default():
+    """Default (copy_out=True) batches must stay valid after iteration —
+    the ring-buffer slots are reused ``prefetch`` acquires later, and a
+    consumer that retains batches (or hands them to CPU jax, whose
+    jnp.asarray aliases aligned host buffers) must not see them rewritten.
+    copy_out=False is the documented expert mode that DOES yield transient
+    views."""
+    data = make_data(n=96)
+    data["image"][:, 0] = np.arange(96)
+    data["text"][:, 0] = -np.arange(96)
+
+    retained = list(
+        BatchLoader(
+            data, batch_size=8, epochs=2, backend="native", seed=9,
+            prefetch=2,
+        )
+    )
+    assert len(retained) == 24
+    for img, txt, _ in retained:  # rows still track after full iteration
+        np.testing.assert_array_equal(img[:, 0], -txt[:, 0])
+    # every retained batch owns its memory
+    assert all(b.base is None for batch in retained for b in batch)
+
+    # expert mode yields views (no per-batch allocation)…
+    loader = BatchLoader(
+        data, batch_size=8, epochs=1, backend="native", seed=9,
+        copy_out=False,
+    )
+    it = iter(loader)  # views die with the generator (ring buffer freed)
+    img, txt, _ = next(it)
+    assert img.base is not None
+    # …that are correct when consumed immediately
+    np.testing.assert_array_equal(img[:, 0], -txt[:, 0])
+    it.close()
+
+
+@pytest.mark.skipif(
+    not native_available(), reason="g++/native pipeline unavailable"
+)
 def test_native_acquire_after_end_of_stream_returns_zero():
     """The EOS sentinel is terminal: a consumer that re-acquires after
     rows==0 (generic retry logic against the C ABI) must get 0 again
