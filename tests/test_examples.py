@@ -125,6 +125,24 @@ def test_train_xrays_quick_example(tmp_path, capsys):
     assert (tmp_path / "training_dashboard.png").exists()
 
 
+def test_migrate_from_torch_example(tmp_path, capsys):
+    """The runnable docs/migration.md workflow: torch-train → torch.save →
+    convert (contrib.torch_compat) → logits parity → continue AdamW
+    training in aecf_tpu (curriculum ON) → orbax persistence.  Asserts the
+    script's own success criteria: parity under 1e-4, the continued run
+    starting at the torch-trained loss level and descending."""
+    pytest.importorskip("torch")
+    _load("migrate_from_torch").main([
+        "--torch-steps", "8", "--jax-steps", "8", "--batch", "32",
+        "--checkpoint", str(tmp_path / "model.pth"),
+    ])
+    out = capsys.readouterr().out
+    assert "MIGRATION OK" in out
+    m = re.search(r"max \|jax - torch\| = ([0-9.e+-]+)", out)
+    assert m and float(m.group(1)) < 1e-4
+    assert (tmp_path / "aecf_tpu_params").exists()
+
+
 def test_serve_http_example(capsys):
     """HTTP serving demo: start server on an ephemeral port, round-trip
     binary-npz + JSON + missing-modality requests, clean shutdown."""
