@@ -1,7 +1,7 @@
 """Training harness: optax steps, metrics, experiment orchestration."""
 
 from .checkpointing import CheckpointManager, load_params, save_params
-from .fit import fit
+from .fit import fit, make_epoch_batch_fn
 from .metrics import (
     average_precision,
     brier_score,
@@ -25,6 +25,7 @@ from .trainer import (
 
 __all__ = [
     "fit",
+    "make_epoch_batch_fn",
     "CheckpointManager",
     "load_params",
     "save_params",

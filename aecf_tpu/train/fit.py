@@ -20,7 +20,62 @@ import optax
 from .checkpointing import CheckpointManager
 from .trainer import TrainState, make_scan_train_step, make_train_step
 
-__all__ = ["fit"]
+__all__ = ["fit", "make_epoch_batch_fn"]
+
+
+def make_epoch_batch_fn(
+    data: Dict[str, np.ndarray],
+    batch_size: int,
+    *,
+    seed: int = 0,
+    shuffle: bool = True,
+) -> Callable[[int], Tuple[np.ndarray, ...]]:
+    """Epoch-shuffled batching as a PURE function of the step index.
+
+    :func:`fit`'s resume contract requires ``batch_fn(step)`` to depend on
+    nothing but ``step`` (a restarted run must replay the same stream).
+    This builds the standard epoch-shuffled without-replacement schedule in
+    that form: step ``s`` belongs to epoch ``s // (n // batch_size)``, whose
+    row order is ``default_rng(seed + epoch).permutation(n)`` — the SAME
+    shuffle contract as ``data.BatchLoader``'s numpy backend, so a loader
+    recipe converts to an elastic ``fit`` run with identical batches
+    (drop_last semantics; the ragged tail never appears, keeping one
+    compiled shape).
+
+    ``data`` maps stream names to arrays sharing a row count; batches are
+    tuples in dict insertion order, with the canonical
+    ``{image, text, label}`` key set always yielding in that order (the
+    ``BatchLoader`` convention).
+    """
+    if not data:
+        raise ValueError("data must contain at least one stream")
+    names = list(data.keys())
+    if set(names) == {"image", "text", "label"}:
+        names = ["image", "text", "label"]
+    arrays = [np.asarray(data[name]) for name in names]
+    n = arrays[0].shape[0]
+    for name, arr in zip(names, arrays):
+        if arr.shape[0] != n:
+            raise ValueError(
+                f"row mismatch: {name} has {arr.shape[0]} rows, "
+                f"{names[0]} has {n}"
+            )
+    per_epoch = n // batch_size
+    if per_epoch < 1:
+        raise ValueError(
+            f"batch_size {batch_size} exceeds the {n} available rows"
+        )
+
+    def batch_fn(step: int) -> Tuple[np.ndarray, ...]:
+        epoch, pos = divmod(step, per_epoch)
+        if shuffle:
+            idx = np.random.default_rng(seed + epoch).permutation(n)
+        else:
+            idx = np.arange(n)
+        sel = idx[pos * batch_size : (pos + 1) * batch_size]
+        return tuple(a[sel] for a in arrays)
+
+    return batch_fn
 
 
 def fit(

@@ -401,3 +401,95 @@ def test_pure_tp_fit_matches_single_device():
         tp_state.params,
         single_state.params,
     )
+
+
+def test_make_epoch_batch_fn_matches_batchloader_contract():
+    """make_epoch_batch_fn is the BatchLoader numpy-backend schedule as a
+    pure function of step: same seed => identical batches, epoch by epoch
+    (that equivalence is what lets a loader recipe become an elastic fit
+    run), and calls are order-independent (the resume contract)."""
+    from aecf_tpu.data import BatchLoader
+    from aecf_tpu.train import make_epoch_batch_fn
+
+    rng = np.random.default_rng(3)
+    data = {
+        "image": rng.normal(size=(50, 6)).astype(np.float32),
+        "text": rng.normal(size=(50, 6)).astype(np.float32),
+        "label": (rng.random((50, 3)) < 0.5).astype(np.float32),
+    }
+    batch_fn = make_epoch_batch_fn(data, batch_size=16, seed=7)
+    loader = BatchLoader(
+        data, batch_size=16, epochs=2, seed=7, backend="numpy"
+    )
+    for step, expected in enumerate(loader):
+        got = batch_fn(step)
+        assert len(got) == 3
+        for g, e in zip(got, expected):
+            np.testing.assert_array_equal(g, e)
+
+    # pure function of step: out-of-order and repeated calls agree
+    for step in (5, 0, 5, 3):
+        for g, e in zip(batch_fn(step), batch_fn(step)):
+            np.testing.assert_array_equal(g, e)
+
+    # canonical triple order regardless of insertion order
+    scrambled = {"label": data["label"], "text": data["text"],
+                 "image": data["image"]}
+    fn2 = make_epoch_batch_fn(scrambled, batch_size=16, seed=7)
+    for g, e in zip(fn2(0), batch_fn(0)):
+        np.testing.assert_array_equal(g, e)
+
+    # no-shuffle mode preserves row order
+    fn3 = make_epoch_batch_fn(data, batch_size=16, seed=7, shuffle=False)
+    np.testing.assert_array_equal(fn3(0)[0], data["image"][:16])
+
+    import pytest
+
+    with pytest.raises(ValueError, match="row mismatch"):
+        make_epoch_batch_fn(
+            {"image": data["image"], "label": data["label"][:10]},
+            batch_size=8,
+        )
+    with pytest.raises(ValueError, match="exceeds"):
+        make_epoch_batch_fn(data, batch_size=64)
+    with pytest.raises(ValueError, match="at least one"):
+        make_epoch_batch_fn({}, batch_size=8)
+
+
+def test_fit_with_epoch_batch_fn_resumes(tmp_path):
+    """fit() driven by make_epoch_batch_fn: a preempted+resumed run equals
+    the uninterrupted one (the helper's purity makes the stream replay)."""
+    from aecf_tpu.train import make_epoch_batch_fn
+
+    apply_fn, opt, params, _ = setup()
+    rng_np = np.random.default_rng(1)
+    data = {
+        "image": rng_np.normal(size=(64, 16)).astype(np.float32),
+        "text": rng_np.normal(size=(64, 16)).astype(np.float32),
+        "label": (rng_np.random((64, 4)) < 0.3).astype(np.float32),
+    }
+    batch_fn = make_epoch_batch_fn(data, batch_size=16, seed=5)
+
+    full_state, _ = fit(
+        apply_fn, opt, params, batch_fn,
+        num_steps=6, rng=jax.random.key(2),
+    )
+    ckpt = str(tmp_path / "ck")
+    fit(
+        apply_fn, opt, params, batch_fn,
+        num_steps=3, rng=jax.random.key(2),
+        checkpoint_dir=ckpt, save_every=3,
+    )
+    resumed_state, _ = fit(
+        apply_fn, opt, params, batch_fn,
+        num_steps=6, rng=jax.random.key(2),
+        checkpoint_dir=ckpt, save_every=3,
+    )
+    assert int(resumed_state.step) == 6
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6
+        ),
+        full_state.params,
+        resumed_state.params,
+    )
