@@ -43,7 +43,16 @@ class CheckpointManager:
         )
 
     def save(self, step: int, state: Any, *, force: bool = False) -> bool:
-        """Save if the interval policy says so (or ``force``)."""
+        """Save if the interval policy says so (or ``force``).
+
+        Saves are ASYNC: orbax may still be reading ``state``'s device
+        buffers after this returns.  Feeding the same ``state`` to a
+        buffer-donating train step (the ``make_*_train_step`` default,
+        ``donate=True``) lets XLA reuse those buffers mid-save and can
+        corrupt the checkpoint — build the step with ``donate=False``
+        when checkpointing mid-run (what :func:`aecf_tpu.train.fit`
+        does), or call :meth:`wait` before the next step.
+        """
         saved = self.manager.save(
             step,
             args=self._ocp.args.StandardSave(state),

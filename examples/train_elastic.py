@@ -91,7 +91,9 @@ def main(argv=None):
 
     def batch_fn(step):
         # pure function of the step index — a resumed run replays the
-        # exact stream (the fit() resume contract)
+        # exact stream (the fit() resume contract).  This samples with
+        # replacement; for the standard epoch-shuffled schedule in the
+        # same pure form, use train.make_epoch_batch_fn(data, batch).
         sel = np.random.default_rng(step).integers(
             0, img.shape[0], size=args.batch
         )
