@@ -66,13 +66,22 @@ def make_epoch_batch_fn(
             f"batch_size {batch_size} exceeds the {n} available rows"
         )
 
+    # Memoize the current epoch's permutation: steps arrive sequentially,
+    # so caching one epoch turns the per-step host cost from an O(n log n)
+    # reshuffle into an O(batch) gather.  Pure memoization — batch_fn(step)
+    # still depends on nothing but `step`.
+    cached: Tuple[Optional[int], Optional[np.ndarray]] = (None, None)
+
     def batch_fn(step: int) -> Tuple[np.ndarray, ...]:
+        nonlocal cached
         epoch, pos = divmod(step, per_epoch)
-        if shuffle:
-            idx = np.random.default_rng(seed + epoch).permutation(n)
-        else:
-            idx = np.arange(n)
-        sel = idx[pos * batch_size : (pos + 1) * batch_size]
+        if cached[0] != epoch:
+            if shuffle:
+                idx = np.random.default_rng(seed + epoch).permutation(n)
+            else:
+                idx = np.arange(n)
+            cached = (epoch, idx)
+        sel = cached[1][pos * batch_size : (pos + 1) * batch_size]
         return tuple(a[sel] for a in arrays)
 
     return batch_fn
