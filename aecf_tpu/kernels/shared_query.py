@@ -1061,7 +1061,7 @@ def _fold_entropy_cotangent(d_w, d_ent, w, seq_len):
     return extra if d_w is None else d_w + extra
 
 
-def _tile_softmax_bwd(kv_slices, u, bias, d_mix, d_w, *, want_dkv):
+def _tile_softmax_bwd(kv_slices, u, bias, d_mix, d_w, *, want_dkv, a=None):
     """Per-tile score-recompute → softmax → softmax-backward → d_kv/du
     chain shared by all three backward kernels (resident ``_bwd_kernel``,
     streamed ``_bwd_kernel_streamed``, and each head of
@@ -1078,22 +1078,34 @@ def _tile_softmax_bwd(kv_slices, u, bias, d_mix, d_w, *, want_dkv):
     ``Σ_b d_s·kv`` as (1, E), and a length-M list of per-modality d_kv
     tiles (``None`` when ``want_dkv`` is False — frozen-feature callers
     skip the work entirely).
+
+    ``a``: precomputed (TB, M) softmax weights.  The fused TRAIN-STEP
+    kernel (:mod:`train_step`) already holds them in-register from its
+    own forward pass and skips the score recompute (``bias`` is then used
+    for its shape only).  Backward-only callers leave it ``None`` — that
+    path traces exactly the ops it always did.
     """
     TB, M = bias.shape
     f32 = jnp.float32
     col = lax.broadcasted_iota(jnp.int32, (TB, M), 1)
 
-    s = jnp.zeros((TB, M), f32)
-    d_a = jnp.zeros((TB, M), f32)
-    for m, kv_m in enumerate(kv_slices):
-        s_m = (kv_m * u).sum(axis=-1, keepdims=True)
-        da_m = (d_mix * kv_m).sum(axis=-1, keepdims=True)
-        s = s + jnp.where(col == m, s_m, 0.0)
-        d_a = d_a + jnp.where(col == m, da_m, 0.0)
-    s = s + bias
-    smax = s.max(axis=-1, keepdims=True)
-    e = jnp.exp(s - smax)
-    a = e / e.sum(axis=-1, keepdims=True)  # (TB, M)
+    if a is None:
+        s = jnp.zeros((TB, M), f32)
+        d_a = jnp.zeros((TB, M), f32)
+        for m, kv_m in enumerate(kv_slices):
+            s_m = (kv_m * u).sum(axis=-1, keepdims=True)
+            da_m = (d_mix * kv_m).sum(axis=-1, keepdims=True)
+            s = s + jnp.where(col == m, s_m, 0.0)
+            d_a = d_a + jnp.where(col == m, da_m, 0.0)
+        s = s + bias
+        smax = s.max(axis=-1, keepdims=True)
+        e = jnp.exp(s - smax)
+        a = e / e.sum(axis=-1, keepdims=True)  # (TB, M)
+    else:
+        d_a = jnp.zeros((TB, M), f32)
+        for m, kv_m in enumerate(kv_slices):
+            da_m = (d_mix * kv_m).sum(axis=-1, keepdims=True)
+            d_a = d_a + jnp.where(col == m, da_m, 0.0)
 
     d_a = d_a + d_w
     d_s = a * (d_a - (a * d_a).sum(axis=-1, keepdims=True))  # (TB, M)

@@ -1,0 +1,479 @@
+"""One-pass fused TRAIN STEP for the H == 1 shared-query fusion pool.
+
+The two-pass training step (forward kernel + custom_vjp backward kernel)
+reads the ``(B, M, E)`` feature stream TWICE and round-trips the pooled
+output and its cotangent through HBM between the kernels.  On the
+memory-bound benchmark shapes (BASELINE.md north star: B=4096, M=3,
+E=512) those streams are most of the step's mandatory traffic:
+
+    two-pass:   kv read ×2 (50MB) + out write/read (17MB) + glue ≈ 84MB
+    fused step: kv read ×1 (25MB)                         + glue ≈ 40MB
+
+This is possible because of the reference's own semantics (SURVEY §2.5):
+
+  * **Q1** — curriculum masking never touches the output; the pooled
+    output flows through the UNMASKED attention weights
+    (AECFLayer.py:526-541), so the backward needs no mask and no RNG.
+  * **Q2** — ``info['entropy']`` is detached in training
+    (AECFLayer.py:277-281), so the entropy regularizer contributes no
+    gradient.
+
+Hence for any ROW-LOCAL loss on the pooled output — one whose value and
+``d_out`` for a row depend only on that row, e.g. the benchmark protocol's
+``(out²).mean()`` or a frozen-head BCE — the entire step collapses into
+ONE pass over each kv tile:
+
+    scores → softmax → entropy → Bernoulli/min_active chain (side outputs)
+    mix → out GEMM → in-register loss + analytic d_out
+    d_mix GEMM → softmax backward → G/du/dΣ accumulators [→ d_kv]
+
+with the same whole-block accumulators as the two-pass backward
+(``_bwd_kernel``); the tiny E×E weight-gradient reconstruction stays in
+XLA (``_g_epilogue`` / ``_query_path_grads``).
+
+This function computes gradients DIRECTLY (it is not meant to be
+differentiated); weights/entropy/mask info are returned as values, as the
+detached reference contract prescribes.  Losses that need gradients
+through the attention weights or the (eval-mode) entropy must use the
+two-pass path.  Draws come from the same hashed (seed, tile) PRNG scheme
+as the forward kernel — with equal batch tiles (``AECF_STEP_TB`` ==
+``AECF_FWD_TB``) the Bernoulli masks are bit-identical to the two-pass
+step's.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.attention import AttentionPoolParams
+from . import tiles
+from .shared_query import (
+    _RESIDENT_E_CAP,
+    _assemble_d_params,
+    _ctx_prec,
+    _dot_prec,
+    _draw_seed_words,
+    _g_epilogue,
+    _kv_tile_slices,
+    _pad_bias_rows,
+    _pad_rows,
+    _pick_tile,
+    _query_path_grads,
+    _score_uc_1d,
+    _split_params,
+    _tile_softmax_bwd,
+    _weights_entropy_mask,
+)
+
+__all__ = ["fused_pool_train_step", "supports_fused_step"]
+
+
+def supports_fused_step(num_heads: int, embed_dim: int) -> bool:
+    """True when :func:`fused_pool_train_step` covers the config: the
+    H == 1 resident-weight kernel (one (E, E) context block in VMEM)."""
+    return num_heads == 1 and embed_dim <= _RESIDENT_E_CAP
+
+
+def _step_kernel(
+    seed_ref, mask_prob_ref,
+    kv_ref,  # (TB, M*E) — flattened, lane-sliced (see _shared_kernel doc)
+    *refs,  # [scales_ref when quantized] + u, c, pad, wvo, bctx
+    #         + w/mw/ent/rate tiles + [dkv tile] + g/du/dvec accumulators
+    min_active: int,
+    training: bool,
+    seq_len: int,
+    mxu_precision,
+    b_real: int,
+    tb: int,
+    row_loss: Callable,
+    n_extras: int,
+    want_dkv: bool,
+    quantized: bool,
+):
+    if quantized:
+        scales_ref, *refs = refs
+    else:
+        scales_ref = None
+    u_ref, c_ref, pad_ref, wvo_ref, bctx_ref = refs[:5]
+    extra_refs = refs[5 : 5 + n_extras]
+    out_refs = refs[5 + n_extras :]
+    w_ref, mw_ref, ent_ref, rate_ref = out_refs[:4]
+    if want_dkv:
+        dkv_ref, g_ref, du_ref, dvec_ref = out_refs[4:]
+    else:
+        g_ref, du_ref, dvec_ref = out_refs[4:]
+        dkv_ref = None
+    TB, M = pad_ref.shape
+    E = kv_ref.shape[1] // M
+    f32 = jnp.float32
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        g_ref[:] = jnp.zeros((E, E), f32)
+        du_ref[:] = jnp.zeros((1, E), f32)
+        dvec_ref[:] = jnp.zeros((3, E), f32)
+
+    kv_slices = _kv_tile_slices(kv_ref, scales_ref, M, E)
+
+    # ---- forward: scores → softmax → entropy → mask chain (side outputs)
+    heads = _weights_entropy_mask(
+        kv_slices, seed_ref, mask_prob_ref, u_ref, c_ref, pad_ref,
+        w_ref, mw_ref, ent_ref, rate_ref,
+        num_heads=1, min_active=min_active, training=training,
+        seq_len=seq_len,
+    )
+    a = heads[0]  # (TB, M) unmasked softmax weights (quirk Q1)
+    mix = a[:, 0:1] * kv_slices[0]
+    for m in range(1, M):
+        mix = mix + a[:, m : m + 1] * kv_slices[m]
+    out = (
+        jnp.dot(
+            mix, wvo_ref[:].T,
+            preferred_element_type=f32, precision=mxu_precision,
+        )
+        + bctx_ref[0, :]
+    )  # (TB, E)
+
+    # ---- in-register row-local loss + analytic d_out --------------------
+    # Zero-padded batch rows are NOT inert here (their softmax is uniform
+    # and out == bctx), so both the loss contribution and d_out must be
+    # masked to the real batch; everything downstream of d_out then
+    # vanishes for padded rows exactly as in the two-pass backward.
+    rowi = i * tb + lax.broadcasted_iota(jnp.int32, (TB, 1), 0)
+    valid = rowi < b_real
+    loss_rows, d_out = row_loss(
+        out, *[er[:] for er in extra_refs]
+    )  # (TB, 1), (TB, E)
+    d_out = jnp.where(valid, d_out, 0.0)
+    loss_contrib = jnp.where(valid, loss_rows, 0.0).sum()
+
+    # ---- backward: same per-tile GEMMs/accumulators as _bwd_kernel ------
+    d_mix = jnp.dot(
+        d_out, wvo_ref[:],
+        preferred_element_type=f32, precision=mxu_precision,
+    )
+    # a is in-register from the forward above — no score recompute.
+    # d_w is zero by the Q1/Q2 contract (losses on `out` only).
+    _, d_s, du_acc, dkv_terms = _tile_softmax_bwd(
+        kv_slices, u_ref[0, :], pad_ref[:], d_mix,
+        jnp.zeros((TB, M), f32), want_dkv=want_dkv, a=a,
+    )
+    g_ref[:] += lax.dot_general(
+        d_out, mix,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=f32,
+        precision=mxu_precision,
+    )
+    if want_dkv:
+        for m in range(M):
+            dkv_ref[:, m * E : (m + 1) * E] = dkv_terms[m].astype(
+                dkv_ref.dtype
+            )
+    du_ref[:] += du_acc
+    # Row 0 ← Σ_b d_out; row 1, col 0 ← Σ d_s; row 2, col 0 ← Σ row loss.
+    # Broadcast-select (Mosaic cannot concat offset-mismatched vectors).
+    row3 = lax.broadcasted_iota(jnp.int32, (3, E), 0)
+    colE = lax.broadcasted_iota(jnp.int32, (3, E), 1)
+    dvec_ref[:] += jnp.where(
+        row3 == 0,
+        d_out.sum(axis=0, keepdims=True),
+        jnp.where(
+            (row3 == 1) & (colE == 0),
+            d_s.sum(),
+            jnp.where((row3 == 2) & (colE == 0), loss_contrib, 0.0),
+        ),
+    )
+
+
+def fused_pool_train_step(
+    params: AttentionPoolParams,
+    query: jax.Array,  # (1, 1, E) — the unexpanded fusion query
+    kv: jax.Array,  # (B, M, E) f32 / bf16 / int8 (with kv_scales)
+    *,
+    rng: Optional[jax.Array],
+    training: bool = True,
+    base_mask_prob: jax.typing.ArrayLike = 0.15,
+    entropy_target: jax.typing.ArrayLike = 0.7,
+    min_active: int = 1,
+    key_padding_mask: Optional[jax.Array] = None,
+    precision: str = "default",
+    kv_grad: bool = False,
+    kv_scales: Optional[jax.Array] = None,
+    row_loss: Optional[Callable[..., Tuple[jax.Array, jax.Array]]] = None,
+    row_extras: Tuple[jax.Array, ...] = (),
+    interpret: bool = False,
+) -> Tuple[
+    jax.Array,
+    AttentionPoolParams,
+    jax.Array,
+    Optional[jax.Array],
+    Dict[str, Any],
+]:
+    """One-pass fused training step: loss + gradients in a single kv read.
+
+    Returns ``(loss_pool, d_params, d_query, d_kv, info)``:
+
+    * ``loss_pool`` — scalar Σ over rows of ``row_loss``'s per-row value
+      (for the default quadratic loss this IS ``(out²).mean()``).  Add
+      detached regularizers (e.g. ``entropy_loss(info['entropy'])``)
+      outside; they carry no gradient by the reference contract (Q2).
+    * ``d_params`` / ``d_query`` — gradients of ``loss_pool`` w.r.t. the
+      pool parameters and the ``(1, 1, E)`` query (batch-summed), equal to
+      ``jax.grad`` of the two-pass step to f32 tolerance.
+    * ``d_kv`` — feature cotangent when ``kv_grad=True``, else ``None``
+      (frozen features, the reference training protocol).
+    * ``info`` — the training info contract (``entropy`` / ``mask_rate`` /
+      ``target_entropy`` as (B, 1) values, plus ``attention_weights`` and
+      ``masked_attention_weights`` (B, 1, M)); all detached values, per
+      quirks Q1/Q2.
+
+    ``row_loss(out_tile, *extra_tiles) -> (loss_rows (TB, 1), d_out
+    (TB, E))`` must be a row-local traceable function (each row's
+    value/gradient depends only on that row).  Python scalars may be
+    closed over; TENSORS may not (Pallas kernels take data through refs)
+    — per-row tensors such as labels or targets go in ``row_extras``
+    (each ``(B, K_i)``), which stream into the kernel tile-aligned with
+    ``out`` and arrive as ``(TB, K_i)`` arguments.  ``None`` selects the
+    benchmark protocol's quadratic mean ``(out²).mean()``.
+
+    ``training=False`` skips the Bernoulli draw entirely (no RNG needed;
+    info follows the eval key contract) — the GRADIENTS are identical
+    either way because masking never touches the output (Q1); this is how
+    the CPU interpreter covers the step's math (the TPU PRNG has no
+    interpret lowering), and a deterministic no-curriculum step for
+    callers that want one.
+
+    Coverage: H == 1, ``E <= _RESIDENT_E_CAP`` (the resident-weight
+    kernel); raise-and-fallback otherwise.  Cites the two-pass pieces it
+    fuses: ``_forward`` (shared_query.py) + ``_bwd_kernel`` +
+    ``_g_epilogue``/``_query_path_grads``.
+    """
+    if query.shape[:2] != (1, 1):
+        raise ValueError(
+            f"shared-query step expects query (1, 1, E), got {query.shape}"
+        )
+    B, M, E = kv.shape
+    if E > _RESIDENT_E_CAP:
+        raise ValueError(
+            f"fused_pool_train_step covers E <= {_RESIDENT_E_CAP} "
+            f"(resident-weight kernel), got E={E}; use the two-pass path"
+        )
+    if precision not in ("default", "highest"):
+        raise ValueError(
+            f"fused kernels support precision 'default' or 'highest', got "
+            f"{precision!r} — use the XLA path for other modes"
+        )
+    q8 = kv.dtype == jnp.int8
+    if q8:
+        if kv_scales is None:
+            raise ValueError(
+                "int8 kv requires kv_scales (see quantize_features)"
+            )
+        if kv_grad:
+            raise ValueError("int8 features are frozen: kv_grad=False only")
+    elif kv_scales is not None:
+        raise ValueError(
+            f"kv_scales passed with {kv.dtype} kv — the quantized step "
+            "needs int8 features (see quantize_features)"
+        )
+    if training and rng is None and M > 1:
+        raise ValueError(
+            "fused_pool_train_step(training=True) needs an `rng=` key"
+        )
+    seed = _draw_seed_words(rng)
+    mask_prob = jnp.asarray(base_mask_prob, jnp.float32)
+
+    qrow = query[0, 0, :]
+    wq, wk, wv, bq, bk, bv, wo, has_bias = _split_params(params, E)
+    prec = _dot_prec(precision)
+    qp, u, c, scale = _score_uc_1d(qrow, wq, bq, wk, bk, E, precision)
+    bo = (
+        params.out_proj_bias
+        if params.out_proj_bias is not None
+        else jnp.zeros((E,), jnp.float32)
+    )
+    wvo = jnp.matmul(wo, wv, precision=prec)  # (E, E)
+    bctx = (wo @ bv + bo).reshape(1, E)
+
+    if row_loss is None:
+        inv = 1.0 / (B * E)
+        row_loss = lambda out: (  # noqa: E731 — the protocol quadratic
+            (out * out).sum(axis=-1, keepdims=True) * inv,
+            out * (2.0 * inv),
+        )
+
+    for i, ex in enumerate(row_extras):
+        if ex.ndim != 2 or ex.shape[0] != B:
+            raise ValueError(
+                f"row_extras[{i}] must be (B, K) with B={B}, got {ex.shape}"
+            )
+    pad_bias = _pad_bias_rows(key_padding_mask, B, M)
+    site = tiles.site_key(
+        "step_resident", M=M, E=E, H=1, kv_dtype=kv.dtype.name,
+        want_dkv=kv_grad,
+    )
+    # The fused step holds the backward's working set PLUS the forward's
+    # out/mix temporaries per tile; defaults one notch below the backward's
+    # at E > 512 until swept on-chip.
+    TB = _pick_tile(
+        256 if E <= 512 else 128, "AECF_STEP_TB", B, site=site
+    )
+    B_pad, kv_flat, pad_bias, *opt = _pad_rows(
+        B, TB, kv.reshape(B, M * E), pad_bias,
+        *([kv_scales] if q8 else []),
+        *row_extras,
+    )
+    if q8:
+        kv_scales, *opt = opt
+    row_extras = tuple(opt)
+
+    kernel = functools.partial(
+        _step_kernel,
+        min_active=min_active,
+        training=training,
+        seq_len=M,
+        mxu_precision=prec,
+        b_real=B,
+        tb=TB,
+        row_loss=row_loss,
+        n_extras=len(row_extras),
+        want_dkv=kv_grad,
+        quantized=q8,
+    )
+    tile = lambda i, *_: (i, 0)  # noqa: E731
+    whole = lambda i, *_: (0, 0)  # noqa: E731
+    f32 = jnp.float32
+    scales_specs = (
+        [pl.BlockSpec((TB, M), tile, memory_space=pltpu.VMEM)] if q8 else []
+    )
+    dkv_specs = (
+        [pl.BlockSpec((TB, M * E), tile, memory_space=pltpu.VMEM)]
+        if kv_grad else []
+    )
+    dkv_shapes = (
+        [jax.ShapeDtypeStruct((B_pad, M * E), kv.dtype)] if kv_grad else []
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B_pad // TB,),
+        in_specs=[
+            pl.BlockSpec((TB, M * E), tile, memory_space=pltpu.VMEM),
+        ] + scales_specs + [
+            pl.BlockSpec((1, E), whole, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), whole, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, M), tile, memory_space=pltpu.VMEM),
+            pl.BlockSpec((E, E), whole, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, E), whole, memory_space=pltpu.VMEM),
+        ] + [
+            pl.BlockSpec((TB, ex.shape[1]), tile, memory_space=pltpu.VMEM)
+            for ex in row_extras
+        ],
+        out_specs=[
+            pl.BlockSpec((TB, M), tile, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, M), tile, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, 1), tile, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, 1), tile, memory_space=pltpu.VMEM),
+        ] + dkv_specs + [
+            pl.BlockSpec((E, E), whole, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, E), whole, memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, E), whole, memory_space=pltpu.VMEM),
+        ],
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=tuple(
+            [
+                jax.ShapeDtypeStruct((B_pad, M), f32),
+                jax.ShapeDtypeStruct((B_pad, M), f32),
+                jax.ShapeDtypeStruct((B_pad, 1), f32),
+                jax.ShapeDtypeStruct((B_pad, 1), f32),
+            ]
+            + dkv_shapes
+            + [
+                jax.ShapeDtypeStruct((E, E), f32),
+                jax.ShapeDtypeStruct((1, E), f32),
+                jax.ShapeDtypeStruct((3, E), f32),
+            ]
+        ),
+        cost_estimate=pl.CostEstimate(
+            # fwd GEMM + d_mix GEMM + G GEMM, plus the VPU chains
+            flops=6 * B_pad * E * E + 24 * B_pad * M * E,
+            bytes_accessed=(
+                (2 if kv_grad else 1) * B_pad * M * E * kv.dtype.itemsize
+                + 4 * (2 * B_pad * M + 2 * B_pad + 3 * E * E)
+            ),
+            transcendentals=B_pad * M * 2,
+        ),
+        interpret=interpret,
+    )(
+        seed.reshape(2).astype(jnp.int32),
+        mask_prob.reshape(1),
+        kv_flat,
+        *([kv_scales] if q8 else []),
+        u.reshape(1, E),
+        c.reshape(1, 1),
+        pad_bias,
+        wvo,
+        bctx,
+        *row_extras,
+    )
+    w, mw, ent, rate = outs[:4]
+    if kv_grad:
+        d_kv, G, du, dvec = outs[4:]
+        d_kv = d_kv[:B].reshape(B, M, E).astype(kv.dtype)
+    else:
+        G, du, dvec = outs[4:]
+        d_kv = None
+    du = du[0]
+    dsum_out = dvec[0]
+    dc = dvec[1, 0]
+    loss_pool = dvec[2, 0]
+
+    # ---- weight grads from the fused accumulators (same as _bwd_pallas) --
+    with jax.default_matmul_precision(_ctx_prec(precision)):
+        dWo, dWv, d_bv, dbo = _g_epilogue(
+            G, dsum_out, wv, wo, bv, params.out_proj_bias is not None
+        )
+        d_qp, dWk, d_bk, dWq, d_qrow = _query_path_grads(
+            scale, qp.reshape(1, E), wk.reshape(1, E, E), bk,
+            du.reshape(1, E), dc.reshape(1), wq, qrow, has_bias,
+        )
+    d_params = _assemble_d_params(
+        dWq, dWk, dWv, dWo, d_qp, d_bk, d_bv, dbo, has_bias
+    )
+    d_query = d_qrow.reshape(1, 1, E)
+
+    ent = ent[:B]
+    rate = rate[:B]
+    if training and M > 1:
+        info: Dict[str, Any] = {
+            "entropy": ent,
+            "mask_rate": rate,
+            "target_entropy": jnp.full_like(
+                ent, math.log(M) * jnp.asarray(entropy_target, jnp.float32)
+            ),
+        }
+    elif training:
+        zeros = jnp.zeros_like(ent)
+        info = {
+            "entropy": zeros,
+            "mask_rate": zeros,
+            "target_entropy": zeros,
+        }
+    else:
+        # Eval key contract (reference AECFLayer.py:150-156): no
+        # target_entropy; mask_rate zeros (no draw happened).
+        info = {"entropy": ent, "mask_rate": rate}
+    info["attention_weights"] = w[:B, None, :]
+    info["masked_attention_weights"] = mw[:B, None, :]
+    return loss_pool, d_params, d_query, d_kv, info

@@ -1,0 +1,256 @@
+"""Fused one-pass train-step kernel vs the two-pass value_and_grad path.
+
+The fused step computes gradients directly (no autodiff), so these tests
+pin it against ``jax.value_and_grad`` of the exact same loss through the
+two-pass kernel path (forward kernel + custom_vjp backward), hermetically
+via the Pallas interpreter.  Gradients are mask-independent (quirk Q1) so
+``training=False`` covers the full math on CPU; the TPU-gated suite
+(tests/test_kernels.py) covers the training draws on hardware.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aecf_tpu.core.init import init_attention_pool_params, init_fusion_query
+from aecf_tpu.kernels import (
+    fused_fusion_pool_shared,
+    fused_pool_train_step,
+    quantize_features,
+    supports_fused_step,
+)
+
+
+def _setup(E=64, M=3, B=100, bias=True, seed=0, dtype=jnp.float32):
+    params = init_attention_pool_params(jax.random.key(seed), E, bias=bias)
+    query = init_fusion_query(jax.random.key(seed + 1), E)
+    kv = jax.random.normal(jax.random.key(seed + 2), (B, M, E)).astype(dtype)
+    return params, query, kv
+
+
+def _two_pass(params, query, kv, *, kv_grad=False, kpm=None,
+              kv_scales=None):
+    """Loss value + grads via autodiff through the two-pass kernel path."""
+
+    def loss_fn(p, q, feats):
+        out, _w, _mw, _info = fused_fusion_pool_shared(
+            p, q, feats, num_heads=1, training=False, interpret=True,
+            precision="highest", kv_grad=kv_grad, key_padding_mask=kpm,
+            kv_scales=kv_scales,
+        )
+        return (out * out).mean()
+
+    return jax.value_and_grad(loss_fn, argnums=(0, 1, 2))(params, query, kv)
+
+
+def _assert_tree_close(a, b, atol=1e-5):
+    la = jax.tree_util.tree_leaves(a)
+    lb = jax.tree_util.tree_leaves(b)
+    assert len(la) == len(lb)
+    for x, y in zip(la, lb):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=atol)
+
+
+class TestFusedStepInterpret:
+    def test_supports_gate(self):
+        assert supports_fused_step(1, 512)
+        assert supports_fused_step(1, 1024)
+        assert not supports_fused_step(2, 512)
+        assert not supports_fused_step(1, 2048)
+
+    @pytest.mark.parametrize("bias", [True, False])
+    @pytest.mark.parametrize("kv_grad", [False, True])
+    def test_grads_match_two_pass(self, bias, kv_grad):
+        params, query, kv = _setup(bias=bias)
+        loss_o, (dp_o, dq_o, dkv_o) = _two_pass(
+            params, query, kv, kv_grad=kv_grad
+        )
+        loss_k, dp_k, dq_k, dkv_k, info = fused_pool_train_step(
+            params, query, kv, rng=None, training=False,
+            precision="highest", kv_grad=kv_grad, interpret=True,
+        )
+        np.testing.assert_allclose(loss_k, loss_o, rtol=1e-6)
+        _assert_tree_close(dp_k, dp_o)
+        np.testing.assert_allclose(dq_k, dq_o, atol=1e-5)
+        if kv_grad:
+            np.testing.assert_allclose(dkv_k, dkv_o, atol=1e-5)
+        else:
+            assert dkv_k is None
+            np.testing.assert_allclose(np.asarray(dkv_o), 0.0, atol=0)
+        # eval info key contract (no draw happened)
+        assert set(info) == {
+            "entropy", "mask_rate",
+            "attention_weights", "masked_attention_weights",
+        }
+        np.testing.assert_allclose(np.asarray(info["mask_rate"]), 0.0)
+
+    def test_odd_batch_padding_is_masked(self):
+        # B=100 pads to the tile multiple; padded rows have out == bctx
+        # (nonzero!), so an unmasked loss would be wrong.  Compare the
+        # loss against the two-pass value, which only ever sees B rows.
+        params, query, kv = _setup(B=100)
+        loss_o, (dp_o, dq_o, _) = _two_pass(params, query, kv)
+        loss_k, dp_k, dq_k, _, _ = fused_pool_train_step(
+            params, query, kv, rng=None, training=False,
+            precision="highest", interpret=True,
+        )
+        np.testing.assert_allclose(loss_k, loss_o, rtol=1e-6)
+        _assert_tree_close(dp_k, dp_o)
+        np.testing.assert_allclose(dq_k, dq_o, atol=1e-5)
+
+    def test_key_padding_mask(self):
+        params, query, kv = _setup()
+        kpm = jax.random.uniform(jax.random.key(7), (kv.shape[0], 3)) < 0.25
+        kpm = kpm.at[:, 0].set(False)  # keep one live slot per row
+        loss_o, (dp_o, dq_o, _) = _two_pass(params, query, kv, kpm=kpm)
+        loss_k, dp_k, dq_k, _, _ = fused_pool_train_step(
+            params, query, kv, rng=None, training=False,
+            precision="highest", key_padding_mask=kpm, interpret=True,
+        )
+        np.testing.assert_allclose(loss_k, loss_o, rtol=1e-6)
+        _assert_tree_close(dp_k, dp_o)
+        np.testing.assert_allclose(dq_k, dq_o, atol=1e-5)
+
+    def test_bf16_features(self):
+        params, query, kv = _setup(dtype=jnp.bfloat16)
+        loss_o, (dp_o, dq_o, _) = _two_pass(params, query, kv)
+        loss_k, dp_k, dq_k, _, _ = fused_pool_train_step(
+            params, query, kv, rng=None, training=False,
+            precision="highest", interpret=True,
+        )
+        np.testing.assert_allclose(loss_k, loss_o, rtol=1e-5)
+        _assert_tree_close(dp_k, dp_o, atol=1e-4)
+        np.testing.assert_allclose(dq_k, dq_o, atol=1e-4)
+
+    def test_int8_features(self):
+        params, query, kv = _setup()
+        kv_q8, scales = quantize_features(kv)
+        loss_o, (dp_o, dq_o) = jax.value_and_grad(
+            lambda p, q: (fused_fusion_pool_shared(
+                p, q, kv_q8, kv_scales=scales, num_heads=1,
+                training=False, interpret=True, precision="highest",
+            )[0] ** 2).mean(),
+            argnums=(0, 1),
+        )(params, query)
+        loss_k, dp_k, dq_k, dkv_k, _ = fused_pool_train_step(
+            params, query, kv_q8, kv_scales=scales, rng=None,
+            training=False, precision="highest", interpret=True,
+        )
+        np.testing.assert_allclose(loss_k, loss_o, rtol=1e-6)
+        _assert_tree_close(dp_k, dp_o)
+        np.testing.assert_allclose(dq_k, dq_o, atol=1e-5)
+        assert dkv_k is None
+
+    def test_custom_row_loss_with_extras(self):
+        # A row-local loss through the callback hook: per-row L2 pull
+        # toward per-row targets with per-row weights, both streamed in
+        # via row_extras (tensors cannot be closed over in a Pallas
+        # kernel); matches autodiff of the same formula two-pass.
+        params, query, kv = _setup()
+        B, _, E = kv.shape
+        targets = jax.random.normal(jax.random.key(9), (B, E))
+        wrow = jax.random.uniform(jax.random.key(10), (B, 1)) + 0.5
+        inv = 1.0 / (B * E)
+        loss_o, (dp_o, dq_o, _) = jax.value_and_grad(
+            lambda p, q, f: (wrow * (fused_fusion_pool_shared(
+                p, q, f, num_heads=1, training=False, interpret=True,
+                precision="highest", kv_grad=False,
+            )[0][:, 0, :] - targets) ** 2).mean(),
+            argnums=(0, 1, 2),
+        )(params, query, kv)
+        row_loss = lambda out, tgt, w: (  # noqa: E731
+            (w * (out - tgt) ** 2).sum(axis=-1, keepdims=True) * inv,
+            w * (out - tgt) * (2.0 * inv),
+        )
+        loss_k, dp_k, dq_k, _, _ = fused_pool_train_step(
+            params, query, kv, rng=None, training=False,
+            precision="highest", row_loss=row_loss,
+            row_extras=(targets, wrow), interpret=True,
+        )
+        np.testing.assert_allclose(loss_k, loss_o, rtol=1e-6)
+        _assert_tree_close(dp_k, dp_o)
+        np.testing.assert_allclose(dq_k, dq_o, atol=1e-5)
+
+        with pytest.raises(ValueError, match="row_extras"):
+            fused_pool_train_step(
+                params, query, kv, rng=None, training=False,
+                row_loss=row_loss, row_extras=(targets[: B - 1], wrow),
+                interpret=True,
+            )
+
+    def test_single_modality_training_needs_no_rng(self):
+        # M == 1: masking is the reference early-return no-op — no RNG is
+        # consumed, so training mode runs in the interpreter too.
+        params, query, kv = _setup(M=1)
+        loss_o, (dp_o, dq_o, _) = _two_pass(params, query, kv)
+        loss_k, dp_k, dq_k, _, info = fused_pool_train_step(
+            params, query, kv, rng=None, training=True,
+            precision="highest", interpret=True,
+        )
+        np.testing.assert_allclose(loss_k, loss_o, rtol=1e-6)
+        _assert_tree_close(dp_k, dp_o)
+        np.testing.assert_allclose(dq_k, dq_o, atol=1e-5)
+        assert set(info) >= {"entropy", "mask_rate", "target_entropy"}
+        np.testing.assert_allclose(np.asarray(info["entropy"]), 0.0)
+
+    def test_info_matches_two_pass_eval(self):
+        params, query, kv = _setup()
+        _out, w, mw, info_o = fused_fusion_pool_shared(
+            params, query, kv, num_heads=1, training=False,
+            interpret=True, precision="highest",
+        )
+        _loss, _dp, _dq, _dkv, info_k = fused_pool_train_step(
+            params, query, kv, rng=None, training=False,
+            precision="highest", interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(info_k["entropy"][:, 0]),
+            np.asarray(info_o["entropy"][:, 0]),
+            atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(info_k["attention_weights"]), np.asarray(w),
+            atol=1e-6,
+        )
+
+    def test_validation(self):
+        params, query, kv = _setup()
+        with pytest.raises(ValueError, match="query"):
+            fused_pool_train_step(
+                params, jnp.zeros((2, 1, 64)), kv, rng=None,
+                training=False, interpret=True,
+            )
+        with pytest.raises(ValueError, match="E <= "):
+            fused_pool_train_step(
+                init_attention_pool_params(jax.random.key(0), 2048),
+                init_fusion_query(jax.random.key(1), 2048),
+                jnp.zeros((8, 3, 2048)), rng=None, training=False,
+                interpret=True,
+            )
+        with pytest.raises(ValueError, match="rng"):
+            fused_pool_train_step(
+                params, query, kv, rng=None, training=True,
+                interpret=True,
+            )
+        with pytest.raises(ValueError, match="precision"):
+            fused_pool_train_step(
+                params, query, kv, rng=None, training=False,
+                precision="high", interpret=True,
+            )
+        with pytest.raises(ValueError, match="kv_scales"):
+            fused_pool_train_step(
+                params, query, kv, rng=None, training=False,
+                kv_scales=jnp.ones((kv.shape[0], 3)), interpret=True,
+            )
+        q8, scales = quantize_features(kv)
+        with pytest.raises(ValueError, match="kv_scales"):
+            fused_pool_train_step(
+                params, query, q8, rng=None, training=False,
+                interpret=True,
+            )
+        with pytest.raises(ValueError, match="frozen"):
+            fused_pool_train_step(
+                params, query, q8, kv_scales=scales, kv_grad=True,
+                rng=None, training=False, interpret=True,
+            )
