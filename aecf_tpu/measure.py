@@ -52,6 +52,13 @@ def build_chunk(batch, modalities, embed, heads, impl, steps_per_call,
     The loss is ``(out²).mean() + entropy_loss`` rather than ``out.sum()``
     — XLA algebraically collapses sum-of-matmul, which would flatter the
     XLA path; the quadratic loss keeps the full backward honest.
+
+    ``impl`` is ``"xla"`` (reference-shaped einsum path), ``"pallas"``
+    (two-pass fused fwd + custom_vjp bwd kernels), or ``"fused-step"``
+    (the one-pass :func:`~aecf_tpu.kernels.fused_pool_train_step` — loss,
+    gradients and side info in a single kv read; H == 1 resident configs
+    only).  All three run the identical protocol and produce the same
+    parameter trajectory to f32 tolerance (tests/test_train_step_kernel.py).
     """
     import optax
 
@@ -60,6 +67,14 @@ def build_chunk(batch, modalities, embed, heads, impl, steps_per_call,
     from .core.masking import curriculum_mask, entropy_loss
     if impl == "pallas":
         from .kernels import fused_fusion_pool_shared
+    elif impl == "fused-step":
+        from .kernels import fused_pool_train_step, supports_fused_step
+
+        if not supports_fused_step(heads, embed):
+            raise ValueError(
+                f"impl='fused-step' covers H=1, resident E only "
+                f"(got heads={heads}, embed={embed})"
+            )
 
     params = {
         "pool": init_attention_pool_params(jax.random.key(0), embed),
@@ -71,6 +86,23 @@ def build_chunk(batch, modalities, embed, heads, impl, steps_per_call,
     def one_step(carry, i):
         params, opt_state = carry
         rng = jax.random.fold_in(jax.random.key(42), i)
+
+        if impl == "fused-step":
+            # One-pass kernel: gradients computed directly (not via
+            # jax.grad); the entropy regularizer is added as a detached
+            # VALUE, exactly the gradient the two-pass path yields (Q2:
+            # training entropy is detached, so it contributes none).
+            loss_pool, d_pool, d_query, _, info = fused_pool_train_step(
+                params["pool"], params["query"], modal, rng=rng,
+                training=True, base_mask_prob=0.15, precision=precision,
+                kv_grad=kv_grad, kv_scales=kv_scales,
+            )
+            loss = loss_pool + entropy_loss(
+                info["entropy"], seq_len=modalities
+            )
+            grads = {"pool": d_pool, "query": d_query}
+            updates, opt_state = opt.update(grads, opt_state, params)
+            return (optax.apply_updates(params, updates), opt_state), loss
 
         def loss_fn(p):
             if impl == "pallas":
@@ -110,8 +142,10 @@ def build_chunk(batch, modalities, embed, heads, impl, steps_per_call,
         # like a pre-extracted feature store; the kernel dequantizes per
         # tile in VMEM and re-reads kv as int8 in the backward (features
         # frozen by construction = kv_grad=False).
-        if impl != "pallas":
-            raise ValueError("int8 features bench requires impl='pallas'")
+        if impl not in ("pallas", "fused-step"):
+            raise ValueError(
+                "int8 features bench requires impl='pallas' or 'fused-step'"
+            )
         from .kernels import quantize_features
 
         modal, kv_scales = quantize_features(modal)

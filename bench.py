@@ -120,6 +120,40 @@ def step_cost_model(batch, modalities, embed, heads, *, kv_grad,
     return flops, bytes_accessed
 
 
+def fused_step_cost_model(batch, modalities, embed, heads, *, kv_grad,
+                          feat_bytes=4):
+    """Analytic (flops, hbm_bytes) per train step on the ONE-PASS fused
+    step (``kernels.fused_pool_train_step``): forward, in-register loss,
+    and backward accumulators in a single kv read.  vs the two-pass model
+    (:func:`step_cost_model`): one kv stream instead of two, no pooled-out
+    HBM round-trip (the loss and its d_out never leave VMEM), one resident
+    weight-block launch instead of two.
+
+    FLOPs match the kernel's ``pl.CostEstimate``: 6·B·E² GEMM MACs×2 is
+    already folded in (fwd mix GEMM + d_mix GEMM + G accumulator GEMM) +
+    ~24·B·M·E VPU chain fwd+bwd.
+    HBM bytes:
+      kv read once: B·M·E·feat_bytes  (+ d_kv write when kv_grad)
+      padding-bias rows streamed in: B·M·4
+      w/mw/entropy/rate side outputs: (2M+2)·B·4
+      resident W_vo read + G/du/dvec accumulator writes: ~2·E²·4
+      XLA weight-grad epilogue GEMM operands (E×E): ~6·E²·4
+      optimizer read params+grads, write params: 3 × 4E² × 4
+    """
+    flops = 6 * batch * embed * embed + 24 * batch * modalities * embed
+    kv_bytes = batch * modalities * embed * feat_bytes
+    bytes_accessed = (
+        kv_bytes
+        + (kv_bytes if kv_grad else 0)
+        + batch * modalities * 4
+        + (2 * modalities + 2) * batch * 4
+        + 2 * embed * embed * 4
+        + 6 * embed * embed * 4
+        + 3 * (4 * embed * embed) * 4
+    )
+    return flops, bytes_accessed
+
+
 def _resident_e_cap():
     from aecf_tpu.kernels.shared_query import _RESIDENT_E_CAP
 
@@ -134,7 +168,7 @@ DISPATCH_FLOOR_S = 30e-6
 
 
 def roofline(samples_per_sec, batch, modalities, embed, heads, *,
-             kv_grad, feat_bytes=4):
+             kv_grad, feat_bytes=4, impl="pallas"):
     """{'mfu': ..., 'hbm_frac': ...} at a measured throughput (v5e peaks).
 
     Entries are flagged rather than silently published when the model
@@ -145,7 +179,9 @@ def roofline(samples_per_sec, batch, modalities, embed, heads, *,
     a utilization claim".
     """
     cost_model = (
-        streamed_step_cost_model
+        fused_step_cost_model
+        if impl == "fused-step"
+        else streamed_step_cost_model
         if embed > _resident_e_cap()
         else step_cost_model
     )
@@ -164,6 +200,8 @@ def roofline(samples_per_sec, batch, modalities, embed, heads, *,
     }
     if cost_model is streamed_step_cost_model:
         out["model"] = "streamed-analytic"
+    elif cost_model is fused_step_cost_model:
+        out["model"] = "fused-step-analytic"
     t_min = max(
         flops / V5E_PEAK_FLOPS, bytes_accessed / V5E_PEAK_HBM_BYTES
     )
@@ -362,14 +400,25 @@ def streamed_step_cost_model(batch, modalities, embed, heads, *,
 
 
 def resolve_impl(heads: int, embed: int) -> str:
-    """The library's own auto-dispatch rule (capability gate ∧ measured
-    perf preference), so bench numbers always reflect what ops.fusion_pool
-    actually runs."""
-    from aecf_tpu.kernels import prefers_fused, supports_fused
+    """Auto-dispatch for the benched train step: the one-pass fused step
+    kernel where it covers the config (H=1 resident shapes — measured
+    1.55x the two-pass kernels at north star, benchmarks/step_ab.py;
+    identical parameter trajectory, tests/test_train_step_kernel.py),
+    else the library's own forward/backward dispatch rule (capability
+    gate ∧ measured perf preference) so numbers reflect what
+    ops.fusion_pool actually runs."""
+    from aecf_tpu.kernels import (
+        prefers_fused,
+        supports_fused,
+        supports_fused_step,
+    )
 
+    if jax.default_backend() != "tpu":
+        return "xla"
+    if supports_fused_step(heads, embed):
+        return "fused-step"
     return "pallas" if (
-        jax.default_backend() == "tpu"
-        and supports_fused(
+        supports_fused(
             tgt_len=1, num_heads=heads, embed_dim=embed, shared_query=True
         )
         and prefers_fused(num_heads=heads)
@@ -380,7 +429,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--impl", default="auto",
-                    choices=["auto", "xla", "pallas"])
+                    choices=["auto", "xla", "pallas", "fused-step"])
     ap.add_argument("--config", default="north-star", choices=CONFIGS)
     ap.add_argument("--batch", type=int)
     ap.add_argument("--embed", type=int)
@@ -506,7 +555,7 @@ def main():
             ),
         },
     }
-    if jax.default_backend() == "tpu" and impl == "pallas":
+    if jax.default_backend() == "tpu" and impl in ("pallas", "fused-step"):
         # Roofline/MFU at the measured throughput — "is it actually fast"
         # as a number: fraction of v5e bf16 peak FLOP/s and of HBM
         # bandwidth implied by the analytic per-step cost model (the
@@ -518,6 +567,7 @@ def main():
             samples_per_sec, batch, modalities, embed, heads,
             kv_grad=args.kv_grad,
             feat_bytes=2 if args.features_dtype == "bfloat16" else 4,
+            impl=impl,
         )
     elif jax.default_backend() == "tpu" and impl == "xla":
         # XLA-dispatched configs (e.g. heads8): primary roofline from the

@@ -1,5 +1,5 @@
 #!/usr/bin/env python3
-"""Batch-tile sweep for the streamed kernels (AECF_FWD_TB / AECF_BWD_TB).
+"""Batch-tile sweep for the kernels (AECF_FWD_TB / AECF_BWD_TB / AECF_STEP_TB).
 
 Round-3 verdict Next #3: the streamed-path tiles were swept on-chip at
 E=2048 only; this sweeps any config within one process (alternating
@@ -35,6 +35,10 @@ def main():
     ap.add_argument("--heads", type=int, default=1)
     ap.add_argument("--fwd-tiles", default="32,64,128")
     ap.add_argument("--bwd-tiles", default="default")
+    ap.add_argument("--step-tiles", default="default",
+                    help="AECF_STEP_TB candidates (impl='fused-step')")
+    ap.add_argument("--impl", default="pallas",
+                    choices=["pallas", "fused-step"])
     ap.add_argument("--kv-grad", action="store_true")
     ap.add_argument("--features-dtype", default="float32",
                     choices=["float32", "bfloat16", "int8"])
@@ -57,15 +61,24 @@ def main():
     )
     fwd_tiles = args.fwd_tiles.split(",")
     bwd_tiles = args.bwd_tiles.split(",")
+    step_tiles = args.step_tiles.split(",")
+    if args.impl == "fused-step":
+        # one kernel, one knob: sweep AECF_STEP_TB on the step-tile axis
+        fwd_tiles, bwd_tiles = ["default"], ["default"]
+    else:
+        step_tiles = ["default"]
 
     rtt = measure_tunnel_rtt()
     print(f"tunnel rtt {rtt*1e3:.1f}ms", file=sys.stderr, flush=True)
 
     chunks = {}
     for ft in fwd_tiles:
-        for bt in bwd_tiles:
-            name = f"fwd={ft},bwd={bt}"
-            for env, val in (("AECF_FWD_TB", ft), ("AECF_BWD_TB", bt)):
+      for bt in bwd_tiles:
+        for st in step_tiles:
+            name = (f"step={st}" if args.impl == "fused-step"
+                    else f"fwd={ft},bwd={bt}")
+            for env, val in (("AECF_FWD_TB", ft), ("AECF_BWD_TB", bt),
+                             ("AECF_STEP_TB", st)):
                 if val == "default":
                     os.environ.pop(env, None)
                 else:
@@ -73,7 +86,7 @@ def main():
             print(f"compiling {name}...", file=sys.stderr, flush=True)
             try:
                 c, p, s = build_chunk(
-                    B, M, E, H, "pallas", K, kv_grad=args.kv_grad,
+                    B, M, E, H, args.impl, K, kv_grad=args.kv_grad,
                     features_dtype=args.features_dtype,
                 )
                 p, s, loss = c(p, s, jnp.int32(0))
@@ -84,14 +97,15 @@ def main():
                 chunks[name] = None
                 continue
             chunks[name] = (c, p, s)
-    for env in ("AECF_FWD_TB", "AECF_BWD_TB"):
+    for env in ("AECF_FWD_TB", "AECF_BWD_TB", "AECF_STEP_TB"):
         os.environ.pop(env, None)
 
     res = ab_train_windows(chunks, B, K, args.rounds, rtt)
 
     out = {
         "config": (
-            f"B={B},M={M},E={E},H={H},kv_grad={args.kv_grad},"
+            f"B={B},M={M},E={E},H={H},impl={args.impl},"
+            f"kv_grad={args.kv_grad},"
             f"feats={args.features_dtype},K={K}"
         ),
         "tunnel_rtt_ms": round(rtt * 1e3, 2),
