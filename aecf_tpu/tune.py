@@ -16,7 +16,8 @@ Method (the repo's measurement discipline, :mod:`aecf_tpu.measure`):
      alternating within-run windows (tunnel RTT subtracted) PLUS a paired
      per-round majority, then sweep AECF_BWD_TB with the fwd winner pinned.
      Candidates that fail to compile (Mosaic VMEM rejection) are recorded
-     and skipped.
+     and skipped.  With ``--impl fused-step`` the one-pass train-step
+     kernel's single AECF_STEP_TB knob is swept instead.
   3. Winners that beat the default by more than ``--margin`` are written
      to the table under the exact site keys recorded in step 1.
 
@@ -115,7 +116,8 @@ def _sites_for(log, prefix: str) -> Dict[str, int]:
     return out
 
 
-def _build(args, fwd_env: Optional[str], bwd_env: Optional[str]):
+def _build(args, fwd_env: Optional[str], bwd_env: Optional[str],
+           step_env: Optional[str] = None):
     """Build + warm one train chunk with the tile env knobs pinned at
     TRACE time (restored afterwards).  Returns the chunk state or None on
     compile failure (recorded by the caller)."""
@@ -124,14 +126,19 @@ def _build(args, fwd_env: Optional[str], bwd_env: Optional[str]):
     from .measure import build_chunk
 
     saved = {}
-    for env, val in (("AECF_FWD_TB", fwd_env), ("AECF_BWD_TB", bwd_env)):
+    for env, val in (
+        ("AECF_FWD_TB", fwd_env),
+        ("AECF_BWD_TB", bwd_env),
+        ("AECF_STEP_TB", step_env),
+    ):
         saved[env] = os.environ.pop(env, None)
         if val is not None:
             os.environ[env] = val
     try:
         c, p, s = build_chunk(
             args.batch, args.modalities, args.embed, args.heads,
-            "pallas", args.steps, kv_grad=args.kv_grad,
+            getattr(args, "impl", "pallas"), args.steps,
+            kv_grad=args.kv_grad,
             features_dtype=args.features_dtype,
         )
         p, s, loss = c(p, s, jnp.int32(0))
@@ -139,7 +146,7 @@ def _build(args, fwd_env: Optional[str], bwd_env: Optional[str]):
         return (c, p, s)
     except Exception as e:  # noqa: BLE001 — sweeps record failures
         print(
-            f"  fwd={fwd_env},bwd={bwd_env}: FAILED "
+            f"  fwd={fwd_env},bwd={bwd_env},step={step_env}: FAILED "
             f"({type(e).__name__}: {str(e)[:160]})",
             file=sys.stderr, flush=True,
         )
@@ -162,13 +169,16 @@ def _sweep_kind(args, kind: str, default: int, pinned_fwd: Optional[int],
           file=sys.stderr, flush=True)
     chunks = {}
     for tb in cands:
+        fwd_env = bwd_env = step_env = None
         if kind == "AECF_FWD_TB":
-            fwd_env, bwd_env = str(tb), None
-        else:
+            fwd_env = str(tb)
+        elif kind == "AECF_BWD_TB":
             fwd_env = None if pinned_fwd is None else str(pinned_fwd)
             bwd_env = str(tb)
+        else:  # AECF_STEP_TB — the one-pass fused step's single knob
+            step_env = str(tb)
         print(f"  compiling {kind}={tb}...", file=sys.stderr, flush=True)
-        chunks[tb] = _build(args, fwd_env, bwd_env)
+        chunks[tb] = _build(args, fwd_env, bwd_env, step_env)
 
     res = ab_train_windows(
         chunks, args.batch, args.steps, args.rounds, rtt
@@ -201,6 +211,11 @@ def main(argv: Optional[List[str]] = None):
     ap.add_argument("--embed", type=int, default=512)
     ap.add_argument("--heads", type=int, default=1)
     ap.add_argument("--kv-grad", action="store_true")
+    ap.add_argument("--impl", default="pallas",
+                    choices=["pallas", "fused-step"],
+                    help="'pallas' tunes the two-pass kernels "
+                    "(AECF_FWD_TB/AECF_BWD_TB); 'fused-step' tunes the "
+                    "one-pass train-step kernel's AECF_STEP_TB")
     ap.add_argument("--features-dtype", default="float32",
                     choices=["float32", "bfloat16", "int8"])
     ap.add_argument("--steps", type=int, default=60,
@@ -239,7 +254,8 @@ def main(argv: Optional[List[str]] = None):
         sys.exit(1)
     fwd_sites = _sites_for(log, "fwd_")
     bwd_sites = _sites_for(log, "bwd_")
-    print(f"sites: fwd={fwd_sites} bwd={bwd_sites}",
+    step_sites = _sites_for(log, "step_")
+    print(f"sites: fwd={fwd_sites} bwd={bwd_sites} step={step_sites}",
           file=sys.stderr, flush=True)
 
     # Auto-size the timed window: every window pays one tunnel RTT
@@ -279,9 +295,12 @@ def main(argv: Optional[List[str]] = None):
     sweeps: Dict[str, Dict] = {}
     entries: Dict[str, int] = {}
     pinned_fwd = None
-    for kind, sites in (
-        ("AECF_FWD_TB", fwd_sites), ("AECF_BWD_TB", bwd_sites)
-    ):
+    kinds = (
+        (("AECF_STEP_TB", step_sites),)
+        if args.impl == "fused-step"
+        else (("AECF_FWD_TB", fwd_sites), ("AECF_BWD_TB", bwd_sites))
+    )
+    for kind, sites in kinds:
         if not sites:
             continue
         defaults = sorted(set(sites.values()))
@@ -309,11 +328,11 @@ def main(argv: Optional[List[str]] = None):
     out = {
         "config": (
             f"B={args.batch},M={args.modalities},E={args.embed},"
-            f"H={args.heads},kv_grad={args.kv_grad},"
+            f"H={args.heads},impl={args.impl},kv_grad={args.kv_grad},"
             f"feats={args.features_dtype},K={args.steps}"
         ),
         "tunnel_rtt_ms": round(rtt * 1e3, 2),
-        "sites": {**fwd_sites, **bwd_sites},
+        "sites": {**fwd_sites, **bwd_sites, **step_sites},
         "sweeps": sweeps,
         "new_entries": entries,
     }

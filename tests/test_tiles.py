@@ -308,3 +308,26 @@ class TestAutotuneHelpers:
         assert at._sites_for(log, "bwd_") == {
             "bwd_resident:M=3:E=512:H=1:kv=float32:dkv=0": 512
         }
+
+    def test_step_site_partition_and_impl_flag(self):
+        # --impl fused-step sweeps the one-pass kernel's AECF_STEP_TB;
+        # its launch site records under the step_ prefix
+        # (kernels/train_step.py site_key("step_resident", ...)).
+        import subprocess
+        at = _autotune_mod()
+        log = [
+            ("step_resident:M=3:E=512:H=1:kv=float32:dkv=0", 256,
+             "default"),
+            ("fwd_resident:M=3:E=512:H=1:kv=float32", 512, "default"),
+        ]
+        assert at._sites_for(log, "step_") == {
+            "step_resident:M=3:E=512:H=1:kv=float32:dkv=0": 256
+        }
+        proc = subprocess.run(
+            [sys.executable, "-m", "aecf_tpu.tune", "--help"],
+            capture_output=True, text=True, timeout=120,
+            cwd=os.path.join(os.path.dirname(__file__), ".."),
+            env={**os.environ, "JAX_PLATFORMS": "cpu"},
+        )
+        assert proc.returncode == 0, proc.stderr
+        assert "fused-step" in proc.stdout
