@@ -502,26 +502,95 @@ def main():
     def window_sps(elapsed, steps):
         return batch * steps / net_window(elapsed, rtt)
 
+    # Auto-size each timed window to >= max(50ms, 20×RTT) — the rule
+    # aecf_tpu/tune.py already applies (round-4 verdict Weak #4: a ~12ms
+    # K=150 window in a 28ms-RTT phase is dominated by the subtraction
+    # and its noise, and short-window spread members implied >1.0 of the
+    # chip's HBM peak).  K is compiled into the chunk's scan, so windows
+    # grow by chaining MULTIPLE chunk calls with one final fetch (the
+    # intermediate calls queue asynchronously), not by recompiling.
+    calls_per_window = 1
+    if not args.quick:
+        calib = float("inf")
+        for r in (1, 2):
+            t0 = time.perf_counter()
+            params, opt_state, loss = chunk(
+                params, opt_state, jnp.int32(r * K)
+            )
+            float(loss)
+            calib = min(calib, time.perf_counter() - t0)
+        per_step = net_window(calib, rtt) / K
+        target = max(0.05, 20.0 * rtt)
+        calls_per_window = max(1, math.ceil(target / (per_step * K)))
+
+    start = 3  # calibration consumed chunk starts 0..2
+    steps_per_window = K * calls_per_window
+
+    def timed_window(start, n_calls):
+        nonlocal params, opt_state
+        t0 = time.perf_counter()
+        for j in range(n_calls):
+            params, opt_state, loss = chunk(
+                params, opt_state, jnp.int32((start + j) * K)
+            )
+        float(loss)  # value fetch forces device sync (block_until_ready does not through the tunnel)
+        return time.perf_counter() - t0
+
     # Per-round timing (one fetch per window) ...
     round_sps = []
-    for r in range(1, rounds + 1):
-        t0 = time.perf_counter()
-        params, opt_state, loss = chunk(params, opt_state, jnp.int32(r * K))
-        float(loss)  # value fetch forces device sync (block_until_ready does not through the tunnel)
-        round_sps.append(window_sps(time.perf_counter() - t0, K))
+    for _ in range(rounds):
+        elapsed = timed_window(start, calls_per_window)
+        start += calls_per_window
+        round_sps.append(window_sps(elapsed, steps_per_window))
 
-    # ... plus one aggregate window (rounds×K steps, single fetch), the
-    # most RTT-robust estimate.
-    t0 = time.perf_counter()
-    for r in range(rounds + 1, 2 * rounds + 1):
-        params, opt_state, loss = chunk(params, opt_state, jnp.int32(r * K))
-    float(loss)
-    aggregate_sps = window_sps(time.perf_counter() - t0, K * rounds)
+    # ... plus one aggregate window (rounds windows' worth of steps,
+    # single fetch), the most RTT-robust estimate.
+    elapsed = timed_window(start, rounds * calls_per_window)
+    aggregate_sps = window_sps(elapsed, rounds * steps_per_window)
 
-    # Headline = the aggregate window: with rounds×K steps it is long
-    # enough that the (subtracted) RTT and its estimation noise are a small
-    # fraction; short per-round windows after subtraction are high-variance
-    # and reported only as spread.
+    # Physicality guard on every reported member (round-4 verdict Weak
+    # #4): a window whose throughput implies more than the chip's HBM
+    # bandwidth or peak FLOP/s through the config's own analytic cost
+    # model is a measurement artifact (an RTT-subtraction residual), not
+    # a chip number — flag it and keep it out of the spread statistics.
+    feat_bytes = 2 if args.features_dtype == "bfloat16" else 4
+    if impl == "fused-step":
+        _f, _b = fused_step_cost_model(
+            batch, modalities, embed, heads, kv_grad=args.kv_grad,
+            feat_bytes=feat_bytes,
+        )
+    elif impl == "pallas":
+        _model = (
+            streamed_step_cost_model
+            if embed > _resident_e_cap()
+            else step_cost_model
+        )
+        _f, _b = _model(
+            batch, modalities, embed, heads, kv_grad=args.kv_grad,
+            feat_bytes=feat_bytes,
+        )
+    else:
+        _f, _b = xla_pool_step_cost_model(
+            batch, modalities, embed, heads, kv_grad=args.kv_grad,
+            feat_bytes=feat_bytes,
+        )
+
+    def physical(sps):
+        steps = sps / batch
+        return (
+            _b * steps <= V5E_PEAK_HBM_BYTES
+            and _f * steps <= V5E_PEAK_FLOPS
+        )
+
+    kept_sps = [s for s in round_sps if physical(s)]
+    flagged = [round(s, 1) for s in round_sps if not physical(s)]
+    if not kept_sps:  # every window flagged — report them, but say so
+        kept_sps = round_sps
+
+    # Headline = the aggregate window: with many windows' worth of steps
+    # it is long enough that the (subtracted) RTT and its estimation noise
+    # are a small fraction; short per-round windows after subtraction are
+    # high-variance and reported only as spread.
     samples_per_sec = aggregate_sps
     result = {
         "metric": (
@@ -542,19 +611,30 @@ def main():
         # (docs/experiments.md): the spread shows how trustworthy the
         # best-window headline is for this particular run.
         "spread": {
-            "median": round(statistics.median(round_sps), 1),
-            "min": round(min(round_sps), 1),
-            "max": round(max(round_sps), 1),
+            "median": round(statistics.median(kept_sps), 1),
+            "min": round(min(kept_sps), 1),
+            "max": round(max(kept_sps), 1),
             "rounds": len(round_sps),
             "aggregate": round(aggregate_sps, 1),
             "tunnel_rtt_ms": round(rtt * 1e3, 2),
+            "steps_per_window": steps_per_window,
+            "calls_per_window": calls_per_window,
             "median_vs_baseline": (
-                round(statistics.median(round_sps) / baseline_sps, 2)
+                round(statistics.median(kept_sps) / baseline_sps, 2)
                 if baseline_sps
                 else None
             ),
         },
     }
+    if flagged:
+        result["spread"]["superphysical_members"] = flagged
+        result["spread"]["superphysical_note"] = (
+            "windows implying > physical HBM/MXU peak through the "
+            "config's cost model; measurement artifacts (RTT-subtraction "
+            "residual), excluded from the spread statistics"
+        )
+    if not physical(aggregate_sps):
+        result["spread"]["aggregate_superphysical"] = True
     if jax.default_backend() == "tpu" and impl in ("pallas", "fused-step"):
         # Roofline/MFU at the measured throughput — "is it actually fast"
         # as a number: fraction of v5e bf16 peak FLOP/s and of HBM

@@ -64,22 +64,27 @@ def main():
     calls_per_window = 1 if args.quick else 10
     rtt = cached_tunnel_rtt()
 
+    run_id = f"rtt={rtt * 1e3:.2f}ms pid={os.getpid()}"
     sections = {}
     for name in args.configs:
         batch, modalities, embed, heads, _ = CONFIGS[name]
         chunks = {}
         for impl in ("pallas", "fused-step"):
+            # The warm/trace call sits INSIDE the try: coverage gates can
+            # fire at build time (supports_fused_step) OR at trace time
+            # (e.g. int8 × kv_grad is rejected when the kernel traces), and
+            # either should record a skipped impl, not crash the run.
             try:
                 c, p, s = build_chunk(
                     batch, modalities, embed, heads, impl, K,
                     features_dtype=args.features_dtype,
                     kv_grad=args.kv_grad,
                 )
-            except ValueError as e:  # fused-step coverage gate
+                p, s, loss = c(p, s, jnp.int32(0))
+                float(loss)  # compile + warm (value fetch = reliable sync)
+            except ValueError as e:  # coverage gate (build or trace time)
                 print(f"{name}/{impl}: {e}", file=sys.stderr)
                 continue
-            p, s, loss = c(p, s, jnp.int32(0))
-            float(loss)  # compile + warm (value fetch = reliable sync)
             chunks[impl] = (c, p, s)
 
         def call(state, r):
@@ -116,10 +121,38 @@ def main():
             section["fused_step_speedup_best"] = round(
                 max(res["fused-step"]) / max(res["pallas"]), 3
             )
-        sections[name] = section
-        print(json.dumps({name: section["samples_per_sec_median"]}))
+        section["run"] = run_id
+        key = name
+        if args.features_dtype != "float32":
+            key += f"+{args.features_dtype}"
+        if args.kv_grad:
+            key += "+kv_grad"
+        sections[key] = section
+        print(json.dumps({key: section["samples_per_sec_median"]}))
 
+    # Merge into the existing artifact (suite.py --only style): a partial
+    # rerun updates only the sections it measured, so the file stays
+    # reproducible by the tool that produces it.  When the merged file
+    # holds sections from different runs, say so — cross-process
+    # comparisons are meaningless on the tunnel (CLAUDE.md).
     out = {"tunnel_rtt_ms": round(rtt * 1e3, 2), "sections": sections}
+    if os.path.exists(args.out):
+        try:
+            with open(args.out) as f:
+                prev = json.load(f)
+            merged = dict(prev.get("sections", {}))
+            merged.update(sections)
+            out["sections"] = merged
+        except (json.JSONDecodeError, OSError):
+            pass
+    runs = {s.get("run", "unknown") for s in out["sections"].values()}
+    if len(runs) > 1:
+        out["note"] = (
+            "sections were measured in SEPARATE processes (see per-"
+            "section 'run'); within-section speedups are within-run and "
+            "trustworthy, cross-section throughput comparisons are not "
+            "(tunnel dispatch latency varies by process phase)"
+        )
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(

@@ -375,7 +375,13 @@ def precision_ab(quick, B=4096, M=3, E=512, H=1):
     (one bf16-input f32-accumulate pass — the standard TPU training
     configuration and the bench headline) vs 'highest' (multi-pass full
     f32 — the library API default, chosen for torch-f32 parity).  Keeps
-    the cost of the parity mode measured, not assumed."""
+    the cost of the parity mode measured, not assumed.
+
+    PROTOCOL NOTE (round 4→5): dispatch follows ``resolve_impl``, so
+    since the one-pass step kernel landed this section measures the
+    precision gap on ``impl='fused-step'`` for qualifying configs (H=1
+    resident), where it previously measured the two-pass kernels —
+    compare across rounds per-impl, not per-section-name."""
     import statistics
 
     from bench import ab_train_windows, build_chunk, resolve_impl
@@ -706,7 +712,7 @@ def main():
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--json", default=None)
     ap.add_argument("--impl", default="auto",
-                    choices=["auto", "xla", "pallas"])
+                    choices=["auto", "xla", "pallas", "fused-step"])
     ap.add_argument("--only", default=None, metavar="SECTION",
                     help="run a single TPU A/B section (e.g. "
                          "serving_frozen) and skip the config sweep")
@@ -781,7 +787,16 @@ def main():
     for name, B, M, E, H in configs:
         # per-config auto dispatch (heads8 routes to XLA — measured faster)
         impl = args.impl if args.impl != "auto" else resolve_impl(H, E)
-        sps, (chunk, args0, K) = throughput(B, M, E, H, impl, args.quick)
+        try:
+            sps, (chunk, args0, K) = throughput(
+                B, M, E, H, impl, args.quick
+            )
+        except ValueError as e:
+            # a forced --impl (e.g. fused-step) can miss a config's
+            # coverage gate; record the skip instead of crashing the sweep
+            results[name] = f"skipped ({e})"
+            print(f"{name}: skipped ({e})", flush=True)
+            continue
         results[name] = round(sps, 1)
         results.setdefault("impl_per_config", {})[name] = impl
         print(f"{name}: {sps:,.0f} samples/s ({impl})", flush=True)
