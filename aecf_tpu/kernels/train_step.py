@@ -58,6 +58,7 @@ from . import tiles
 from .shared_query import (
     _RESIDENT_E_CAP,
     _assemble_d_params,
+    _round_up,
     _ctx_prec,
     _dot_prec,
     _draw_seed_words,
@@ -73,7 +74,11 @@ from .shared_query import (
     _weights_entropy_mask,
 )
 
-__all__ = ["fused_pool_train_step", "supports_fused_step"]
+__all__ = [
+    "fused_pool_train_step",
+    "fused_pool_head_train_step",
+    "supports_fused_step",
+]
 
 
 def supports_fused_step(num_heads: int, embed_dim: int) -> bool:
@@ -86,7 +91,9 @@ def _step_kernel(
     seed_ref, mask_prob_ref,
     kv_ref,  # (TB, M*E) — flattened, lane-sliced (see _shared_kernel doc)
     *refs,  # [scales_ref when quantized] + u, c, pad, wvo, bctx
+    #         + [whead, bhead when with_head] + extra tiles
     #         + w/mw/ent/rate tiles + [dkv tile] + g/du/dvec accumulators
+    #         + [dwh/dbh accumulators when with_head]
     min_active: int,
     training: bool,
     seq_len: int,
@@ -97,20 +104,27 @@ def _step_kernel(
     n_extras: int,
     want_dkv: bool,
     quantized: bool,
+    with_head: bool,
 ):
     if quantized:
         scales_ref, *refs = refs
     else:
         scales_ref = None
     u_ref, c_ref, pad_ref, wvo_ref, bctx_ref = refs[:5]
-    extra_refs = refs[5 : 5 + n_extras]
-    out_refs = refs[5 + n_extras :]
+    refs = refs[5:]
+    if with_head:
+        whead_ref, bhead_ref, *refs = refs
+    extra_refs = refs[:n_extras]
+    out_refs = refs[n_extras:]
     w_ref, mw_ref, ent_ref, rate_ref = out_refs[:4]
+    out_refs = out_refs[4:]
     if want_dkv:
-        dkv_ref, g_ref, du_ref, dvec_ref = out_refs[4:]
+        dkv_ref, *out_refs = out_refs
     else:
-        g_ref, du_ref, dvec_ref = out_refs[4:]
         dkv_ref = None
+    g_ref, du_ref, dvec_ref = out_refs[:3]
+    if with_head:
+        dwh_ref, dbh_ref = out_refs[3:]
     TB, M = pad_ref.shape
     E = kv_ref.shape[1] // M
     f32 = jnp.float32
@@ -121,6 +135,9 @@ def _step_kernel(
         g_ref[:] = jnp.zeros((E, E), f32)
         du_ref[:] = jnp.zeros((1, E), f32)
         dvec_ref[:] = jnp.zeros((3, E), f32)
+        if with_head:
+            dwh_ref[:] = jnp.zeros(dwh_ref.shape, f32)
+            dbh_ref[:] = jnp.zeros(dbh_ref.shape, f32)
 
     kv_slices = _kv_tile_slices(kv_ref, scales_ref, M, E)
 
@@ -150,11 +167,40 @@ def _step_kernel(
     # vanishes for padded rows exactly as in the two-pass backward.
     rowi = i * tb + lax.broadcasted_iota(jnp.int32, (TB, 1), 0)
     valid = rowi < b_real
-    loss_rows, d_out = row_loss(
-        out, *[er[:] for er in extra_refs]
-    )  # (TB, 1), (TB, E)
-    d_out = jnp.where(valid, d_out, 0.0)
-    loss_contrib = jnp.where(valid, loss_rows, 0.0).sum()
+    extras = [er[:] for er in extra_refs]
+    if with_head:
+        # Trainable linear head INSIDE the single kv pass: logits =
+        # out @ W_head + b_head, row-local loss on logits (default: BCE —
+        # the reference X3 protocol, train_xrays_example.py:372-377),
+        # d_out = d_logits @ W_headᵀ in-register, and the head's own
+        # weight gradient accumulated per tile like the G accumulator.
+        logits = (
+            jnp.dot(
+                out, whead_ref[:],
+                preferred_element_type=f32, precision=mxu_precision,
+            )
+            + bhead_ref[0, :]
+        )  # (TB, Cp)
+        loss_rows, d_logits = row_loss(logits, *extras)
+        # padded-row d_logits must vanish BEFORE the head GEMMs: padded
+        # rows have out == bctx (nonzero), so dwh would pick them up.
+        d_logits = jnp.where(valid, d_logits, 0.0)
+        loss_contrib = jnp.where(valid, loss_rows, 0.0).sum()
+        d_out = jnp.dot(
+            d_logits, whead_ref[:].T,
+            preferred_element_type=f32, precision=mxu_precision,
+        )  # (TB, E)
+        dwh_ref[:] += lax.dot_general(
+            out, d_logits,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=f32,
+            precision=mxu_precision,
+        )  # (E, Cp) += outᵀ @ d_logits
+        dbh_ref[:] += d_logits.sum(axis=0, keepdims=True)
+    else:
+        loss_rows, d_out = row_loss(out, *extras)  # (TB, 1), (TB, E)
+        d_out = jnp.where(valid, d_out, 0.0)
+        loss_contrib = jnp.where(valid, loss_rows, 0.0).sum()
 
     # ---- backward: same per-tile GEMMs/accumulators as _bwd_kernel ------
     d_mix = jnp.dot(
@@ -210,14 +256,12 @@ def fused_pool_train_step(
     kv_scales: Optional[jax.Array] = None,
     row_loss: Optional[Callable[..., Tuple[jax.Array, jax.Array]]] = None,
     row_extras: Tuple[jax.Array, ...] = (),
+    head_w: Optional[jax.Array] = None,
+    head_b: Optional[jax.Array] = None,
+    labels: Optional[jax.Array] = None,
+    loss_scale: float = 1.0,
     interpret: bool = False,
-) -> Tuple[
-    jax.Array,
-    AttentionPoolParams,
-    jax.Array,
-    Optional[jax.Array],
-    Dict[str, Any],
-]:
+) -> Tuple[Any, ...]:
     """One-pass fused training step: loss + gradients in a single kv read.
 
     Returns ``(loss_pool, d_params, d_query, d_kv, info)``:
@@ -244,6 +288,26 @@ def fused_pool_train_step(
     (each ``(B, K_i)``), which stream into the kernel tile-aligned with
     ``out`` and arrive as ``(TB, K_i)`` arguments.  ``None`` selects the
     benchmark protocol's quadratic mean ``(out²).mean()``.
+
+    ``head_w`` (E, C) turns on the TRAINABLE LINEAR HEAD inside the same
+    single kv pass (the reference X3 protocol: frozen features → pool →
+    linear classifier → BCE, train_xrays_example.py:372-377): logits =
+    out @ head_w + head_b are formed in-register, the loss acts on the
+    LOGITS (default: numerically-stable mean BCE-with-logits against
+    ``labels`` (B, C)), and the return gains a head-gradient element:
+    ``(loss, d_params, d_query, d_head, d_kv, info)`` with ``d_head =
+    {'w': (E, C), 'b': (C,) | None}``.  C is lane-padded to 128 inside
+    the kernel; padded columns are masked out of the loss and gradients.
+    With ``head_w``, a supplied ``row_loss`` acts on the logits tile
+    instead (``(logits (TB, Cp), *extras) -> (loss_rows, d_logits)``) —
+    extras then start with the padded labels tile when ``labels`` is
+    given.  See :func:`fused_pool_head_train_step` for the product-shaped
+    wrapper.
+
+    ``loss_scale`` multiplies the DEFAULT losses' mean normalizer (both
+    the quadratic and the BCE head loss) — data-parallel callers pass
+    ``1/axis_size`` so that psum'ing the per-shard grads reconstructs the
+    global-batch-mean gradient exactly.
 
     ``training=False`` skips the Bernoulli draw entirely (no RNG needed;
     info follows the eval key contract) — the GRADIENTS are identical
@@ -304,8 +368,69 @@ def fused_pool_train_step(
     wvo = jnp.matmul(wo, wv, precision=prec)  # (E, E)
     bctx = (wo @ bv + bo).reshape(1, E)
 
-    if row_loss is None:
-        inv = 1.0 / (B * E)
+    with_head = head_w is not None
+    if with_head:
+        if head_w.ndim != 2 or head_w.shape[0] != E:
+            raise ValueError(
+                f"head_w must be (E, C) with E={E}, got {head_w.shape}"
+            )
+        C = head_w.shape[1]
+        if head_b is not None and head_b.shape != (C,):
+            raise ValueError(
+                f"head_b must be ({C},), got {head_b.shape}"
+            )
+        if labels is None and row_loss is None:
+            raise ValueError(
+                "head_w without labels needs a custom row_loss on logits"
+            )
+        if labels is not None and labels.shape != (B, C):
+            raise ValueError(
+                f"labels must be (B, C) = ({B}, {C}), got "
+                f"{getattr(labels, 'shape', None)}"
+            )
+        # Lane-pad the class dim: zero-padded W_head/b_head columns give
+        # logit 0 there, and the loss masks them (BCE(0, 0) = ln 2 is NOT
+        # inert) — gradients at padded columns are exactly zero, sliced
+        # off on return.
+        Cp = _round_up(C, 128)
+        whead_p = jnp.pad(
+            head_w.astype(jnp.float32), ((0, 0), (0, Cp - C))
+        )
+        bhead_row = jnp.pad(
+            (
+                head_b.astype(jnp.float32)
+                if head_b is not None
+                else jnp.zeros((C,), jnp.float32)
+            ),
+            (0, Cp - C),
+        ).reshape(1, Cp)
+        if labels is not None:
+            labels_p = jnp.pad(
+                labels.astype(jnp.float32), ((0, 0), (0, Cp - C))
+            )
+            row_extras = (labels_p,) + tuple(row_extras)
+        if row_loss is None:
+            inv = loss_scale / (B * C)
+
+            def row_loss(logits, y):  # stable mean BCE-with-logits
+                colv = (
+                    lax.broadcasted_iota(jnp.int32, logits.shape, 1) < C
+                )
+                bce = (
+                    jnp.maximum(logits, 0.0)
+                    - logits * y
+                    + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+                )
+                loss_rows = jnp.where(colv, bce, 0.0).sum(
+                    axis=-1, keepdims=True
+                ) * inv
+                d_logits = jnp.where(
+                    colv, (jax.nn.sigmoid(logits) - y) * inv, 0.0
+                )
+                return loss_rows, d_logits
+
+    elif row_loss is None:
+        inv = loss_scale / (B * E)
         row_loss = lambda out: (  # noqa: E731 — the protocol quadratic
             (out * out).sum(axis=-1, keepdims=True) * inv,
             out * (2.0 * inv),
@@ -348,6 +473,7 @@ def fused_pool_train_step(
         n_extras=len(row_extras),
         want_dkv=kv_grad,
         quantized=q8,
+        with_head=with_head,
     )
     tile = lambda i, *_: (i, 0)  # noqa: E731
     whole = lambda i, *_: (0, 0)  # noqa: E731
@@ -362,6 +488,27 @@ def fused_pool_train_step(
     dkv_shapes = (
         [jax.ShapeDtypeStruct((B_pad, M * E), kv.dtype)] if kv_grad else []
     )
+    head_in_specs = (
+        [
+            pl.BlockSpec((E, Cp), whole, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Cp), whole, memory_space=pltpu.VMEM),
+        ]
+        if with_head else []
+    )
+    head_out_specs = (
+        [
+            pl.BlockSpec((E, Cp), whole, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Cp), whole, memory_space=pltpu.VMEM),
+        ]
+        if with_head else []
+    )
+    head_out_shapes = (
+        [
+            jax.ShapeDtypeStruct((E, Cp), f32),
+            jax.ShapeDtypeStruct((1, Cp), f32),
+        ]
+        if with_head else []
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B_pad // TB,),
@@ -373,7 +520,7 @@ def fused_pool_train_step(
             pl.BlockSpec((TB, M), tile, memory_space=pltpu.VMEM),
             pl.BlockSpec((E, E), whole, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, E), whole, memory_space=pltpu.VMEM),
-        ] + [
+        ] + head_in_specs + [
             pl.BlockSpec((TB, ex.shape[1]), tile, memory_space=pltpu.VMEM)
             for ex in row_extras
         ],
@@ -386,7 +533,7 @@ def fused_pool_train_step(
             pl.BlockSpec((E, E), whole, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, E), whole, memory_space=pltpu.VMEM),
             pl.BlockSpec((3, E), whole, memory_space=pltpu.VMEM),
-        ],
+        ] + head_out_specs,
     )
     outs = pl.pallas_call(
         kernel,
@@ -404,15 +551,22 @@ def fused_pool_train_step(
                 jax.ShapeDtypeStruct((1, E), f32),
                 jax.ShapeDtypeStruct((3, E), f32),
             ]
+            + head_out_shapes
         ),
         cost_estimate=pl.CostEstimate(
             # fwd GEMM + d_mix GEMM + G GEMM, plus the VPU chains
-            flops=6 * B_pad * E * E + 24 * B_pad * M * E,
+            # (+ logits/d_out/dwh GEMMs and the label stream when a head
+            # is fused in)
+            flops=(
+                6 * B_pad * E * E + 24 * B_pad * M * E
+                + (6 * B_pad * E * Cp if with_head else 0)
+            ),
             bytes_accessed=(
                 (2 if kv_grad else 1) * B_pad * M * E * kv.dtype.itemsize
                 + 4 * (2 * B_pad * M + 2 * B_pad + 3 * E * E)
+                + (4 * (B_pad * Cp + 3 * E * Cp) if with_head else 0)
             ),
-            transcendentals=B_pad * M * 2,
+            transcendentals=B_pad * M * 2 + (B_pad * (Cp if with_head else 0)),
         ),
         interpret=interpret,
     )(
@@ -425,15 +579,22 @@ def fused_pool_train_step(
         pad_bias,
         wvo,
         bctx,
+        *([whead_p, bhead_row] if with_head else []),
         *row_extras,
     )
     w, mw, ent, rate = outs[:4]
+    outs = outs[4:]
     if kv_grad:
-        d_kv, G, du, dvec = outs[4:]
+        d_kv, *outs = outs
         d_kv = d_kv[:B].reshape(B, M, E).astype(kv.dtype)
     else:
-        G, du, dvec = outs[4:]
         d_kv = None
+    G, du, dvec = outs[:3]
+    if with_head:
+        d_head = {
+            "w": outs[3][:, :C],
+            "b": outs[4][0, :C] if head_b is not None else None,
+        }
     du = du[0]
     dsum_out = dvec[0]
     dc = dvec[1, 0]
@@ -476,4 +637,36 @@ def fused_pool_train_step(
         info = {"entropy": ent, "mask_rate": rate}
     info["attention_weights"] = w[:B, None, :]
     info["masked_attention_weights"] = mw[:B, None, :]
+    if with_head:
+        return loss_pool, d_params, d_query, d_head, d_kv, info
     return loss_pool, d_params, d_query, d_kv, info
+
+
+def fused_pool_head_train_step(
+    params: AttentionPoolParams,
+    query: jax.Array,
+    head: Dict[str, Optional[jax.Array]],
+    kv: jax.Array,
+    labels: jax.Array,
+    **kwargs,
+) -> Tuple[jax.Array, Dict[str, Any], Optional[jax.Array], Dict[str, Any]]:
+    """Product-shaped wrapper of the one-pass step with a trainable head.
+
+    ``head = {'w': (E, C), 'b': (C,) | None}`` — the linear classifier of
+    the reference X3 protocol (frozen features → pool → head → BCE,
+    train_xrays_example.py:372-377).  Returns ``(loss, grads, d_kv,
+    info)`` where ``grads = {'pool': AttentionPoolParams cotangent,
+    'query': (1, 1, E), 'head': {'w', 'b'}}`` — a pytree aligned with the
+    ``{'pool', 'query', 'head'}`` parameter dict the train-step builders
+    use, ready for ``optimizer.update``.  All of
+    :func:`fused_pool_train_step`'s keyword options pass through
+    (``head_loss=`` may come in as ``row_loss`` acting on logits).
+    """
+    loss, d_params, d_query, d_head, d_kv, info = fused_pool_train_step(
+        params, query, kv,
+        head_w=head["w"], head_b=head.get("b"), labels=labels, **kwargs,
+    )
+    if head.get("b") is None:
+        d_head = {"w": d_head["w"]}
+    grads = {"pool": d_params, "query": d_query, "head": d_head}
+    return loss, grads, d_kv, info

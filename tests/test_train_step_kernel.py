@@ -16,6 +16,7 @@ import pytest
 from aecf_tpu.core.init import init_attention_pool_params, init_fusion_query
 from aecf_tpu.kernels import (
     fused_fusion_pool_shared,
+    fused_pool_head_train_step,
     fused_pool_train_step,
     quantize_features,
     supports_fused_step,
@@ -214,6 +215,24 @@ class TestFusedStepInterpret:
             atol=1e-6,
         )
 
+    def test_loss_scale(self):
+        # loss_scale multiplies the default losses' normalizer linearly
+        # (the DP builders pass 1/axis_size and psum).
+        params, query, kv = _setup()
+        loss1, dp1, dq1, _, _ = fused_pool_train_step(
+            params, query, kv, rng=None, training=False,
+            precision="highest", interpret=True,
+        )
+        loss2, dp2, dq2, _, _ = fused_pool_train_step(
+            params, query, kv, rng=None, training=False,
+            precision="highest", loss_scale=0.25, interpret=True,
+        )
+        np.testing.assert_allclose(loss2, 0.25 * loss1, rtol=1e-6)
+        _assert_tree_close(
+            dp2, jax.tree.map(lambda x: 0.25 * x, dp1), atol=1e-7
+        )
+        np.testing.assert_allclose(dq2, 0.25 * dq1, atol=1e-7)
+
     def test_validation(self):
         params, query, kv = _setup()
         with pytest.raises(ValueError, match="query"):
@@ -253,4 +272,162 @@ class TestFusedStepInterpret:
             fused_pool_train_step(
                 params, query, q8, kv_scales=scales, kv_grad=True,
                 rng=None, training=False, interpret=True,
+            )
+
+
+class TestFusedHeadStep:
+    """Trainable-linear-head one-pass step (the reference X3 protocol:
+    frozen features → pool → linear head → BCE,
+    train_xrays_example.py:372-377) vs autodiff through the two-pass
+    kernel path + an XLA head."""
+
+    def _oracle(self, params, query, wh, bh, kv, labels, *, kv_grad=True):
+        import optax
+
+        def loss_fn(p, q, w, b, feats):
+            out, _w, _mw, _info = fused_fusion_pool_shared(
+                p, q, feats, num_heads=1, training=False, interpret=True,
+                precision="highest", kv_grad=kv_grad,
+            )
+            logits = out[:, 0, :] @ w
+            if b is not None:
+                logits = logits + b
+            return optax.sigmoid_binary_cross_entropy(
+                logits, labels
+            ).mean()
+
+        argnums = (0, 1, 2, 4) if bh is None else (0, 1, 2, 3, 4)
+        return jax.value_and_grad(loss_fn, argnums=argnums)(
+            params, query, wh, bh, kv
+        )
+
+    def _head_setup(self, E=64, M=3, B=100, C=14, bias=True):
+        params, query, kv = _setup(E=E, M=M, B=B)
+        wh = jax.random.normal(jax.random.key(20), (E, C)) * 0.1
+        bh = (
+            jax.random.normal(jax.random.key(21), (C,)) * 0.1
+            if bias else None
+        )
+        labels = (
+            jax.random.uniform(jax.random.key(22), (B, C)) < 0.3
+        ).astype(jnp.float32)
+        return params, query, kv, wh, bh, labels
+
+    @pytest.mark.parametrize("bias", [True, False])
+    @pytest.mark.parametrize("kv_grad", [False, True])
+    def test_bce_head_matches_autodiff(self, bias, kv_grad):
+        params, query, kv, wh, bh, labels = self._head_setup(bias=bias)
+        if bias:
+            loss_o, (dp_o, dq_o, dw_o, db_o, dkv_o) = self._oracle(
+                params, query, wh, bh, kv, labels, kv_grad=kv_grad
+            )
+        else:
+            loss_o, (dp_o, dq_o, dw_o, dkv_o) = self._oracle(
+                params, query, wh, None, kv, labels, kv_grad=kv_grad
+            )
+        head = {"w": wh, "b": bh}
+        loss_k, grads, dkv_k, info = fused_pool_head_train_step(
+            params, query, head, kv, labels, rng=None, training=False,
+            precision="highest", kv_grad=kv_grad, interpret=True,
+        )
+        np.testing.assert_allclose(loss_k, loss_o, rtol=1e-6)
+        _assert_tree_close(grads["pool"], dp_o, atol=1e-6)
+        np.testing.assert_allclose(grads["query"], dq_o, atol=1e-6)
+        np.testing.assert_allclose(grads["head"]["w"], dw_o, atol=1e-6)
+        if bias:
+            np.testing.assert_allclose(
+                grads["head"]["b"], db_o, atol=1e-6
+            )
+        else:
+            assert "b" not in grads["head"]
+        if kv_grad:
+            np.testing.assert_allclose(
+                np.asarray(dkv_k), np.asarray(dkv_o), atol=1e-6
+            )
+        else:
+            assert dkv_k is None
+        # info contract still comes out of the same single pass
+        assert "entropy" in info and "attention_weights" in info
+
+    def test_wide_head_lane_padding(self):
+        # C=130 > one 128-lane tile: padded columns must stay inert in
+        # both the loss (BCE(0,0)=ln2 is NOT zero) and every gradient.
+        params, query, kv, wh, bh, labels = self._head_setup(C=130)
+        loss_o, (dp_o, dq_o, dw_o, db_o, _) = self._oracle(
+            params, query, wh, bh, kv, labels
+        )
+        loss_k, grads, _, _ = fused_pool_head_train_step(
+            params, query, {"w": wh, "b": bh}, kv, labels, rng=None,
+            training=False, precision="highest", interpret=True,
+        )
+        np.testing.assert_allclose(loss_k, loss_o, rtol=1e-6)
+        np.testing.assert_allclose(grads["head"]["w"], dw_o, atol=1e-6)
+        np.testing.assert_allclose(grads["head"]["b"], db_o, atol=1e-6)
+        _assert_tree_close(grads["pool"], dp_o, atol=1e-6)
+
+    def test_custom_logit_loss(self):
+        # row_loss acts on the LOGITS tile when a head is fused in
+        # (extras start with the padded labels tile).
+        params, query, kv, wh, bh, labels = self._head_setup(C=14)
+        B, C = labels.shape
+        inv = 1.0 / (B * C)
+
+        def loss_fn(p, q, w, b):
+            out, _w, _mw, _info = fused_fusion_pool_shared(
+                p, q, kv, num_heads=1, training=False, interpret=True,
+                precision="highest",
+            )
+            logits = out[:, 0, :] @ w + b
+            return ((logits - labels) ** 2).mean()
+
+        loss_o, (dp_o, dq_o, dw_o, db_o) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1, 2, 3)
+        )(params, query, wh, bh)
+
+        def logit_l2(logits, y):
+            import jax.numpy as jnp
+            from jax import lax
+
+            colv = lax.broadcasted_iota(jnp.int32, logits.shape, 1) < C
+            d = jnp.where(colv, logits - y, 0.0)
+            return (d * d).sum(axis=-1, keepdims=True) * inv, d * (
+                2.0 * inv
+            )
+
+        loss_k, grads, _, _ = fused_pool_head_train_step(
+            params, query, {"w": wh, "b": bh}, kv, labels, rng=None,
+            training=False, precision="highest", row_loss=logit_l2,
+            interpret=True,
+        )
+        np.testing.assert_allclose(loss_k, loss_o, rtol=1e-6)
+        np.testing.assert_allclose(grads["head"]["w"], dw_o, atol=1e-6)
+        np.testing.assert_allclose(grads["head"]["b"], db_o, atol=1e-6)
+        _assert_tree_close(grads["pool"], dp_o, atol=1e-6)
+        np.testing.assert_allclose(grads["query"], dq_o, atol=1e-6)
+
+    def test_head_validation(self):
+        params, query, kv = _setup()
+        E = kv.shape[-1]
+        with pytest.raises(ValueError, match="head_w"):
+            fused_pool_train_step(
+                params, query, kv, rng=None, training=False,
+                head_w=jnp.zeros((E + 1, 4)),
+                labels=jnp.zeros((kv.shape[0], 4)), interpret=True,
+            )
+        with pytest.raises(ValueError, match="labels"):
+            fused_pool_train_step(
+                params, query, kv, rng=None, training=False,
+                head_w=jnp.zeros((E, 4)),
+                labels=jnp.zeros((kv.shape[0], 5)), interpret=True,
+            )
+        with pytest.raises(ValueError, match="head_b"):
+            fused_pool_train_step(
+                params, query, kv, rng=None, training=False,
+                head_w=jnp.zeros((E, 4)), head_b=jnp.zeros((5,)),
+                labels=jnp.zeros((kv.shape[0], 4)), interpret=True,
+            )
+        with pytest.raises(ValueError, match="labels"):
+            fused_pool_train_step(
+                params, query, kv, rng=None, training=False,
+                head_w=jnp.zeros((E, 4)), interpret=True,
             )
