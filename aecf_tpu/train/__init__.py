@@ -10,6 +10,13 @@ from .metrics import (
     macro_map,
     recall_at_k,
 )
+from .pool_step import (
+    as_fit_chunk,
+    as_fit_step,
+    init_pool_classifier_params,
+    make_pool_scan_train_step,
+    make_pool_train_step,
+)
 from .sweeps import missing_modality_sweep, modality_subsets
 from .trainer import (
     ExperimentConfig,
@@ -37,6 +44,11 @@ __all__ = [
     "macro_map",
     "missing_modality_sweep",
     "modality_subsets",
+    "init_pool_classifier_params",
+    "make_pool_train_step",
+    "make_pool_scan_train_step",
+    "as_fit_step",
+    "as_fit_chunk",
     "ExperimentConfig",
     "TrainState",
     "accumulate_grads",
