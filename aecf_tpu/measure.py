@@ -41,7 +41,7 @@ __all__ = [
 
 def build_chunk(batch, modalities, embed, heads, impl, steps_per_call,
                 features_dtype="float32", kv_grad=False,
-                precision="default"):
+                precision="default", training=True, interpret=False):
     """A jitted K-step training chunk over the fusion pool: full
     forward+backward+SGD with curriculum masking and entropy loss (the
     reference benchmark protocol, BASELINE.md).  Returns
@@ -58,7 +58,14 @@ def build_chunk(batch, modalities, embed, heads, impl, steps_per_call,
     (the one-pass :func:`~aecf_tpu.kernels.fused_pool_train_step` — loss,
     gradients and side info in a single kv read; H == 1 resident configs
     only).  All three run the identical protocol and produce the same
-    parameter trajectory to f32 tolerance (tests/test_train_step_kernel.py).
+    parameter trajectory to f32 tolerance — pinned as a multi-step SGD
+    lockstep across impls by tests/test_bench_utils.py (hermetically:
+    ``training=False`` + ``interpret=True``, valid because gradients are
+    mask-draw-independent — reference quirks Q1/Q2).
+
+    ``training=False`` builds the draw-free step (identical gradients,
+    no RNG consumed); ``interpret=True`` runs the kernels through the
+    Pallas interpreter for CPU-hermetic checks of the kernel impls.
     """
     import optax
 
@@ -94,8 +101,9 @@ def build_chunk(batch, modalities, embed, heads, impl, steps_per_call,
             # training entropy is detached, so it contributes none).
             loss_pool, d_pool, d_query, _, info = fused_pool_train_step(
                 params["pool"], params["query"], modal, rng=rng,
-                training=True, base_mask_prob=0.15, precision=precision,
-                kv_grad=kv_grad, kv_scales=kv_scales,
+                training=training, base_mask_prob=0.15,
+                precision=precision, kv_grad=kv_grad,
+                kv_scales=kv_scales, interpret=interpret,
             )
             loss = loss_pool + entropy_loss(
                 info["entropy"], seq_len=modalities
@@ -108,9 +116,9 @@ def build_chunk(batch, modalities, embed, heads, impl, steps_per_call,
             if impl == "pallas":
                 out, w, mw, info = fused_fusion_pool_shared(
                     p["pool"], p["query"], modal, num_heads=heads,
-                    rng=rng, training=True, base_mask_prob=0.15,
+                    rng=rng, training=training, base_mask_prob=0.15,
                     precision=precision, kv_grad=kv_grad,
-                    kv_scales=kv_scales,
+                    kv_scales=kv_scales, interpret=interpret,
                 )
             else:
                 q = jnp.broadcast_to(p["query"], (batch, 1, embed))
@@ -122,10 +130,18 @@ def build_chunk(batch, modalities, embed, heads, impl, steps_per_call,
                         need_weights=True,
                     )
                 mw, info = curriculum_mask(
-                    w, key=rng, training=True, base_mask_prob=0.15
+                    w, key=rng, training=training, base_mask_prob=0.15
                 )
+            # Detach the entropy term explicitly: in TRAINING mode
+            # curriculum_mask already detaches it (quirk Q2 — this is a
+            # no-op there, the benched program is unchanged), but in the
+            # hermetic eval-mode chunk the library's eval entropy is
+            # differentiable (round-2 fix) while the fused-step kernel's
+            # is a direct value — without this the impls' trajectories
+            # legitimately diverge in eval mode only.
             loss = (out * out).mean() + entropy_loss(
-                info["entropy"], seq_len=modalities
+                jax.lax.stop_gradient(info["entropy"]),
+                seq_len=modalities,
             )
             return loss, info
 

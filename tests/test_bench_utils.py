@@ -117,3 +117,44 @@ def test_suite_rejects_unknown_only_section():
     )
     assert proc.returncode != 0
     assert "not a section" in (proc.stderr + proc.stdout)
+
+
+def test_build_chunk_trajectory_parity_across_impls():
+    """The three build_chunk impls (xla autodiff, two-pass pallas
+    kernels, one-pass fused-step kernel) run the identical protocol:
+    a 6-step SGD chunk must produce the same loss sequence and final
+    params to f32 tolerance.  Hermetic: training=False (gradients are
+    mask-draw-independent, quirks Q1/Q2) + Pallas interpreter — this is
+    the multi-step lockstep the docs cite for the bench's '--impl auto'
+    dispatch being trajectory-neutral."""
+    import jax
+    import numpy as np
+
+    from bench import build_chunk
+
+    B, M, E, H, K = 64, 3, 64, 1, 6
+    finals = {}
+    losses = {}
+    for impl in ("xla", "pallas", "fused-step"):
+        c, p, s = build_chunk(
+            B, M, E, H, impl, K, precision="highest",
+            training=False, interpret=True,
+        )
+        # run two chunks so the scan carry (params+opt) chains
+        p, s, loss0 = c(p, s, jnp.int32(0))
+        p, s, loss1 = c(p, s, jnp.int32(K))
+        finals[impl] = p
+        losses[impl] = (float(loss0), float(loss1))
+    for impl in ("pallas", "fused-step"):
+        np.testing.assert_allclose(
+            losses[impl], losses["xla"], rtol=2e-5,
+            err_msg=f"{impl} loss trajectory diverged from xla",
+        )
+        for x, y in zip(
+            jax.tree_util.tree_leaves(finals[impl]),
+            jax.tree_util.tree_leaves(finals["xla"]),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(x), np.asarray(y), atol=2e-5,
+                err_msg=f"{impl} final params diverged from xla",
+            )
