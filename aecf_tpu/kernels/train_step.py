@@ -448,10 +448,14 @@ def fused_pool_train_step(
     )
     # The fused step holds the backward's working set PLUS the forward's
     # out/mix temporaries per tile; defaults one notch below the backward's
-    # at E > 512 until swept on-chip.
-    TB = _pick_tile(
-        256 if E <= 512 else 128, "AECF_STEP_TB", B, site=site
-    )
+    # at E > 512.  With the d_kv tile ALSO resident the limit drops one
+    # more notch (measured on-chip: TB=256 at E=512 with kv_grad exceeds
+    # the 16MB scoped-vmem budget by ~0.7MB).
+    if kv_grad:
+        default_tb = 128 if E <= 512 else 64
+    else:
+        default_tb = 256 if E <= 512 else 128
+    TB = _pick_tile(default_tb, "AECF_STEP_TB", B, site=site)
     B_pad, kv_flat, pad_bias, *opt = _pad_rows(
         B, TB, kv.reshape(B, M * E), pad_bias,
         *([kv_scales] if q8 else []),

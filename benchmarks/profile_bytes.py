@@ -170,6 +170,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--config", default="north-star", choices=CONFIGS)
+    ap.add_argument("--impl", default="pallas",
+                    choices=["pallas", "fused-step"],
+                    help="step family for the 'step' phase: two-pass "
+                    "kernels or the one-pass fused train step")
     ap.add_argument("--json", default=None)
     ap.add_argument(
         "--phases", default="read,fwd,step",
@@ -204,6 +208,7 @@ def main():
 
     out = {
         "config": f"B={B},M={M},E={E},H={H}",
+        "impl": args.impl,
         "tunnel_rtt_ms": round(_rtt() * 1e3, 2),
         "peak_hbm_gbps": 819.0,
     }
@@ -276,7 +281,7 @@ def main():
     built = {}
     for name, dt in (("f32", "float32"), ("bf16", "bfloat16")):
         print(f"compiling step {name}...", file=sys.stderr, flush=True)
-        c, p, s = build_chunk(B, M, E, H, "pallas", K_step,
+        c, p, s = build_chunk(B, M, E, H, args.impl, K_step,
                               features_dtype=dt, kv_grad=False)
         p, s, loss = c(p, s, jnp.int32(0))
         float(loss)
@@ -306,13 +311,29 @@ def main():
         out["step"][name]["compiled_bytes_per_step"] = _round_or_none(b)
         out["step"][name]["compiled_flops_per_step"] = _round_or_none(f)
 
-    # analytic model for reference
-    from bench import step_cost_model
+    # analytic model for reference (matched to the measured impl), plus
+    # the pure-stream floor: analytic mandatory bytes at this run's OWN
+    # measured read bandwidth — the "how far from speed-of-light" number
+    # (round-4 verdict Weak #3).
+    from bench import fused_step_cost_model, step_cost_model
 
+    model = (
+        fused_step_cost_model if args.impl == "fused-step"
+        else step_cost_model
+    )
     for name, fb in (("f32", 4), ("bf16", 2)):
-        fl, by = step_cost_model(B, M, E, H, kv_grad=False, feat_bytes=fb)
+        fl, by = model(B, M, E, H, kv_grad=False, feat_bytes=fb)
         out["step"][name]["analytic_bytes_per_step"] = by
         out["step"][name]["analytic_flops_per_step"] = fl
+        bw = (
+            out.get("read_bw", {}).get(name, {}).get("achieved_gbps")
+        )
+        if bw:
+            floor_us = by / (bw * 1e9) * 1e6
+            out["step"][name]["stream_floor_us"] = round(floor_us, 2)
+            out["step"][name]["us_over_floor"] = round(
+                out["step"][name]["us_per_step"] - floor_us, 2
+            )
 
     print(json.dumps(out, indent=2))
     if args.json:

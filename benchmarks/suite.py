@@ -216,13 +216,17 @@ def kv_grad_ab(quick, B=4096, M=3, E=512, H=1):
     }
 
 
-def features_dtype_ab(quick, B=4096, M=3, E=512, H=1):
+def features_dtype_ab(quick, B=4096, M=3, E=512, H=1, impl="pallas"):
     """Within-run A/B of f32 vs bf16 feature storage on the full train
     step (kv_grad=False).  Rounds 2-3 called bf16 a wash from short
     windows; benchmarks/profile_bytes.py showed that was RTT noise —
     with >=50ms windows bf16 wins ~1.14x at the north star (fwd alone
     1.17x; the pure kv read halves exactly).  This keeps the measurement
-    in the suite artifact (round-3 verdict Next #1)."""
+    in the suite artifact (round-3 verdict Next #1).  ``impl=`` selects
+    the step family: 'pallas' (two-pass, the historical protocol) or
+    'fused-step' (the one-pass kernel, where kv is a larger fraction of
+    the remaining bytes so the bf16 win should compound — round-4
+    verdict Weak #3)."""
     import statistics
 
     from bench import build_chunk
@@ -234,7 +238,7 @@ def features_dtype_ab(quick, B=4096, M=3, E=512, H=1):
 
     chunks = {}
     for dt in ("float32", "bfloat16"):
-        c, p, s = build_chunk(B, M, E, H, "pallas", K,
+        c, p, s = build_chunk(B, M, E, H, impl, K,
                               features_dtype=dt, kv_grad=False)
         p, s, loss = c(p, s, jnp.int32(0))
         float(loss)  # value fetch: reliable sync through the tunnel
@@ -245,7 +249,7 @@ def features_dtype_ab(quick, B=4096, M=3, E=512, H=1):
     res = ab_train_windows(chunks, B, K, rounds, tunnel_rtt())
     med = {m: statistics.median(v) for m, v in res.items()}
     return {
-        "config": f"B={B},M={M},E={E},H={H},kv_grad=False",
+        "config": f"B={B},M={M},E={E},H={H},impl={impl},kv_grad=False",
         "f32_median_sps": round(med["float32"], 1),
         "bf16_median_sps": round(med["bfloat16"], 1),
         "bf16_speedup_median": round(med["bfloat16"] / med["float32"], 3),
@@ -255,7 +259,7 @@ def features_dtype_ab(quick, B=4096, M=3, E=512, H=1):
     }
 
 
-def features_q8_ab(quick, B=4096, M=3, E=512, H=1):
+def features_q8_ab(quick, B=4096, M=3, E=512, H=1, impl="pallas"):
     """Within-run A/B of f32 vs int8 feature storage on the full train
     step (round 4: the q8 custom_vjp makes int8 a TRAINING option, not
     just serving).  The kv stream — dominant in both passes at these
@@ -271,7 +275,7 @@ def features_q8_ab(quick, B=4096, M=3, E=512, H=1):
 
     chunks = {}
     for dt in ("float32", "int8"):
-        c, p, s = build_chunk(B, M, E, H, "pallas", K,
+        c, p, s = build_chunk(B, M, E, H, impl, K,
                               features_dtype=dt, kv_grad=False)
         p, s, loss = c(p, s, jnp.int32(0))
         float(loss)  # value fetch: reliable sync through the tunnel
@@ -280,7 +284,7 @@ def features_q8_ab(quick, B=4096, M=3, E=512, H=1):
     res = ab_train_windows(chunks, B, K, rounds, tunnel_rtt())
     med = {m: statistics.median(v) for m, v in res.items()}
     return {
-        "config": f"B={B},M={M},E={E},H={H},kv_grad=False",
+        "config": f"B={B},M={M},E={E},H={H},impl={impl},kv_grad=False",
         "f32_median_sps": round(med["float32"], 1),
         "int8_median_sps": round(med["int8"], 1),
         "int8_speedup_median": round(med["int8"] / med["float32"], 3),
@@ -730,6 +734,9 @@ def main():
         "features_dtype_ab_large",
         "features_q8_ab_north_star",
         "features_q8_ab_large",
+        "features_dtype_ab_fused_north_star",
+        "features_dtype_ab_fused_large",
+        "features_q8_ab_fused_north_star",
         "eval_fwd_ab_large",
         "eval_fwd_ab_e2048",
         "precision_ab_north_star",
@@ -909,6 +916,21 @@ def main():
         # kv bytes in both passes, grads to params/query only.
         section(
             "features_q8_ab_north_star", features_q8_ab, args.quick
+        )
+        # one-pass step × storage dtype (round-4 verdict Weak #3): kv is
+        # ~54% of the fused step's remaining bytes, so the bf16/int8
+        # wins should compound there
+        section(
+            "features_dtype_ab_fused_north_star", features_dtype_ab,
+            args.quick, impl="fused-step",
+        )
+        section(
+            "features_dtype_ab_fused_large", features_dtype_ab,
+            args.quick, B=8192, M=4, E=1024, impl="fused-step",
+        )
+        section(
+            "features_q8_ab_fused_north_star", features_q8_ab,
+            args.quick, impl="fused-step",
         )
         section(
             "features_q8_ab_large", features_q8_ab, args.quick,
