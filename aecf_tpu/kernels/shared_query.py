@@ -273,6 +273,23 @@ def _vjp_wants_streamed(num_heads: int, E: int) -> bool:
     return os.environ.get("AECF_H2_STREAM", "auto") != "0"
 
 
+def _stream_mix_dtype():
+    """Storage dtype of the streamed split's ``mix``/``d_mix`` HBM
+    round-trips (kernel -> XLA GEMM -> kernel).  ``AECF_STREAM_MIX=bf16``
+    halves those bytes (~4·B·H·E·4/step, the largest non-kv term of the
+    streamed step) at bf16 cost on the softmax-backward inputs — sound
+    under ``precision='default'`` where the MXU truncates GEMM inputs to
+    bf16 anyway; keep f32 (the default) for 'highest'-parity work.  Read
+    at trace time like AECF_H2_STREAM."""
+    import os
+
+    return (
+        jnp.bfloat16
+        if os.environ.get("AECF_STREAM_MIX") == "bf16"
+        else jnp.float32
+    )
+
+
 def _draw_seed_words(rng: Optional[jax.Array]) -> jax.Array:
     """(2,) int32 seed material for the in-kernel TPU PRNG.
 
@@ -735,7 +752,9 @@ def _mix_kernel(
         acc = a[:, 0:1] * kv_slices[0]
         for m in range(1, M):
             acc = acc + a[:, m : m + 1] * kv_slices[m]
-        mix_ref[:, h * E : (h + 1) * E] = acc
+        # mix may be stored bf16 (AECF_STREAM_MIX=bf16): halves the
+        # kernel<->XLA-GEMM round-trip bytes; math above stays f32
+        mix_ref[:, h * E : (h + 1) * E] = acc.astype(mix_ref.dtype)
 
 
 def _forward_streamed(
@@ -821,11 +840,12 @@ def _forward_streamed(
         ],
     )
     operands = [kv_flat] + ([kv_scales] if q8 else []) + [u, c, pad_bias]
+    mix_dtype = _stream_mix_dtype()
     mix, w, mw, ent, rate = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((B_pad, H * E), jnp.float32),
+            jax.ShapeDtypeStruct((B_pad, H * E), mix_dtype),
             jax.ShapeDtypeStruct((B_pad, M), jnp.float32),
             jax.ShapeDtypeStruct((B_pad, M), jnp.float32),
             jax.ShapeDtypeStruct((B_pad, 1), jnp.float32),
@@ -1481,7 +1501,8 @@ def _bwd_kernel_streamed(
 
     kv_slices = _kv_tile_slices(kv_ref, scales_ref, M, E)
     _a, d_s, du_acc, dkv_terms = _tile_softmax_bwd(
-        kv_slices, u_ref[0, :], bias_ref[:], dmix_ref[:], dw_ref[:],
+        kv_slices, u_ref[0, :], bias_ref[:],
+        dmix_ref[:].astype(jnp.float32), dw_ref[:],
         want_dkv=want_dkv,
     )
     if want_dkv:
@@ -1541,7 +1562,8 @@ def _bwd_kernel_streamed_mh(
     for h in range(H):
         _a, d_s, du_acc, dkv_terms = _tile_softmax_bwd(
             kv_slices, u_ref[h, :], c_ref[0, h] + pad_ref[:],
-            dmix_ref[:, h * E : (h + 1) * E], dw_h, want_dkv=want_dkv,
+            dmix_ref[:, h * E : (h + 1) * E].astype(jnp.float32),
+            dw_h, want_dkv=want_dkv,
         )
         if want_dkv:
             for m in range(M):
@@ -1603,6 +1625,7 @@ def _bwd_streamed_mh(residuals, cots, mix, *, num_heads, precision,
             params.out_proj_bias is not None, prec,
         )
         d_mix = d_mix.reshape(B, H * E)
+    d_mix = d_mix.astype(_stream_mix_dtype())  # bf16 knob: see helper
 
     pad_bias = _pad_bias_rows(key_padding_mask, B, M)
     if d_w is None:
@@ -1722,6 +1745,7 @@ def _bwd_streamed(residuals, cots, mix, *, precision, interpret,
     with jax.default_matmul_precision(_ctx_prec(precision)):
         d_mix = jnp.matmul(d_out, wvo, precision=prec)  # (B, E)
         G = jnp.matmul(d_out.T, mix, precision=prec)  # (E, E)
+    d_mix = d_mix.astype(_stream_mix_dtype())  # bf16 knob: see helper
     dsum_out = d_out.sum(axis=0)  # (E,)
 
     bias = _pad_bias_rows(

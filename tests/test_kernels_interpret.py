@@ -1031,3 +1031,39 @@ class TestQ8TrainingInterpret:
             p = jax.tree.map(lambda a, b: a - 0.1 * b, p, gp)
             q = q - 0.1 * gq
         assert float(loss(p, q)) < l0
+
+
+def test_stream_mix_bf16_knob(monkeypatch):
+    """AECF_STREAM_MIX=bf16 halves the streamed split's mix/d_mix HBM
+    round-trips; gradients must stay within bf16 tolerance of the f32
+    round-trip (sound at precision='default', where the MXU truncates
+    GEMM inputs to bf16 anyway)."""
+    import numpy as np
+
+    from aecf_tpu.core.init import (
+        init_attention_pool_params,
+        init_fusion_query,
+    )
+    from aecf_tpu.kernels import fused_fusion_pool_shared
+
+    E, M, B = 2048, 3, 32
+    params = init_attention_pool_params(jax.random.key(0), E)
+    query = init_fusion_query(jax.random.key(1), E)
+    kv = jax.random.normal(jax.random.key(2), (B, M, E))
+
+    def loss(p, q):
+        out, _w, _mw, _info = fused_fusion_pool_shared(
+            p, q, kv, num_heads=1, training=False, interpret=True,
+            precision="default",
+        )
+        return (out * out).mean()
+
+    g0 = jax.grad(loss, argnums=(0, 1))(params, query)
+    monkeypatch.setenv("AECF_STREAM_MIX", "bf16")
+    g1 = jax.grad(loss, argnums=(0, 1))(params, query)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)
+    ):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(a).max(), 1e-12)
+        np.testing.assert_allclose(a / scale, b / scale, atol=2e-2)
