@@ -154,3 +154,22 @@ def test_serve_http_example(capsys):
     m = re.search(r"max \|Δ\| vs binary ([0-9.e+-]+)", out)
     assert m and float(m.group(1)) < 1e-5
     assert out.rstrip().endswith("ok")
+
+
+def test_train_pool_fused_example(capsys):
+    """The X3-protocol product-path example (pool + trainable BCE head
+    through make_pool_train_step/fit): loss logged, eval metrics finite
+    and in range.  On CPU it exercises the autodiff dispatch branch of
+    the SAME code that one-passes on TPU."""
+    _load("train_pool_fused").main([
+        "--steps", "8", "--batch", "64", "--embed", "64",
+        "--rows", "256", "--classes", "5",
+    ])
+    out = capsys.readouterr().out
+    m = re.search(
+        r"final: loss ([0-9.]+)\s+mAP ([0-9.]+)\s+macro-F1 ([0-9.]+)", out
+    )
+    assert m, out
+    loss, mAP, f1 = map(float, m.groups())
+    assert 0.0 < loss < 10.0
+    assert 0.0 <= mAP <= 1.0 and 0.0 <= f1 <= 1.0
