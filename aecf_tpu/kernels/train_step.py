@@ -446,15 +446,16 @@ def fused_pool_train_step(
         "step_resident", M=M, E=E, H=1, kv_dtype=kv.dtype.name,
         want_dkv=kv_grad,
     )
-    # The fused step holds the backward's working set PLUS the forward's
-    # out/mix temporaries per tile; defaults one notch below the backward's
-    # at E > 512.  With the d_kv tile ALSO resident the limit drops one
-    # more notch (measured on-chip: TB=256 at E=512 with kv_grad exceeds
-    # the 16MB scoped-vmem budget by ~0.7MB).
+    # Swept on-chip (K=2000 windows, docs/artifacts/sweep_step_tb_*.json):
+    # TB=256 wins at BOTH E=512 (unanimous vs 128/192/384/512) and
+    # E=1024 (6/7 paired windows, +4.8% over the old 128 default) for
+    # the no-d_kv step.  With the d_kv tile ALSO resident the VMEM limit
+    # drops (measured: TB=256+d_kv at E=512 exceeds the 16MB scoped
+    # budget by ~0.7MB), so kv_grad defaults sit one/two notches lower.
     if kv_grad:
         default_tb = 128 if E <= 512 else 64
     else:
-        default_tb = 256 if E <= 512 else 128
+        default_tb = 256
     TB = _pick_tile(default_tb, "AECF_STEP_TB", B, site=site)
     B_pad, kv_flat, pad_bias, *opt = _pad_rows(
         B, TB, kv.reshape(B, M * E), pad_bias,

@@ -294,6 +294,46 @@ def features_q8_ab(quick, B=4096, M=3, E=512, H=1, impl="pallas"):
     }
 
 
+def streamed_mix_ab(quick, B=4096, M=4, E=2048, H=1):
+    """Within-run A/B of AECF_STREAM_MIX=bf16 (round 5): the streamed
+    split's mix/d_mix kernel<->XLA round-trips stored bf16 vs f32.  The
+    analytic bound is ~1.15x at E=2048/H=1 (mix terms ~4·B·H·E·4 of a
+    ~670MB step); measured here so the knob's value is a number.  Env is
+    read at trace time (like AECF_SHARED_BWD) and restored either way."""
+    import statistics
+
+    from bench import ab_train_windows, build_chunk
+
+    K = 10 if quick else 60
+    rounds = 3 if quick else 5
+
+    chunks = {}
+    try:
+        for mode in ("f32", "bf16"):
+            if mode == "bf16":
+                os.environ["AECF_STREAM_MIX"] = "bf16"
+            else:
+                os.environ.pop("AECF_STREAM_MIX", None)
+            c, p, s = build_chunk(B, M, E, H, "pallas", K, kv_grad=False)
+            p, s, loss = c(p, s, jnp.int32(0))
+            float(loss)  # value fetch: reliable sync through the tunnel
+            chunks[mode] = (c, p, s)
+    finally:
+        os.environ.pop("AECF_STREAM_MIX", None)
+
+    res = ab_train_windows(chunks, B, K, rounds, tunnel_rtt())
+    med = {m: statistics.median(v) for m, v in res.items()}
+    return {
+        "config": f"B={B},M={M},E={E},H={H},kv_grad=False",
+        "f32_median_sps": round(med["f32"], 1),
+        "bf16_mix_median_sps": round(med["bf16"], 1),
+        "bf16_mix_speedup_median": round(med["bf16"] / med["f32"], 3),
+        "bf16_mix_speedup_best": round(
+            max(res["bf16"]) / max(res["f32"]), 3
+        ),
+    }
+
+
 def streamed_e2048_ab(quick, B=4096, M=4, E=2048, H=1):
     """Within-run A/B at E=2048 (beyond the resident-weight kernels' VMEM
     cap): the streamed split (Pallas one-pass-over-kv + XLA E×E GEMMs) vs
@@ -742,6 +782,8 @@ def main():
         "precision_ab_north_star",
         "precision_ab_heads8",
         "streamed_e2048_ab",
+        "streamed_mix_ab_e2048",
+        "streamed_mix_ab_h2_e1024",
         "streamed_h2_e2048_ab",
         "h2_belowcap_stream_ab_e512",
         "h2_belowcap_stream_ab_e1024",
@@ -948,6 +990,12 @@ def main():
             B=4096, M=4, E=2048,
         )
         section("streamed_e2048_ab", streamed_e2048_ab, args.quick)
+        section("streamed_mix_ab_e2048", streamed_mix_ab, args.quick)
+        # the H=2 below-cap stream (the default H=2 training dispatch)
+        section(
+            "streamed_mix_ab_h2_e1024", streamed_mix_ab, args.quick,
+            B=8192, M=4, E=1024, H=2,
+        )
         # H=2 streamed boundary — measured, not assumed (round-3 verdict
         # Weak #4): two-head mix kernel + XLA V/out GEMMs vs full XLA.
         section("streamed_h2_e2048_ab", streamed_e2048_ab, args.quick, H=2)
