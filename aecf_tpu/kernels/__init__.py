@@ -5,6 +5,7 @@ from .shared_query import fused_fusion_pool_shared, quantize_features
 from .train_step import (
     fused_pool_head_train_step,
     fused_pool_train_step,
+    step_tile,
     supports_fused_step,
 )
 

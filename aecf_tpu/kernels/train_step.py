@@ -78,6 +78,7 @@ __all__ = [
     "fused_pool_train_step",
     "fused_pool_head_train_step",
     "supports_fused_step",
+    "step_tile",
 ]
 
 
@@ -87,8 +88,42 @@ def supports_fused_step(num_heads: int, embed_dim: int) -> bool:
     return num_heads == 1 and embed_dim <= _RESIDENT_E_CAP
 
 
+def step_tile(
+    batch: int,
+    modalities: int,
+    embed: int,
+    *,
+    kv_dtype: str = "float32",
+    kv_grad: bool = False,
+) -> int:
+    """The batch tile :func:`fused_pool_train_step` will use for this
+    config — env override > tile table > swept default (same resolution
+    as every launch site).  Public so staged-batch callers can check
+    ``batch % step_tile(...) == 0`` before choosing the staged path.
+
+    Defaults were swept on-chip (K=2000 windows,
+    docs/artifacts/sweep_step_tb_*.json): TB=256 wins at BOTH E=512
+    (unanimous vs 128/192/384/512) and E=1024 (6/7 paired windows,
+    +4.8% over the old 128) for the no-d_kv step.  With the d_kv tile
+    ALSO resident the VMEM limit drops (measured: TB=256+d_kv at E=512
+    exceeds the 16MB scoped budget by ~0.7MB), so kv_grad defaults sit
+    one/two notches lower."""
+    site = tiles.site_key(
+        "step_resident", M=modalities, E=embed, H=1, kv_dtype=kv_dtype,
+        want_dkv=kv_grad,
+    )
+    if kv_grad:
+        default_tb = 128 if embed <= 512 else 64
+    else:
+        default_tb = 256
+    return _pick_tile(default_tb, "AECF_STEP_TB", batch, site=site)
+
+
 def _step_kernel(
     seed_ref, mask_prob_ref,
+    off_ref,  # (1,) tile offset (staged-batch addressing; index maps
+    #           consume it — unused in the body: PRNG folds and row
+    #           validity are per-step-local by design)
     kv_ref,  # (TB, M*E) — flattened, lane-sliced (see _shared_kernel doc)
     *refs,  # [scales_ref when quantized] + u, c, pad, wvo, bctx
     #         + [whead, bhead when with_head] + extra tiles
@@ -260,6 +295,8 @@ def fused_pool_train_step(
     head_b: Optional[jax.Array] = None,
     labels: Optional[jax.Array] = None,
     loss_scale: float = 1.0,
+    row_offset: Optional[jax.typing.ArrayLike] = None,
+    batch_rows: Optional[int] = None,
     interpret: bool = False,
 ) -> Tuple[Any, ...]:
     """One-pass fused training step: loss + gradients in a single kv read.
@@ -309,6 +346,21 @@ def fused_pool_train_step(
     ``1/axis_size`` so that psum'ing the per-shard grads reconstructs the
     global-batch-mean gradient exactly.
 
+    ``row_offset``/``batch_rows`` — STAGED-BATCH ADDRESSING for compiled
+    multi-step chunks: ``kv`` (and labels / extras / scales / the padding
+    mask) may hold ``S`` steps' batches stacked on axis 0
+    (``(S·B, ...)``); the kernel then DMA's its tiles directly from
+    ``row_offset`` (a traced multiple of ``batch_rows``) via a
+    scalar-prefetch tile offset in the input index maps.  Without this, a
+    ``lax.scan`` over staged batches must MATERIALIZE each step's slice
+    as a copy (XLA cannot fuse a dynamic-slice into a custom-call
+    operand) — measured at ~52µs/step at the north star, ~2/3 of the
+    kernel's own time.  Constraints: ``batch_rows`` must divide the
+    staged rows and be a multiple of the batch tile (no row padding in
+    this mode).  Draws/gradients/info are IDENTICAL to the equivalent
+    unstaged call — the tile grid, PRNG folds and row-validity logic are
+    all per-step-local.
+
     ``training=False`` skips the Bernoulli draw entirely (no RNG needed;
     info follows the eval key contract) — the GRADIENTS are identical
     either way because masking never touches the output (Q1); this is how
@@ -325,7 +377,23 @@ def fused_pool_train_step(
         raise ValueError(
             f"shared-query step expects query (1, 1, E), got {query.shape}"
         )
-    B, M, E = kv.shape
+    B_rows, M, E = kv.shape  # staged mode: B_rows = S·B stacked steps
+    staged = row_offset is not None
+    if staged:
+        if batch_rows is None:
+            raise ValueError("row_offset requires batch_rows")
+        if B_rows % batch_rows:
+            raise ValueError(
+                f"staged kv rows {B_rows} not a multiple of "
+                f"batch_rows={batch_rows}"
+            )
+        B = batch_rows
+    else:
+        if batch_rows is not None and batch_rows != B_rows:
+            raise ValueError(
+                "batch_rows without row_offset must match kv.shape[0]"
+            )
+        B = B_rows
     if E > _RESIDENT_E_CAP:
         raise ValueError(
             f"fused_pool_train_step covers E <= {_RESIDENT_E_CAP} "
@@ -383,9 +451,9 @@ def fused_pool_train_step(
             raise ValueError(
                 "head_w without labels needs a custom row_loss on logits"
             )
-        if labels is not None and labels.shape != (B, C):
+        if labels is not None and labels.shape != (B_rows, C):
             raise ValueError(
-                f"labels must be (B, C) = ({B}, {C}), got "
+                f"labels must be ({B_rows}, {C}), got "
                 f"{getattr(labels, 'shape', None)}"
             )
         # Lane-pad the class dim: zero-padded W_head/b_head columns give
@@ -437,34 +505,38 @@ def fused_pool_train_step(
         )
 
     for i, ex in enumerate(row_extras):
-        if ex.ndim != 2 or ex.shape[0] != B:
+        if ex.ndim != 2 or ex.shape[0] != B_rows:
             raise ValueError(
-                f"row_extras[{i}] must be (B, K) with B={B}, got {ex.shape}"
+                f"row_extras[{i}] must be ({B_rows}, K), got {ex.shape}"
             )
-    pad_bias = _pad_bias_rows(key_padding_mask, B, M)
-    site = tiles.site_key(
-        "step_resident", M=M, E=E, H=1, kv_dtype=kv.dtype.name,
-        want_dkv=kv_grad,
+    pad_bias = _pad_bias_rows(key_padding_mask, B_rows, M)
+    TB = step_tile(
+        B, M, E, kv_dtype=kv.dtype.name, kv_grad=kv_grad
     )
-    # Swept on-chip (K=2000 windows, docs/artifacts/sweep_step_tb_*.json):
-    # TB=256 wins at BOTH E=512 (unanimous vs 128/192/384/512) and
-    # E=1024 (6/7 paired windows, +4.8% over the old 128 default) for
-    # the no-d_kv step.  With the d_kv tile ALSO resident the VMEM limit
-    # drops (measured: TB=256+d_kv at E=512 exceeds the 16MB scoped
-    # budget by ~0.7MB), so kv_grad defaults sit one/two notches lower.
-    if kv_grad:
-        default_tb = 128 if E <= 512 else 64
+    if staged:
+        # No row padding in staged mode — tiles address the stacked
+        # array directly, so the per-step batch must tile evenly.
+        if B % TB:
+            raise ValueError(
+                f"staged step needs batch_rows={B} divisible by the "
+                f"batch tile {TB} (override with AECF_STEP_TB or use "
+                "the unstaged per-step call)"
+            )
+        B_pad = B
+        kv_flat = kv.reshape(B_rows, M * E)
+        tile_off = (
+            jnp.asarray(row_offset, jnp.int32).reshape(1) // TB
+        )
     else:
-        default_tb = 256
-    TB = _pick_tile(default_tb, "AECF_STEP_TB", B, site=site)
-    B_pad, kv_flat, pad_bias, *opt = _pad_rows(
-        B, TB, kv.reshape(B, M * E), pad_bias,
-        *([kv_scales] if q8 else []),
-        *row_extras,
-    )
-    if q8:
-        kv_scales, *opt = opt
-    row_extras = tuple(opt)
+        B_pad, kv_flat, pad_bias, *opt = _pad_rows(
+            B, TB, kv.reshape(B, M * E), pad_bias,
+            *([kv_scales] if q8 else []),
+            *row_extras,
+        )
+        if q8:
+            kv_scales, *opt = opt
+        row_extras = tuple(opt)
+        tile_off = jnp.zeros((1,), jnp.int32)
 
     kernel = functools.partial(
         _step_kernel,
@@ -480,14 +552,18 @@ def fused_pool_train_step(
         quantized=q8,
         with_head=with_head,
     )
-    tile = lambda i, *_: (i, 0)  # noqa: E731
+    # Input tiles DMA from the (possibly offset) position in the staged
+    # array — the third prefetch scalar is the tile offset (zero when
+    # unstaged); output tiles are always per-step local.
+    tile = lambda i, seed, mp, off: (off[0] + i, 0)  # noqa: E731
+    out_tile = lambda i, *_: (i, 0)  # noqa: E731
     whole = lambda i, *_: (0, 0)  # noqa: E731
     f32 = jnp.float32
     scales_specs = (
         [pl.BlockSpec((TB, M), tile, memory_space=pltpu.VMEM)] if q8 else []
     )
     dkv_specs = (
-        [pl.BlockSpec((TB, M * E), tile, memory_space=pltpu.VMEM)]
+        [pl.BlockSpec((TB, M * E), out_tile, memory_space=pltpu.VMEM)]
         if kv_grad else []
     )
     dkv_shapes = (
@@ -515,7 +591,7 @@ def fused_pool_train_step(
         if with_head else []
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(B_pad // TB,),
         in_specs=[
             pl.BlockSpec((TB, M * E), tile, memory_space=pltpu.VMEM),
@@ -530,10 +606,10 @@ def fused_pool_train_step(
             for ex in row_extras
         ],
         out_specs=[
-            pl.BlockSpec((TB, M), tile, memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, M), tile, memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, 1), tile, memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, 1), tile, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, M), out_tile, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, M), out_tile, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, 1), out_tile, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, 1), out_tile, memory_space=pltpu.VMEM),
         ] + dkv_specs + [
             pl.BlockSpec((E, E), whole, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, E), whole, memory_space=pltpu.VMEM),
@@ -577,6 +653,7 @@ def fused_pool_train_step(
     )(
         seed.reshape(2).astype(jnp.int32),
         mask_prob.reshape(1),
+        tile_off,
         kv_flat,
         *([kv_scales] if q8 else []),
         u.reshape(1, E),

@@ -45,6 +45,7 @@ from ..core.masking import entropy_loss
 from ..kernels import (
     fused_pool_head_train_step,
     fused_pool_train_step,
+    step_tile,
     supports_fused_step,
 )
 from .trainer import TrainState
@@ -128,11 +129,16 @@ def _make_local_step(
     ``loss_scale`` scales the mean-loss normalizer (DP shards pass
     ``1/axis_size`` and psum)."""
 
-    def local_step(params, kv, labels, rng, loss_scale):
+    def local_step(params, kv, labels, rng, loss_scale,
+                   row_offset=None, batch_rows=None):
         E = kv.shape[-1]
         M = kv.shape[1]
         use = _resolve_impl(impl, num_heads, E, interpret)
         head = params.get("head")
+        if row_offset is not None and use != "fused-step":
+            raise ValueError(
+                "staged-batch addressing is a fused-step feature"
+            )
         if use == "fused-step":
             if num_heads != 1:
                 raise ValueError(
@@ -153,6 +159,8 @@ def _make_local_step(
                 precision=precision,
                 kv_grad=False,
                 loss_scale=loss_scale,
+                row_offset=row_offset,
+                batch_rows=batch_rows,
                 interpret=interpret,
             )
             if head is not None:
@@ -435,7 +443,8 @@ def make_pool_scan_train_step(
     if accum_steps < 1:
         raise ValueError(f"accum_steps must be >= 1, got {accum_steps}")
 
-    def one(state, kv_i, lab_i, rng, scale, axis=None):
+    def one(state, kv_i, lab_i, rng, scale, axis=None,
+            row_offset=None, batch_rows=None):
         step_rng = jax.random.fold_in(rng, state.step)
         if axis is not None:
             step_rng = jax.random.fold_in(
@@ -443,7 +452,8 @@ def make_pool_scan_train_step(
             )
         if accum_steps == 1:
             loss, info, grads = local_step(
-                state.params, kv_i, lab_i, step_rng, scale
+                state.params, kv_i, lab_i, step_rng, scale,
+                row_offset=row_offset, batch_rows=batch_rows,
             )
         else:
             loss, info, grads = _accumulate(
@@ -465,15 +475,51 @@ def make_pool_scan_train_step(
         )
         return new_state, (loss, jax.tree.map(jnp.mean, info))
 
+    def _staged_ok(kv):
+        # staged addressing: fused-step only, single-microbatch, and the
+        # per-step batch must tile evenly (checked with the SAME tile
+        # resolution the kernel will use)
+        if accum_steps != 1:
+            return False
+        K_steps, Bstep, M, E = kv.shape
+        if _resolve_impl(impl, num_heads, E, interpret) != "fused-step":
+            return False
+        return Bstep % step_tile(
+            Bstep, M, E, kv_dtype=kv.dtype.name, kv_grad=False
+        ) == 0
+
+    def _scan_steps(state, kv, labels, rng, scale, axis=None):
+        """Scan K updates; staged in-kernel addressing when possible —
+        a lax.scan slice feeding a Pallas operand must otherwise be
+        MATERIALIZED per step (measured ~52us at the north star, ~2/3 of
+        the one-pass kernel's own time)."""
+        if _staged_ok(kv):
+            K_steps, Bstep = kv.shape[0], kv.shape[1]
+            kv_flat = kv.reshape((K_steps * Bstep,) + kv.shape[2:])
+            lab_flat = (
+                labels.reshape((K_steps * Bstep,) + labels.shape[2:])
+                if labels is not None else None
+            )
+
+            def body(state, i):
+                return one(
+                    state, kv_flat, lab_flat, rng, scale, axis=axis,
+                    row_offset=i * Bstep, batch_rows=Bstep,
+                )
+
+            return jax.lax.scan(body, state, jnp.arange(K_steps))
+
+        def body(state, xs):
+            kv_i, lab_i = xs
+            return one(state, kv_i, lab_i, rng, scale, axis=axis)
+
+        return jax.lax.scan(body, state, (kv, labels))
+
     if mesh is None:
 
         def chunk(state, kv, labels, rng):
-            def body(state, xs):
-                kv_i, lab_i = xs
-                return one(state, kv_i, lab_i, rng, 1.0)
-
-            state, (losses, infos) = jax.lax.scan(
-                body, state, (kv, labels)
+            state, (losses, infos) = _scan_steps(
+                state, kv, labels, rng, 1.0
             )
             return state, losses, infos
 
@@ -490,12 +536,9 @@ def make_pool_scan_train_step(
     )
     def sharded_chunk(state, kv, labels, rng):
         scale = 1.0 / jax.lax.axis_size(axis_name)
-
-        def body(state, xs):
-            kv_i, lab_i = xs
-            return one(state, kv_i, lab_i, rng, scale, axis=axis_name)
-
-        state, (losses, infos) = jax.lax.scan(body, state, (kv, labels))
+        state, (losses, infos) = _scan_steps(
+            state, kv, labels, rng, scale, axis=axis_name
+        )
         return state, losses, infos
 
     return jax.jit(

@@ -431,3 +431,70 @@ class TestFusedHeadStep:
                 params, query, kv, rng=None, training=False,
                 head_w=jnp.zeros((E, 4)), interpret=True,
             )
+
+
+class TestStagedAddressing:
+    """Staged-batch addressing (row_offset/batch_rows): the kernel DMA's
+    tiles straight from a stacked (S·B, ...) array — results must be
+    BIT-identical to the equivalent per-step calls (scan-chunk builders
+    rely on this to avoid the ~52µs/step slice materialization)."""
+
+    def test_staged_equals_unstaged(self):
+        E, M, B, S, C = 64, 3, 64, 3, 6
+        params, query, _ = _setup(E=E, M=M, B=B)
+        kv_all = jax.random.normal(jax.random.key(2), (S * B, M, E))
+        wh = jax.random.normal(jax.random.key(3), (E, C)) * 0.1
+        bh = jnp.zeros((C,))
+        lab_all = (
+            jax.random.uniform(jax.random.key(4), (S * B, C)) < 0.3
+        ).astype(jnp.float32)
+        for s in range(S):
+            sl = slice(s * B, (s + 1) * B)
+            loss_u, gr_u, _, info_u = fused_pool_head_train_step(
+                params, query, {"w": wh, "b": bh}, kv_all[sl],
+                lab_all[sl], rng=None, training=False,
+                precision="highest", interpret=True,
+            )
+            loss_s, gr_s, _, info_s = fused_pool_head_train_step(
+                params, query, {"w": wh, "b": bh}, kv_all, lab_all,
+                rng=None, training=False, precision="highest",
+                interpret=True, row_offset=jnp.int32(s * B),
+                batch_rows=B,
+            )
+            np.testing.assert_array_equal(
+                np.asarray(loss_s), np.asarray(loss_u)
+            )
+            for a, b in zip(
+                jax.tree_util.tree_leaves(gr_s),
+                jax.tree_util.tree_leaves(gr_u),
+            ):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+            np.testing.assert_array_equal(
+                np.asarray(info_s["entropy"]),
+                np.asarray(info_u["entropy"]),
+            )
+
+    def test_staged_validation(self):
+        params, query, kv = _setup()
+        B = kv.shape[0]
+        with pytest.raises(ValueError, match="batch_rows"):
+            fused_pool_train_step(
+                params, query, kv, rng=None, training=False,
+                row_offset=jnp.int32(0), interpret=True,
+            )
+        with pytest.raises(ValueError, match="multiple"):
+            fused_pool_train_step(
+                params, query, kv, rng=None, training=False,
+                row_offset=jnp.int32(0), batch_rows=B - 1,
+                interpret=True,
+            )
+
+    def test_step_tile_resolution(self, monkeypatch):
+        from aecf_tpu.kernels import step_tile
+
+        assert step_tile(4096, 3, 512) == 256
+        assert step_tile(8192, 4, 1024) == 256
+        assert step_tile(4096, 3, 512, kv_grad=True) == 128
+        assert step_tile(64, 3, 64) == 64  # batch clamp
+        monkeypatch.setenv("AECF_STEP_TB", "96")
+        assert step_tile(4096, 3, 512) == 96
