@@ -377,7 +377,22 @@ def fused_pool_train_step(
         raise ValueError(
             f"shared-query step expects query (1, 1, E), got {query.shape}"
         )
-    B_rows, M, E = kv.shape  # staged mode: B_rows = S·B stacked steps
+    if kv.ndim == 2:
+        # Pre-flattened (B_rows, M*E) — the staged-scan form: callers
+        # hoist the reshape OUT of their scan body (a reshape feeding a
+        # custom call cannot fuse, so XLA materializes ~the full staged
+        # array per step otherwise — measured 853 vs 133 MB/step).
+        E = query.shape[-1]
+        if kv.shape[1] % E:
+            raise ValueError(
+                f"2-D kv columns {kv.shape[1]} not a multiple of "
+                f"embed dim {E}"
+            )
+        B_rows, M = kv.shape[0], kv.shape[1] // E
+        kv_preflat = True
+    else:
+        B_rows, M, E = kv.shape  # staged mode: B_rows = S·B stacked steps
+        kv_preflat = False
     staged = row_offset is not None
     if staged:
         if batch_rows is None:
@@ -451,9 +466,13 @@ def fused_pool_train_step(
             raise ValueError(
                 "head_w without labels needs a custom row_loss on logits"
             )
-        if labels is not None and labels.shape != (B_rows, C):
+        Cp_head = _round_up(C, 128)
+        if labels is not None and labels.shape not in (
+            (B_rows, C), (B_rows, Cp_head),
+        ):
             raise ValueError(
-                f"labels must be ({B_rows}, {C}), got "
+                f"labels must be ({B_rows}, {C}) — or ({B_rows}, "
+                f"{Cp_head}) pre-lane-padded by a staged caller — got "
                 f"{getattr(labels, 'shape', None)}"
             )
         # Lane-pad the class dim: zero-padded W_head/b_head columns give
@@ -473,9 +492,15 @@ def fused_pool_train_step(
             (0, Cp - C),
         ).reshape(1, Cp)
         if labels is not None:
-            labels_p = jnp.pad(
-                labels.astype(jnp.float32), ((0, 0), (0, Cp - C))
-            )
+            if labels.shape[1] == Cp:
+                # pre-padded by a staged caller (pad hoisted out of its
+                # scan — a per-step pad feeding a custom call would
+                # materialize the full staged labels every step)
+                labels_p = labels.astype(jnp.float32)
+            else:
+                labels_p = jnp.pad(
+                    labels.astype(jnp.float32), ((0, 0), (0, Cp - C))
+                )
             row_extras = (labels_p,) + tuple(row_extras)
         if row_loss is None:
             inv = loss_scale / (B * C)
@@ -509,7 +534,14 @@ def fused_pool_train_step(
             raise ValueError(
                 f"row_extras[{i}] must be ({B_rows}, K), got {ex.shape}"
             )
-    pad_bias = _pad_bias_rows(key_padding_mask, B_rows, M)
+    # Synthesized zero pad-bias stays PER-STEP sized with a local tile
+    # map even in staged mode (a staged-size zeros operand would be
+    # materialized per scan step); only a real staged padding mask needs
+    # the offset map.
+    pad_staged = staged and key_padding_mask is not None
+    pad_bias = _pad_bias_rows(
+        key_padding_mask, B_rows if pad_staged else B, M
+    )
     TB = step_tile(
         B, M, E, kv_dtype=kv.dtype.name, kv_grad=kv_grad
     )
@@ -523,13 +555,13 @@ def fused_pool_train_step(
                 "the unstaged per-step call)"
             )
         B_pad = B
-        kv_flat = kv.reshape(B_rows, M * E)
+        kv_flat = kv if kv_preflat else kv.reshape(B_rows, M * E)
         tile_off = (
             jnp.asarray(row_offset, jnp.int32).reshape(1) // TB
         )
     else:
         B_pad, kv_flat, pad_bias, *opt = _pad_rows(
-            B, TB, kv.reshape(B, M * E), pad_bias,
+            B, TB, kv if kv_preflat else kv.reshape(B, M * E), pad_bias,
             *([kv_scales] if q8 else []),
             *row_extras,
         )
@@ -598,7 +630,10 @@ def fused_pool_train_step(
         ] + scales_specs + [
             pl.BlockSpec((1, E), whole, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), whole, memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, M), tile, memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (TB, M), tile if pad_staged else out_tile,
+                memory_space=pltpu.VMEM,
+            ),
             pl.BlockSpec((E, E), whole, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, E), whole, memory_space=pltpu.VMEM),
         ] + head_in_specs + [

@@ -131,13 +131,19 @@ def _make_local_step(
 
     def local_step(params, kv, labels, rng, loss_scale,
                    row_offset=None, batch_rows=None):
-        E = kv.shape[-1]
-        M = kv.shape[1]
+        # E comes from the query param: kv may arrive PACKED 2-D
+        # ((S·B, M·E), the staged-scan form) where shape[-1] is M·E
+        E = params["query"].shape[-1]
+        if kv.ndim == 2:
+            M = kv.shape[1] // E
+        else:
+            M = kv.shape[1]
         use = _resolve_impl(impl, num_heads, E, interpret)
         head = params.get("head")
-        if row_offset is not None and use != "fused-step":
+        if kv.ndim == 2 and use != "fused-step":
             raise ValueError(
-                "staged-batch addressing is a fused-step feature"
+                "packed 2-D kv (staged-scan form) requires the "
+                "fused-step path; pass (B, M, E) for other impls"
             )
         if use == "fused-step":
             if num_heads != 1:
@@ -420,6 +426,18 @@ def make_pool_scan_train_step(
     :func:`aecf_tpu.train.fit` parity contract).  ``infos`` are per-step
     means.  With ``mesh=`` the batch axis (axis 1) shards over
     ``axis_name`` and each step psums as in the single-step builder.
+
+    Batches may be staged PACKED — ``kv (K, B, M·E)`` (modalities
+    concatenated on the last axis) — which takes the zero-copy staged
+    kernel path: the one-pass kernel DMA's each step's tiles directly
+    from the stacked array via an in-kernel offset, instead of the scan
+    materializing a per-step slice for the custom call (measured 75 vs
+    156 µs/step at the north star; a 4-D ``(K, B, M, E)`` staging is
+    ALSO slower because XLA assigns it a sublane-padding-avoiding entry
+    layout and copies the whole array per call).  Packed staging
+    requires the fused-step dispatch and a tile-divisible per-step
+    batch (``kernels.step_tile``); ``(K, B, M, E)`` input keeps the
+    general per-step path for everything else.
     """
     num_heads = builder_kwargs.pop("num_heads", 1)
     impl = builder_kwargs.pop("impl", "auto")
@@ -475,13 +493,20 @@ def make_pool_scan_train_step(
         )
         return new_state, (loss, jax.tree.map(jnp.mean, info))
 
-    def _staged_ok(kv):
-        # staged addressing: fused-step only, single-microbatch, and the
-        # per-step batch must tile evenly (checked with the SAME tile
-        # resolution the kernel will use)
-        if accum_steps != 1:
+    def _staged_ok(kv, E):
+        # staged addressing: PACKED (K, B, M·E) batches only — a 4-D
+        # (K, B, M, E) jit parameter gets a sublane-padding-avoiding
+        # entry layout from XLA ({3,1,2,0}) and a full relayout copy per
+        # chunk call (measured 271 vs 75 us/step at the north star), so
+        # 4-D input keeps the per-step slicing path.  Also requires the
+        # fused-step impl, single-microbatch, and a tile-divisible
+        # per-step batch (same tile resolution the kernel will use).
+        if kv.ndim != 3 or accum_steps != 1:
             return False
-        K_steps, Bstep, M, E = kv.shape
+        K_steps, Bstep, ME = kv.shape
+        M = ME // E
+        if M * E != ME:
+            return False
         if _resolve_impl(impl, num_heads, E, interpret) != "fused-step":
             return False
         return Bstep % step_tile(
@@ -493,13 +518,37 @@ def make_pool_scan_train_step(
         a lax.scan slice feeding a Pallas operand must otherwise be
         MATERIALIZED per step (measured ~52us at the north star, ~2/3 of
         the one-pass kernel's own time)."""
-        if _staged_ok(kv):
+        E_q = state.params["query"].shape[-1]
+        if kv.ndim == 3 and not _staged_ok(kv, E_q):
+            # packed but not eligible for in-kernel addressing: unpack
+            # to 4-D and take the general per-step path below.  (This
+            # costs a whole-array materialization per chunk call —
+            # callers on the general path should stage 4-D, whose
+            # layout conversion folds into the per-step slice copy; the
+            # unpack here is a compatibility ramp, not the fast path.)
+            M_q = kv.shape[2] // E_q
+            if M_q * E_q != kv.shape[2]:
+                raise ValueError(
+                    f"packed kv columns {kv.shape[2]} not a multiple "
+                    f"of embed dim {E_q}"
+                )
+            kv = kv.reshape(kv.shape[:2] + (M_q, E_q))
+        if kv.ndim == 3:
+            # hoist the flatten/pad OUT of the scan body: a reshape or
+            # pad feeding a Pallas operand inside the scan cannot fuse,
+            # so XLA would materialize the full staged array per step
+            # (measured 853 vs 133 MB/step at the north star)
             K_steps, Bstep = kv.shape[0], kv.shape[1]
-            kv_flat = kv.reshape((K_steps * Bstep,) + kv.shape[2:])
-            lab_flat = (
-                labels.reshape((K_steps * Bstep,) + labels.shape[2:])
-                if labels is not None else None
-            )
+            kv_flat = kv.reshape(K_steps * Bstep, kv.shape[2])
+            lab_flat = None
+            if labels is not None:
+                C = labels.shape[-1]
+                lab_flat = labels.reshape(K_steps * Bstep, C).astype(
+                    jnp.float32
+                )
+                Cp = -(-C // 128) * 128
+                if Cp != C:
+                    lab_flat = jnp.pad(lab_flat, ((0, 0), (0, Cp - C)))
 
             def body(state, i):
                 return one(
@@ -561,12 +610,17 @@ def as_fit_step(pool_step: Callable) -> Callable:
 
 
 def as_fit_chunk(pool_chunk: Callable) -> Callable:
-    """:func:`as_fit_step` for the scan-chunk form (leading K axis:
-    ``(K, B, E)`` streams stack into ``(K, B, 2, E)``)."""
+    """:func:`as_fit_step` for the scan-chunk form (leading K axis).
+
+    The two ``(K, B, E)`` streams CONCATENATE on the last axis into the
+    PACKED ``(K, B, 2·E)`` staged form — byte-identical to stacking
+    modalities, and the zero-copy layout the staged kernel path wants
+    (a 4-D staged jit parameter costs a full relayout copy per chunk
+    call; see ``make_pool_scan_train_step``)."""
 
     def chunk(state, images, texts, labels, rng):
         return pool_chunk(
-            state, jnp.stack([images, texts], axis=2), labels, rng
+            state, jnp.concatenate([images, texts], axis=-1), labels, rng
         )
 
     return chunk

@@ -41,14 +41,19 @@ C_CLASSES = 14  # the xray protocol's label width
 
 
 def stage_batches(batch, modalities, embed, K, *, head):
-    """Stage K copies of one batch on device ONCE, shared read-only by
-    both impls' chunks (donate=False keeps them alive).  The chunk's
-    per-step rng folds the global step counter, so every step still
-    draws fresh masks."""
+    """Stage K copies of one batch on device ONCE (the chunk's per-step
+    rng folds the global step counter, so every step still draws fresh
+    masks).  PACKED (K, B, M·E) and 4-D
+    (K, B, M, E) for the general per-step path (each impl is measured on
+    its best available staging; the staged addressing IS part of the
+    fused kernel's advantage)."""
     kv = jax.random.normal(
-        jax.random.key(2), (batch, modalities, embed)
+        jax.random.key(2), (batch, modalities * embed)
     )
-    kv_k = jax.device_put(jnp.broadcast_to(kv, (K,) + kv.shape) + 0.0)
+    kv_packed = jax.device_put(jnp.broadcast_to(kv, (K,) + kv.shape) + 0.0)
+    kv_4d = jax.device_put(
+        kv_packed.reshape(K, batch, modalities, embed) + 0.0
+    )
     lab_k = None
     if head:
         lab = (
@@ -58,7 +63,7 @@ def stage_batches(batch, modalities, embed, K, *, head):
         lab_k = jax.device_put(
             jnp.broadcast_to(lab, (K,) + lab.shape) + 0.0
         )
-    return kv_k, lab_k
+    return kv_packed, kv_4d, lab_k
 
 
 def build_product_chunk(embed, impl, *, head, precision="default"):
@@ -124,11 +129,17 @@ def main():
         batch_bytes = batch * modalities * embed * 4
         K = 8 if args.quick else max(4, min(48, int(2e9 // batch_bytes)))
         for head in (True, False):
-            kv_k, lab_k = stage_batches(
+            kv_packed, kv_4d, lab_k = stage_batches(
                 batch, modalities, embed, K, head=head
             )
             chunks = {}
             for impl in ("pallas", "fused-step"):
+                # each impl on its best staging (measured): fused-step
+                # wants packed (zero-copy in-kernel addressing); the
+                # general path wants 4-D (its per-step slice copy then
+                # absorbs the layout conversion — feeding it packed
+                # costs an extra whole-array unpack per call)
+                kv_k = kv_packed if impl == "fused-step" else kv_4d
                 try:
                     c, st = build_product_chunk(
                         embed, impl, head=head, precision=args.precision,

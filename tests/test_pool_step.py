@@ -257,3 +257,54 @@ def test_builder_validation():
     labels = jnp.zeros((8, C))
     with pytest.raises(ValueError, match="interpret"):
         step(state, kv, labels, jax.random.key(0))
+
+
+def test_packed_staged_chunk_matches_sliced():
+    """The packed (K, B, M·E) staged form (zero-copy in-kernel
+    addressing) must produce the same trajectory as (K, B, M, E)
+    batches through the per-step slicing path."""
+    opt, state_a, kv, labels = _setup()
+    state_b = jax.tree.map(lambda x: x, state_a)
+    common = dict(
+        impl="fused-step", interpret=True, training=False, donate=False
+    )
+    chunk = make_pool_scan_train_step(opt, **common)
+    K = 3
+    kv_4d = jnp.broadcast_to(kv, (K,) + kv.shape)
+    kv_packed = kv_4d.reshape(K, B, M * E)
+    lab_k = jnp.broadcast_to(labels, (K,) + labels.shape)
+    rng = jax.random.key(17)
+    state_a, losses_a, _ = chunk(state_a, kv_4d, lab_k, rng)
+    state_b, losses_b, _ = chunk(state_b, kv_packed, lab_k, rng)
+    np.testing.assert_allclose(
+        np.asarray(losses_a), np.asarray(losses_b), rtol=1e-6
+    )
+    _params_close(state_a.params, state_b.params, atol=1e-6)
+
+
+@pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+def test_packed_staged_dp_chunk():
+    """Packed staging composes with DP: per-shard staged addressing +
+    psum equals the unsharded packed chunk."""
+    mesh = data_mesh(8)
+    opt, state_s, kv, labels = _setup()
+    state_d = jax.tree.map(lambda x: x, state_s)
+    common = dict(
+        impl="fused-step", interpret=True, training=False, donate=False
+    )
+    chunk_s = make_pool_scan_train_step(opt, **common)
+    chunk_d = make_pool_scan_train_step(opt, mesh=mesh, **common)
+    K = 2
+    kv_packed = jnp.broadcast_to(
+        kv.reshape(B, M * E), (K, B, M * E)
+    )
+    lab_k = jnp.broadcast_to(labels, (K,) + labels.shape)
+    rng = jax.random.key(19)
+    state_s, losses_s, _ = chunk_s(state_s, kv_packed, lab_k, rng)
+    state_d, losses_d, _ = chunk_d(state_d, kv_packed, lab_k, rng)
+    np.testing.assert_allclose(
+        np.asarray(losses_s), np.asarray(losses_d), rtol=5e-5
+    )
+    _params_close(state_s.params, state_d.params)
