@@ -273,21 +273,25 @@ def _vjp_wants_streamed(num_heads: int, E: int) -> bool:
     return os.environ.get("AECF_H2_STREAM", "auto") != "0"
 
 
-def _stream_mix_dtype():
+def _stream_mix_dtype(precision: str):
     """Storage dtype of the streamed split's ``mix``/``d_mix`` HBM
-    round-trips (kernel -> XLA GEMM -> kernel).  ``AECF_STREAM_MIX=bf16``
-    halves those bytes (~4·B·H·E·4/step, the largest non-kv term of the
-    streamed step) at bf16 cost on the softmax-backward inputs — sound
-    under ``precision='default'`` where the MXU truncates GEMM inputs to
-    bf16 anyway; keep f32 (the default) for 'highest'-parity work.  Read
-    at trace time like AECF_H2_STREAM."""
+    round-trips (kernel -> XLA GEMM -> kernel).  bf16 halves those bytes
+    (~4·B·H·E·4/step, the largest non-kv term of the streamed step) at
+    bf16 cost on the softmax-backward inputs — and is the DEFAULT at
+    ``precision='default'``, where the MXU truncates GEMM inputs to bf16
+    anyway (measured within-run: full step 1.22x at the H=2 E=1024
+    stream, 1.08x at H=1 E=2048 — suite streamed_mix_ab sections).
+    'highest' keeps f32 round-trips for torch-f32 parity.
+    ``AECF_STREAM_MIX=bf16|f32`` overrides either way, read at trace
+    time like AECF_H2_STREAM."""
     import os
 
-    return (
-        jnp.bfloat16
-        if os.environ.get("AECF_STREAM_MIX") == "bf16"
-        else jnp.float32
-    )
+    env = os.environ.get("AECF_STREAM_MIX")
+    if env == "bf16":
+        return jnp.bfloat16
+    if env in ("f32", "0"):
+        return jnp.float32
+    return jnp.bfloat16 if precision == "default" else jnp.float32
 
 
 def _draw_seed_words(rng: Optional[jax.Array]) -> jax.Array:
@@ -840,7 +844,7 @@ def _forward_streamed(
         ],
     )
     operands = [kv_flat] + ([kv_scales] if q8 else []) + [u, c, pad_bias]
-    mix_dtype = _stream_mix_dtype()
+    mix_dtype = _stream_mix_dtype(precision)
     mix, w, mw, ent, rate = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -1625,7 +1629,7 @@ def _bwd_streamed_mh(residuals, cots, mix, *, num_heads, precision,
             params.out_proj_bias is not None, prec,
         )
         d_mix = d_mix.reshape(B, H * E)
-    d_mix = d_mix.astype(_stream_mix_dtype())  # bf16 knob: see helper
+    d_mix = d_mix.astype(_stream_mix_dtype(precision))  # see helper
 
     pad_bias = _pad_bias_rows(key_padding_mask, B, M)
     if d_w is None:
@@ -1745,7 +1749,7 @@ def _bwd_streamed(residuals, cots, mix, *, precision, interpret,
     with jax.default_matmul_precision(_ctx_prec(precision)):
         d_mix = jnp.matmul(d_out, wvo, precision=prec)  # (B, E)
         G = jnp.matmul(d_out.T, mix, precision=prec)  # (E, E)
-    d_mix = d_mix.astype(_stream_mix_dtype())  # bf16 knob: see helper
+    d_mix = d_mix.astype(_stream_mix_dtype(precision))  # see helper
     dsum_out = d_out.sum(axis=0)  # (E,)
 
     bias = _pad_bias_rows(

@@ -1034,10 +1034,9 @@ class TestQ8TrainingInterpret:
 
 
 def test_stream_mix_bf16_knob(monkeypatch):
-    """AECF_STREAM_MIX=bf16 halves the streamed split's mix/d_mix HBM
-    round-trips; gradients must stay within bf16 tolerance of the f32
-    round-trip (sound at precision='default', where the MXU truncates
-    GEMM inputs to bf16 anyway)."""
+    """bf16 mix/d_mix round-trips (the DEFAULT at precision='default';
+    AECF_STREAM_MIX=f32 forces them off): gradients must stay within
+    bf16 tolerance of the f32 round-trip."""
     import numpy as np
 
     from aecf_tpu.core.init import (
@@ -1058,6 +1057,7 @@ def test_stream_mix_bf16_knob(monkeypatch):
         )
         return (out * out).mean()
 
+    monkeypatch.setenv("AECF_STREAM_MIX", "f32")
     g0 = jax.grad(loss, argnums=(0, 1))(params, query)
     monkeypatch.setenv("AECF_STREAM_MIX", "bf16")
     g1 = jax.grad(loss, argnums=(0, 1))(params, query)
