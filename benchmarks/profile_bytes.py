@@ -60,15 +60,37 @@ def _net(elapsed):
 
 def _time_windows(chunks, rounds):
     """Alternate over {name: (callable, state)} chunks; callable(state) ->
-    new state whose fetch forces sync.  Returns {name: [window_secs]}."""
+    new state whose fetch forces sync.  Returns {name: [window_secs]},
+    where each window is normalized to ONE chunk call's worth of time.
+
+    RTT-adaptive (bench.py's rule): each timed window chains enough
+    chunk calls to clear max(50ms, 20×RTT) with a single fetch — a
+    window smaller than the (subtracted) RTT measures clamp artifacts,
+    not the chip (bit this tool in a 62ms-RTT phase: 400-step windows
+    reported 3TB/s)."""
+    rtt = _rtt()
+    target = max(0.05, 20.0 * rtt)
+    # calibrate the fastest chunk to pick one shared calls-per-window
+    calib = float("inf")
+    for m in chunks:
+        fn, st = chunks[m]
+        t0 = time.perf_counter()
+        st = fn(st)
+        float(st)
+        calib = min(calib, _net(time.perf_counter() - t0))
+        chunks[m] = (fn, st)
+    import math as _math
+
+    cpw = max(1, _math.ceil(target / max(calib, 1e-6)))
     res = {m: [] for m in chunks}
     for _ in range(rounds):
         for m in chunks:
             fn, st = chunks[m]
             t0 = time.perf_counter()
-            st = fn(st)
+            for _j in range(cpw):
+                st = fn(st)
             float(st)  # value fetch: the only reliable sync through the tunnel
-            res[m].append(_net(time.perf_counter() - t0))
+            res[m].append(_net(time.perf_counter() - t0) / cpw)
             chunks[m] = (fn, st)
     return res
 
@@ -288,14 +310,26 @@ def main():
         built[name] = (c, p, s)
         chunks[name] = built[name]
 
+    # RTT-adaptive windows, normalized per chunk call (see _time_windows)
+    rtt0 = _rtt()
+    calib = float("inf")
+    for m in chunks:
+        c, p, s = chunks[m]
+        t0 = time.perf_counter()
+        p, s, loss = c(p, s, jnp.int32(0))
+        float(loss)
+        calib = min(calib, _net(time.perf_counter() - t0))
+        chunks[m] = (c, p, s)
+    cpw = max(1, math.ceil(max(0.05, 20.0 * rtt0) / max(calib, 1e-6)))
     res = {m: [] for m in chunks}
     for _ in range(rounds):
         for m in chunks:
             c, p, s = chunks[m]
             t0 = time.perf_counter()
-            p, s, loss = c(p, s, jnp.int32(0))
+            for _j in range(cpw):
+                p, s, loss = c(p, s, jnp.int32(0))
             float(loss)
-            res[m].append(_net(time.perf_counter() - t0))
+            res[m].append(_net(time.perf_counter() - t0) / cpw)
             chunks[m] = (c, p, s)
     out["step"] = {}
     for name in ("f32", "bf16"):
