@@ -50,15 +50,30 @@ PEAK = 197e12  # v5e bf16 MXU peak FLOP/s
 
 
 def _windows(fn, state, K, rounds, rtt):
-    """Median net window time for a chained-K chunk; fetch-synced."""
+    """Median net time for ONE chained-K chunk call; fetch-synced.
+
+    RTT-adaptive (bench.py's rule): chains enough calls per timed
+    window to clear max(50ms, 20×RTT) — a sub-RTT window measures the
+    subtraction clamp, not the chip (first run of this tool in a 46ms
+    phase reported a 1.41 'mfu')."""
+    import math
+
     from bench import net_window
 
+    t0 = time.perf_counter()
+    state, fetch = fn(state)
+    float(fetch)
+    calib = net_window(time.perf_counter() - t0, rtt)
+    cpw = max(1, math.ceil(max(0.05, 20.0 * rtt) / max(calib, 1e-6)))
     times = []
     for _ in range(rounds):
         t0 = time.perf_counter()
-        state, fetch = fn(state)
+        for _j in range(cpw):
+            state, fetch = fn(state)
         float(fetch)
-        times.append(net_window(time.perf_counter() - t0, rtt))
+        times.append(
+            net_window(time.perf_counter() - t0, rtt) / cpw
+        )
     return statistics.median(times), state
 
 
